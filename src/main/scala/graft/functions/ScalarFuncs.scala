@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar string/math helpers (ref `padua/utils.py`, `padua/io.py:85`).
+  * All composed from built-in codegen'd functions — no UDFs.
+  */
+object ScalarFuncs {
+
+  /** First protein ID: split on `;`, ` `, `_` and take the head
+    * (ref utils.py:108-122 `get_protein_id`). */
+  def proteinId(c: Column): Column =
+    split(split(split(c, ";").getItem(0), " ").getItem(0), "_").getItem(0)
+
+  /** ID also split on `-` (isoform) — ref io.py:85 `_protein_id`. */
+  def proteinIdBase(c: Column): Column =
+    split(proteinId(c), "-").getItem(0)
+
+  /** All short IDs as an array (ref utils.py:125-139 `get_protein_ids`). */
+  def proteinIds(c: Column): Column =
+    transform(split(c, ";"), p => split(split(trim(p), " ").getItem(0), "_").getItem(0))
+
+  /** Text before the first `;` (ref utils.py:165-176 `get_shortstr`). */
+  def shortStr(c: Column): Column = split(c, ";").getItem(0)
+
+  /** int → double → string coercion chain (ref process.py:7-20 `numeric`).
+    * Returns a struct so all three candidate types survive Catalyst's
+    * single-type column rule; consumers pick the field they need. */
+  def numericCoerce(c: Column): Column =
+    struct(
+      c.cast("long").as("as_long"),
+      c.cast("double").as("as_double"),
+      c.cast("string").as("as_string"))
+
+  /** Join label parts (ref utils.py:191-225 `format_label`). */
+  def formatLabel(sep: String, parts: Column*): Column = concat_ws(sep, parts: _*)
+
+  /** SAM s0 significance curve (ref utils.py:282-317
+    * `calculate_s0_curve`): y = 10^(-s0/(x - minRatio) - log10(minP)).
+    * Used as a volcano cutoff: significant iff p <= curve(|ratio|). */
+  def s0CurveP(absRatio: Column, s0: Double, minRatio: Double, minP: Double): Column =
+    pow(lit(10.0), lit(-s0) / (absRatio - lit(minRatio)) - lit(math.log10(minP)))
+
+  /** Volcano significance classification (ref visualize.py:584-598):
+    * point is significant when |ratio| > minRatio and p below the s0
+    * curve at that ratio. */
+  def s0Significant(p: Column, absRatio: Column, s0: Double, minRatio: Double, minP: Double): Column =
+    absRatio > minRatio && p <= s0CurveP(absRatio, s0, minRatio, minP)
+}

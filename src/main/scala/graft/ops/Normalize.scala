@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Normalization (ref `padua/normalization.py`). */
+object Normalize {
+
+  /** Long-form `subtract_column_median` (ref normalization.py:4-22):
+    * subtract each sample's median of observed values from every value
+    * of that sample. `±inf` already nulled upstream (Reshape.infToNull).
+    *
+    * Plan: exact `median` per sample via groupBy (samples are few — the
+    * agg output is tiny) + broadcast rejoin. Exact median is a
+    * sort-based agg per group; at 100 TB per-sample partitions sort in
+    * parallel (one shuffle keyed by sample). Exactness is required for
+    * oracle parity (SURVEY §7.4) — pandas median is exact.
+    */
+  def subtractColumnMedian(
+      df: DataFrame,
+      sampleCol: String = "sample",
+      valueCol: String = "value"): DataFrame = {
+    val medians = df
+      .groupBy(col(sampleCol))
+      .agg(median(col(valueCol)).as("_median"))
+    df.join(broadcast(medians), Seq(sampleCol), "left")
+      .withColumn(valueCol, col(valueCol) - col("_median"))
+      .drop("_median")
+  }
+
+  /** Z-score within a partition key (ref visualize.py:1520-1525,
+    * 1694-1699): `(x - mean) / stddev` per group; axis choice = key
+    * choice (per-sample vs per-feature) on the long form. */
+  def zscore(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String = "value",
+      outCol: String = "zscore",
+      broadcastStats: Boolean = false): DataFrame = {
+    // broadcastStats=true only when the key domain is small (per-sample
+    // axis). Per-feature keys have table-scale cardinality — that join
+    // must stay a shuffled hash join (AQE picks it), never a broadcast.
+    val stats = df
+      .groupBy(keyCols.map(col): _*)
+      .agg(avg(col(valueCol)).as("_mu"), stddev_samp(col(valueCol)).as("_sd"))
+    val dim = if (broadcastStats) broadcast(stats) else stats
+    df.join(dim, keyCols, "left")
+      .withColumn(outCol, (col(valueCol) - col("_mu")) / col("_sd"))
+      .drop("_mu", "_sd")
+  }
+}

@@ -1,0 +1,71 @@
+package graft.stats
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Exact (decimal-backed) moment aggregates.
+  *
+  * Rationale: double `sum()` is order-dependent — a partial-aggregated
+  * Spark sum and a sequential single-node sum differ in final ulps, so
+  * derived statistics would not hash-match an external oracle. Summing
+  * an exact DECIMAL image of each value instead makes every moment
+  * exact and order-independent; the closed-form statistic is then
+  * computed in double from identical inputs with identical IEEE
+  * operation trees (+,-,*,/,sqrt are correctly rounded) → bitwise
+  * reproducible on any cluster size, any partitioning. This is also the
+  * right 100 TB answer: decimal sums partial-aggregate (map-side
+  * combine) exactly like double sums.
+  *
+  * decimal(15,6) carries values |x| < 1e9 at 1e-6 resolution — wide
+  * enough for the testdata money/quantity columns; products fit
+  * decimal(31,12); sums of products fit decimal(38,12) up to ~1e26.
+  */
+object Moments {
+  /** Exact decimal image of a double value column. (No double is an
+    * exact midpoint at 6 decimal digits, so round-to-nearest casts are
+    * engine-independent.) */
+  def dec(c: Column): Column = c.cast("decimal(15,6)")
+
+  /** Exact sum as double (deterministic). */
+  def sumExact(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Exact sum of squares as double (deterministic). */
+  def sumSqExact(c: Column): Column = sum(dec(c) * dec(c)).cast("double")
+
+  /** Exact sum of products as double (deterministic). */
+  def sumProdExact(x: Column, y: Column): Column = sum(dec(x) * dec(y)).cast("double")
+
+  /** Mean from exact sum: s1/n (deterministic double). */
+  def meanOf(s1: Column, n: Column): Column = s1 / n.cast("double")
+
+  /** Sample variance from exact moments: (s2 - s1*s1/n)/(n-1). */
+  def varOf(s1: Column, s2: Column, n: Column): Column = {
+    val nd = n.cast("double")
+    (s2 - s1 * s1 / nd) / (nd - lit(1.0))
+  }
+
+  /** Pearson r from exact cross-moments:
+    * (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)). */
+  def corrOf(n: Column, sx: Column, sy: Column, sxx: Column, syy: Column, sxy: Column): Column = {
+    val nd = n.cast("double")
+    (nd * sxy - sx * sy) / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
+  }
+
+  /** The same formulas as DuckDB SQL fragments, for oracle strings.
+    * Kept adjacent to the Column forms so the expression trees stay
+    * structurally identical (bitwise parity depends on it). */
+  object Sql {
+    def dec(c: String): String = s"CAST($c AS DECIMAL(15,6))"
+    def sumExact(c: String): String = s"CAST(SUM(${dec(c)}) AS DOUBLE)"
+    def sumSqExact(c: String): String = s"CAST(SUM(${dec(c)} * ${dec(c)}) AS DOUBLE)"
+    def sumProdExact(x: String, y: String): String =
+      s"CAST(SUM(${dec(x)} * ${dec(y)}) AS DOUBLE)"
+    def meanOf(s1: String, n: String): String = s"$s1 / CAST($n AS DOUBLE)"
+    def varOf(s1: String, s2: String, n: String): String =
+      s"($s2 - $s1 * $s1 / CAST($n AS DOUBLE)) / (CAST($n AS DOUBLE) - 1.0)"
+    def corrOf(n: String, sx: String, sy: String, sxx: String, syy: String, sxy: String): String = {
+      val nd = s"CAST($n AS DOUBLE)"
+      s"($nd * $sxy - $sx * $sy) / (SQRT($nd * $sxx - $sx * $sx) * SQRT($nd * $syy - $sy * $sy))"
+    }
+  }
+}

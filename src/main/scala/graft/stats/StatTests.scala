@@ -1,0 +1,150 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import Moments._
+
+/** Per-feature hypothesis tests on the long form (ref
+  * `padua/analysis.py`). All group moments are one partial-aggregated
+  * `groupBy(id, group)` pass (map-side combine, single shuffle keyed by
+  * the feature id — the plan that survives 100 TB); closed-form
+  * statistics are then scalar expressions, p-values commons-math3.
+  */
+object StatTests {
+
+  /** Two-sample equal-variance t-test per feature between groups `a`
+    * and `b` (ref analysis.py:467-498 `ttest_ind`, scipy mstats
+    * semantics: NaN-masked = null-skipped here).
+    * Output: idCols..., mean_a, mean_b, n_a, n_b, t, df, p.
+    */
+  def tTestInd(
+      df: DataFrame,
+      idCols: Seq[String],
+      groupCol: String,
+      valueCol: String,
+      a: String,
+      b: String): DataFrame = {
+    val inAB = df.filter(col(groupCol) === a || col(groupCol) === b)
+    val v = col(valueCol)
+    val g = inAB
+      .groupBy(idCols.map(col): _*)
+      .agg(
+        sum(when(col(groupCol) === a, dec(v))).cast("double").as("_s1a"),
+        sum(when(col(groupCol) === a, dec(v) * dec(v))).cast("double").as("_s2a"),
+        count(when(col(groupCol) === a, v)).as("n_a"),
+        sum(when(col(groupCol) === b, dec(v))).cast("double").as("_s1b"),
+        sum(when(col(groupCol) === b, dec(v) * dec(v))).cast("double").as("_s2b"),
+        count(when(col(groupCol) === b, v)).as("n_b"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val ma = meanOf(col("_s1a"), col("n_a"))
+    val mb = meanOf(col("_s1b"), col("n_b"))
+    val va = varOf(col("_s1a"), col("_s2a"), col("n_a"))
+    val vb = varOf(col("_s1b"), col("_s2b"), col("n_b"))
+    // pooled variance (equal-var t-test, scipy default)
+    val dfree = na + nb - lit(2.0)
+    val svar = ((na - 1.0) * va + (nb - 1.0) * vb) / dfree
+    val t = (ma - mb) / sqrt(svar * (lit(1.0) / na + lit(1.0) / nb))
+    g.withColumn("mean_a", ma)
+      .withColumn("mean_b", mb)
+      .withColumn("t", t)
+      .withColumn("df", dfree)
+      .withColumn("p", Distributions.tPValueTwoSided(col("t"), col("df")))
+      .drop("_s1a", "_s2a", "_s1b", "_s2b")
+  }
+
+  /** One-sample t-test vs popmean (default 0) per feature (intended
+    * semantics of ref analysis.py:435-464 `ttest_1samp`, whose body
+    * has an undefined-variable bug — SURVEY §4.1; semantics taken from
+    * visualize.py:557). */
+  def tTest1Samp(
+      df: DataFrame,
+      idCols: Seq[String],
+      valueCol: String,
+      popMean: Double = 0.0): DataFrame = {
+    val v = col(valueCol)
+    val g = df
+      .groupBy(idCols.map(col): _*)
+      .agg(sumExact(v).as("_s1"), sumSqExact(v).as("_s2"), count(v).as("n"))
+    val nd = col("n").cast("double")
+    val m = meanOf(col("_s1"), col("n"))
+    val variance = varOf(col("_s1"), col("_s2"), col("n"))
+    val t = (m - lit(popMean)) / sqrt(variance / nd)
+    g.withColumn("mean", m)
+      .withColumn("t", t)
+      .withColumn("df", nd - lit(1.0))
+      .withColumn("p", Distributions.tPValueTwoSided(col("t"), col("df")))
+      .drop("_s1", "_s2")
+  }
+
+  /** One-way ANOVA per feature across all groups present (ref
+    * analysis.py:387-432 `anova_1way`, masked semantics). The
+    * reference loops rows in Python; here it is two hash aggregations.
+    * Output: idCols..., k, n, f, df1, df2, p.
+    */
+  def anova1Way(
+      df: DataFrame,
+      idCols: Seq[String],
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    val perGroup = df
+      .filter(v.isNotNull)
+      .groupBy((idCols :+ groupCol).map(col): _*)
+      .agg(sumExact(v).as("_s1"), sumSqExact(v).as("_s2"), count(v).as("_n"))
+    val g = perGroup
+      .groupBy(idCols.map(col): _*)
+      .agg(
+        sum(col("_s1")).as("_ts1"),
+        sum(col("_s2")).as("_ts2"),
+        sum(col("_n")).as("n"),
+        count(lit(1)).as("k"),
+        // within-group sum of squares: Σ_g (s2_g - s1_g²/n_g)
+        sum(col("_s2") - col("_s1") * col("_s1") / col("_n").cast("double")).as("_ssw"))
+    val nd = col("n").cast("double")
+    val kd = col("k").cast("double")
+    val sst = col("_ts2") - col("_ts1") * col("_ts1") / nd
+    val ssb = sst - col("_ssw")
+    val df1 = kd - lit(1.0)
+    val df2 = nd - kd
+    val f = (ssb / df1) / (col("_ssw") / df2)
+    g.withColumn("f", f)
+      .withColumn("df1", df1)
+      .withColumn("df2", df2)
+      .withColumn("p", Distributions.fPValueUpper(col("f"), col("df1"), col("df2")))
+      .drop("_ts1", "_ts2", "_ssw")
+  }
+
+  /** Pairwise-complete Pearson correlation matrix between samples (ref
+    * analysis.py:26-48 `correlation`, np.ma.corrcoef semantics:
+    * each pair uses rows where BOTH are observed — differs from
+    * spark.ml's listwise deletion, hence the self-join formulation,
+    * SURVEY §7.4).
+    *
+    * Plan: equi self-join on the feature id (sort-merge at scale; the
+    * join key is the high-cardinality id so it partitions evenly),
+    * then one hash agg per (sample1, sample2). n² sample pairs is
+    * small (samples ≤ 10³) — the OUTPUT is tiny; all heavy work is the
+    * join, which AQE handles.
+    */
+  def correlationMatrix(
+      df: DataFrame,
+      idCols: Seq[String],
+      sampleCol: String,
+      valueCol: String): DataFrame = {
+    val l = df.select((idCols.map(col) :+ col(sampleCol).as("s1") :+ col(valueCol).as("x")): _*)
+      .filter(col("x").isNotNull)
+    val r = df.select((idCols.map(col) :+ col(sampleCol).as("s2") :+ col(valueCol).as("y")): _*)
+      .filter(col("y").isNotNull)
+    l.join(r, idCols)
+      .filter(col("s1") <= col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(
+        count(lit(1)).as("n"),
+        sumExact(col("x")).as("_sx"), sumExact(col("y")).as("_sy"),
+        sumSqExact(col("x")).as("_sxx"), sumSqExact(col("y")).as("_syy"),
+        sumProdExact(col("x"), col("y")).as("_sxy"))
+      .withColumn("r", corrOf(col("n"), col("_sx"), col("_sy"), col("_sxx"), col("_syy"), col("_sxy")))
+      .drop("_sx", "_sy", "_sxx", "_syy", "_sxy")
+  }
+}
