@@ -1,6 +1,230 @@
 package graft.queries
 
-/** Statistics operators (SURVEY §2.10) — filled in incrementally. */
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Reshape
+import graft.stats.{Moments, QValues, StatTests, Volcano}
+import graft.stats.Moments.{Sql => MS}
+
+/** Statistics operators (SURVEY §2.10) on the driver testdata.
+  *
+  * p-values (Student-t / F CDFs) are not expressible in DuckDB SQL, so
+  * oracled queries cover the deterministic statistic (t, F, r, q) and
+  * the full tables including p/significant ship as rows-only queries
+  * backed by ScalaTest golden tests.
+  */
 object StatQueries extends QueryProvider {
-  def all: Seq[Q] = Seq()
+
+  private val decQty = MS.dec("l_quantity")
+  private val decProdQty = MS.decProd("l_quantity", "l_quantity")
+
+  // ---- §2.10 ttest_ind: per-feature two-sample t between groups ----
+  private val qTtest = Q(
+    "q_ttest_ind",
+    (s, d) => StatTests.tTestInd(
+        Tables.lineitem(s, d).select(col("l_suppkey"), col("l_returnflag"), col("l_quantity")),
+        Seq("l_suppkey"), "l_returnflag", "l_quantity", a = "A", b = "R")
+      .filter(col("n_a") >= 2 && col("n_b") >= 2)
+      .drop("p"),
+    Some(s"""
+      WITH g AS (
+        SELECT l_suppkey,
+          CAST(SUM(CASE WHEN l_returnflag = 'A' THEN $decQty END) AS DOUBLE) AS s1a,
+          CAST(SUM(CASE WHEN l_returnflag = 'A' THEN $decProdQty END) AS DOUBLE) AS s2a,
+          CAST(COUNT(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS BIGINT) AS n_a,
+          CAST(SUM(CASE WHEN l_returnflag = 'R' THEN $decQty END) AS DOUBLE) AS s1b,
+          CAST(SUM(CASE WHEN l_returnflag = 'R' THEN $decProdQty END) AS DOUBLE) AS s2b,
+          CAST(COUNT(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS BIGINT) AS n_b
+        FROM lineitem
+        WHERE l_returnflag = 'A' OR l_returnflag = 'R'
+        GROUP BY l_suppkey)
+      SELECT l_suppkey, n_a, n_b,
+        s1a / CAST(n_a AS DOUBLE) AS mean_a,
+        s1b / CAST(n_b AS DOUBLE) AS mean_b,
+        (s1a / CAST(n_a AS DOUBLE) - s1b / CAST(n_b AS DOUBLE))
+          / SQRT((((CAST(n_a AS DOUBLE) - 1.0)
+                     * ((s2a - s1a * s1a / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0))
+                   + (CAST(n_b AS DOUBLE) - 1.0)
+                     * ((s2b - s1b * s1b / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)))
+                  / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0))
+                 * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS t,
+        CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0 AS df
+      FROM g WHERE n_a >= 2 AND n_b >= 2"""))
+
+  // ---- §2.10 anova_1way: F across the three return flags ----
+  // Fixed-group pivoted formulation: all cross-group arithmetic is a
+  // fixed expression tree over exact decimal moments → deterministic
+  // (a fold over per-group doubles would be order-dependent).
+  private def anovaBuild = Q(
+    "q_anova_f",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val dq = Moments.dec(col("l_quantity"))
+      val dq2 = Moments.decProd(col("l_quantity"), col("l_quantity"))
+      val flags = Seq("A" -> "a", "N" -> "n", "R" -> "r")
+      val aggs = flags.flatMap { case (f, sfx) =>
+        Seq(
+          sum(when(col("l_returnflag") === f, dq)).as(s"_s1$sfx"),
+          sum(when(col("l_returnflag") === f, dq2)).as(s"_s2$sfx"),
+          count(when(col("l_returnflag") === f, col("l_quantity"))).as(s"n_$sfx"))
+      }
+      val g = li.groupBy(col("l_suppkey")).agg(aggs.head, aggs.tail: _*)
+      def d1(c: String) = col(c).cast("double")
+      val ts1 = (col("_s1a") + col("_s1n") + col("_s1r")).cast("double")
+      val ts2 = (col("_s2a") + col("_s2n") + col("_s2r")).cast("double")
+      val nTot = (col("n_a") + col("n_n") + col("n_r")).cast("double")
+      def ssw1(sfx: String) =
+        d1(s"_s2$sfx") - d1(s"_s1$sfx") * d1(s"_s1$sfx") / d1(s"n_$sfx")
+      val ssw = ssw1("a") + ssw1("n") + ssw1("r")
+      val sst = ts2 - ts1 * ts1 / nTot
+      val ssb = sst - ssw
+      val df2 = nTot - lit(3.0)
+      val f = (ssb / lit(2.0)) / (ssw / df2)
+      g.filter(col("n_a") >= 2 && col("n_n") >= 2 && col("n_r") >= 2)
+        .withColumn("f", f)
+        .withColumn("df2", df2)
+        .filter(col("f").isNotNull)
+        .select(col("l_suppkey"), col("n_a"), col("n_n"), col("n_r"), col("f"), col("df2"))
+    },
+    Some {
+      val dq = decQty
+      def sd1(f: String) = s"SUM(CASE WHEN l_returnflag = '$f' THEN $dq END)"
+      def sd2(f: String) = s"SUM(CASE WHEN l_returnflag = '$f' THEN $decProdQty END)"
+      def n(f: String) = s"CAST(COUNT(CASE WHEN l_returnflag = '$f' THEN l_quantity END) AS BIGINT)"
+      s"""
+      WITH g AS (
+        SELECT l_suppkey,
+          ${sd1("A")} AS ds1a, ${sd2("A")} AS ds2a, ${n("A")} AS n_a,
+          ${sd1("N")} AS ds1n, ${sd2("N")} AS ds2n, ${n("N")} AS n_n,
+          ${sd1("R")} AS ds1r, ${sd2("R")} AS ds2r, ${n("R")} AS n_r
+        FROM lineitem GROUP BY l_suppkey),
+      h AS (
+        SELECT l_suppkey, n_a, n_n, n_r,
+          CAST(ds1a + ds1n + ds1r AS DOUBLE) AS ts1,
+          CAST(ds2a + ds2n + ds2r AS DOUBLE) AS ts2,
+          CAST(n_a + n_n + n_r AS DOUBLE) AS ntot,
+          (CAST(ds2a AS DOUBLE) - CAST(ds1a AS DOUBLE) * CAST(ds1a AS DOUBLE) / CAST(n_a AS DOUBLE))
+          + (CAST(ds2n AS DOUBLE) - CAST(ds1n AS DOUBLE) * CAST(ds1n AS DOUBLE) / CAST(n_n AS DOUBLE))
+          + (CAST(ds2r AS DOUBLE) - CAST(ds1r AS DOUBLE) * CAST(ds1r AS DOUBLE) / CAST(n_r AS DOUBLE)) AS ssw
+        FROM g WHERE n_a >= 2 AND n_n >= 2 AND n_r >= 2)
+      SELECT l_suppkey, n_a, n_n, n_r,
+        (((ts2 - ts1 * ts1 / ntot) - ssw) / 2.0) / (ssw / (ntot - 3.0)) AS f,
+        ntot - 3.0 AS df2
+      FROM h
+      WHERE (((ts2 - ts1 * ts1 / ntot) - ssw) / 2.0) / (ssw / (ntot - 3.0)) IS NOT NULL"""
+    })
+
+  // ---- §2.10 correlation: pairwise-complete Pearson matrix ----
+  // Long form needs a UNIQUE feature key (the synthetic lineitem
+  // (orderkey, linenumber) is not unique → self-join fan-out); use
+  // embeddings (vec_id unique), correlating the first 4 dimensions.
+  private val corrDims = 4
+  private val qCorr = Q(
+    "q_corr_matrix",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dims = (0 until corrDims).map(i =>
+        col("embedding").getItem(i).cast("double").as(s"dim$i"))
+      val wide = emb.select((col("vec_id") +: dims): _*)
+      val long = Reshape.unpivot(
+        wide, Seq("vec_id"), (0 until corrDims).map(i => s"dim$i"),
+        nameCol = "sample", valueCol = "value")
+      StatTests.correlationMatrix(long, Seq("vec_id"), "sample", "value")
+    },
+    Some {
+      val cte = "WITH w AS (SELECT vec_id, " +
+        (0 until corrDims).map(i => s"CAST(embedding[${i + 1}] AS DOUBLE) AS dim$i")
+          .mkString(", ") + " FROM embeddings)"
+      val names = (0 until corrDims).map(i => s"dim$i")
+      val pairs = for {
+        (a, i) <- names.zipWithIndex
+        b <- names.drop(i)
+      } yield {
+        val r = MS.corrOf("COUNT(1)",
+          MS.sumExact(a), MS.sumExact(b), MS.sumSqExact(a), MS.sumSqExact(b),
+          MS.sumProdExact(a, b))
+        s"""SELECT '$a' AS s1, '$b' AS s2, CAST(COUNT(1) AS BIGINT) AS n, $r AS r
+            FROM w"""
+      }
+      cte + "\n" + pairs.mkString("\nUNION ALL\n")
+    })
+
+  // ---- §2.6 qvalues: BH / Storey machinery (bucketed distributed rank) ----
+  private val qQvalues = Q(
+    "q_qvalues_bh",
+    (s, d) => {
+      val p = Tables.supplier(s, d)
+        .select(col("s_suppkey"), ((col("s_acctbal") + 1000.0) / 11000.0).as("p"))
+      QValues.qvalues(p, "p", qCol = "q", pi0 = 1.0)
+    },
+    Some("""
+      WITH t AS (
+        SELECT s_suppkey, (s_acctbal + 1000.0) / 11000.0 AS p FROM supplier),
+      r AS (
+        SELECT s_suppkey, p,
+          ROW_NUMBER() OVER (ORDER BY p) AS rnk,
+          COUNT(*) OVER () AS m
+        FROM t)
+      SELECT s_suppkey, p,
+        LEAST(MIN(1.0 * CAST(m AS DOUBLE) * p / CAST(rnk AS DOUBLE))
+                OVER (ORDER BY p ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+              1.0) AS q
+      FROM r"""))
+
+  // ---- streaming-shape ops on events (batch forms; see graft.streaming) ----
+  // hourly tumbling window aggregation (ts = nanos-since-epoch long)
+  private val qEventsWindow = Q(
+    "q_events_window",
+    (s, d) => Tables.events(s, d)
+      .withColumn("hour_bucket", expr("ts DIV 3600000000000")) // 1h of nanos
+      .groupBy(col("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Moments.sumExact(col("value")).as("sum_value")),
+    Some(s"""
+      SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+        CAST(COUNT(1) AS BIGINT) AS n,
+        ${MS.sumExact("value")} AS sum_value
+      FROM events GROUP BY 1, 2"""))
+
+  // gap-based sessionization (30 min): lag + running sum windows
+  private val qSessionize = Q(
+    "q_sessionize",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("_gap",
+          when(col("ts") - lag(col("ts"), 1).over(w) > 1800000000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("_gap")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("event_id"), col("user_id"), col("session_id"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT event_id, user_id, ts,
+          CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts), 1)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000000
+               THEN 1 ELSE 0 END AS gap
+        FROM events)
+      SELECT event_id, user_id,
+        SUM(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g"""))
+
+  // ---- full volcano with p + s0 classification (rows-only: t CDF
+  //      is commons-math3, not DuckDB-expressible; covered by specs) ----
+  private val qVolcano = Q(
+    "q_volcano",
+    (s, d) => {
+      val long = Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("A", "R"))
+        .select(col("l_partkey").as("id"), col("l_returnflag").as("group"),
+          log2(col("l_extendedprice")).as("value"))
+      Volcano.twoSample(long, Seq("id"), "group", "value",
+        control = "A", comparison = "R", minValidN = 2,
+        s0 = 0.1, minRatio = 0.1, minP = 0.5)
+    },
+    None)
+
+  def all: Seq[Q] = Seq(qTtest, anovaBuild, qCorr, qQvalues, qEventsWindow, qSessionize, qVolcano)
 }

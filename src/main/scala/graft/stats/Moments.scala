@@ -26,14 +26,21 @@ object Moments {
     * engine-independent.) */
   def dec(c: Column): Column = c.cast("decimal(15,6)")
 
+  /** Decimal image of a double PRODUCT. The product is computed in
+    * double (IEEE-identical everywhere) then rounded to a decimal at
+    * scale 10 — deterministic in both engines, and avoids decimal×
+    * decimal, whose int64 physical storage overflows in DuckDB for
+    * values ≥ ~1e4 (e.g. extendedprice²). */
+  def decProd(x: Column, y: Column): Column = (x * y).cast("decimal(28,10)")
+
   /** Exact sum as double (deterministic). */
   def sumExact(c: Column): Column = sum(dec(c)).cast("double")
 
-  /** Exact sum of squares as double (deterministic). */
-  def sumSqExact(c: Column): Column = sum(dec(c) * dec(c)).cast("double")
+  /** Deterministic sum of squares as double. */
+  def sumSqExact(c: Column): Column = sum(decProd(c, c)).cast("double")
 
-  /** Exact sum of products as double (deterministic). */
-  def sumProdExact(x: Column, y: Column): Column = sum(dec(x) * dec(y)).cast("double")
+  /** Deterministic sum of products as double. */
+  def sumProdExact(x: Column, y: Column): Column = sum(decProd(x, y)).cast("double")
 
   /** Mean from exact sum: s1/n (deterministic double). */
   def meanOf(s1: Column, n: Column): Column = s1 / n.cast("double")
@@ -56,10 +63,11 @@ object Moments {
     * structurally identical (bitwise parity depends on it). */
   object Sql {
     def dec(c: String): String = s"CAST($c AS DECIMAL(15,6))"
+    def decProd(x: String, y: String): String = s"CAST(($x) * ($y) AS DECIMAL(28,10))"
     def sumExact(c: String): String = s"CAST(SUM(${dec(c)}) AS DOUBLE)"
-    def sumSqExact(c: String): String = s"CAST(SUM(${dec(c)} * ${dec(c)}) AS DOUBLE)"
+    def sumSqExact(c: String): String = s"CAST(SUM(${decProd(c, c)}) AS DOUBLE)"
     def sumProdExact(x: String, y: String): String =
-      s"CAST(SUM(${dec(x)} * ${dec(y)}) AS DOUBLE)"
+      s"CAST(SUM(${decProd(x, y)}) AS DOUBLE)"
     def meanOf(s1: String, n: String): String = s"$s1 / CAST($n AS DOUBLE)"
     def varOf(s1: String, s2: String, n: String): String =
       s"($s2 - $s1 * $s1 / CAST($n AS DOUBLE)) / (CAST($n AS DOUBLE) - 1.0)"

@@ -30,10 +30,10 @@ object StatTests {
       .groupBy(idCols.map(col): _*)
       .agg(
         sum(when(col(groupCol) === a, dec(v))).cast("double").as("_s1a"),
-        sum(when(col(groupCol) === a, dec(v) * dec(v))).cast("double").as("_s2a"),
+        sum(when(col(groupCol) === a, decProd(v, v))).cast("double").as("_s2a"),
         count(when(col(groupCol) === a, v)).as("n_a"),
         sum(when(col(groupCol) === b, dec(v))).cast("double").as("_s1b"),
-        sum(when(col(groupCol) === b, dec(v) * dec(v))).cast("double").as("_s2b"),
+        sum(when(col(groupCol) === b, decProd(v, v))).cast("double").as("_s2b"),
         count(when(col(groupCol) === b, v)).as("n_b"))
     val na = col("n_a").cast("double")
     val nb = col("n_b").cast("double")
