@@ -1,6 +1,176 @@
 package graft.queries
 
-/** Training-data pipeline operators (dedup, similarity, text analysis). */
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.{Dedup, TextAnalysis}
+import graft.sim.Similarity
+
+/** Training-data pipeline operators (dedup, similarity search, text
+  * analysis) over the documents/embeddings tables.
+  */
 object TextQueries extends QueryProvider {
-  def all: Seq[Q] = Seq()
+
+  // ---- exact dedup by content hash ----
+  private val qDedupExact = Q(
+    "q_dedup_exact",
+    (s, d) => Dedup.exactByContent(Tables.documents(s, d), "text", "doc_id"),
+    Some("""
+      SELECT md5(text) AS content_hash,
+             CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+             CAST(COUNT(1) AS BIGINT) AS n_copies
+      FROM documents GROUP BY md5(text)"""))
+
+  // ---- md5 fingerprint ----
+  private val qFingerprint = Q(
+    "q_fingerprint",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint")),
+    Some("SELECT doc_id, substr(md5(text), 1, 16) AS fingerprint FROM documents"))
+
+  // ---- token counting: whitespace + BPE-ish ----
+  private val qTokens = Q(
+    "q_token_count",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.tokenCountWhitespace(col("text")).as("n_tokens"),
+      TextAnalysis.tokenCountBpeIsh(col("text")).as("n_tokens_bpe")),
+    Some("""
+      SELECT doc_id,
+        CAST(CASE WHEN LENGTH(text) = 0 THEN 0
+                  ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END AS BIGINT) AS n_tokens,
+        CAST(list_aggregate(
+          list_transform(string_split(text, ' '),
+            w -> GREATEST(CAST(CEIL(CAST(LENGTH(w) AS DOUBLE) / 4.0) AS BIGINT), 1)),
+          'sum') AS BIGINT) AS n_tokens_bpe
+      FROM documents"""))
+
+  // ---- quality scoring (length/punct/digit/word-shape heuristics) ----
+  private val qQuality = Q(
+    "q_quality_score",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+          CAST(LENGTH(text) AS DOUBLE) AS len,
+          CAST(CAST(CASE WHEN LENGTH(text) = 0 THEN 0
+                ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END AS BIGINT) AS DOUBLE) AS toks,
+          CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS DOUBLE) AS punct,
+          CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits
+        FROM documents)
+      SELECT doc_id,
+        (CASE WHEN len >= 50 AND len <= 10000 THEN 1.0
+              WHEN len < 50 THEN len / 50.0
+              ELSE 10000.0 / len END
+         * CASE WHEN (CASE WHEN toks > 0 THEN len / toks ELSE 0.0 END) >= 3.0
+                 AND (CASE WHEN toks > 0 THEN len / toks ELSE 0.0 END) <= 12.0
+                THEN 1.0 ELSE 0.5 END
+         * (1.0 - CASE WHEN len > 0 THEN punct / len ELSE 0.0 END)
+         * (1.0 - CASE WHEN len > 0 THEN digits / len ELSE 0.0 END)) AS quality
+      FROM t"""))
+
+  // ---- language ID by stopword vote ----
+  private val qLangId = Q(
+    "q_lang_id",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      TextAnalysis.langId(col("text")).as("predicted")),
+    Some {
+      // per-language occurrence scores, alphabetical tie-break
+      def cnt(w: String): String = {
+        val esc = w.replace("'", "''")
+        s"CAST((LENGTH(p) - LENGTH(REPLACE(p, '$esc', ''))) / ${w.length} AS BIGINT)"
+      }
+      val langs = TextAnalysis.stopwords.toSeq.sortBy(_._1)
+      val scores = langs.map { case (l, ws) =>
+        ws.map(cnt).mkString(" + ") + s" AS s_$l"
+      }
+      val g = langs.map { case (l, _) => s"s_$l" }.mkString("GREATEST(", ", ", ")")
+      val cases = langs.map { case (l, _) => s"WHEN s_$l = g THEN '$l'" }.mkString(" ")
+      s"""
+      WITH p0 AS (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents),
+      sc AS (SELECT doc_id, lang, ${scores.mkString(", ")} FROM p0),
+      gg AS (SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh, $g AS g FROM sc)
+      SELECT doc_id, lang, CASE WHEN g = 0 THEN 'und' $cases END AS predicted
+      FROM gg"""
+    })
+
+  // ---- exact word-set Jaccard on blocked pairs (consecutive ids) ----
+  private val qJaccard = Q(
+    "q_jaccard_pairs",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = docs.select(col("doc_id").as("id_a"))
+        .join(docs.select(col("doc_id").as("id_b")),
+          col("id_b") === col("id_a") + 1)
+      Dedup.wordJaccard(docs, pairs, "doc_id", "text")
+    },
+    Some("""
+      WITH words AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents),
+      sizes AS (SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS sz FROM words GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+      inter AS (
+        SELECT wa.doc_id AS id_a, wb.doc_id AS id_b, CAST(COUNT(1) AS BIGINT) AS i
+        FROM words wa JOIN words wb ON wa.w = wb.w AND wb.doc_id = wa.doc_id + 1
+        GROUP BY 1, 2)
+      SELECT p.id_a, p.id_b,
+        CAST(COALESCE(i.i, 0) AS DOUBLE)
+          / CAST(sa.sz + sb.sz - COALESCE(i.i, 0) AS DOUBLE) AS jaccard
+      FROM pairs p
+      LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+      JOIN sizes sa ON sa.doc_id = p.id_a
+      JOIN sizes sb ON sb.doc_id = p.id_b"""))
+
+  // ---- ANN: brute-force cosine top-k vs vec_id=0 (left-fold dot) ----
+  private val qAnn = Q(
+    "q_ann_cosine_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(transform(col("embedding"), _.cast("double")).as("q"))
+        .head().getSeq[Double](0).toArray
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 20)
+    },
+    Some("""
+      WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT vec_id,
+        list_reduce(list_transform(list_zip(v, qv), p -> p[1] * p[2]), (a, b) -> a + b)
+          / (SQRT(list_reduce(list_transform(list_zip(v, v), p -> p[1] * p[2]), (a, b) -> a + b))
+             * SQRT(list_reduce(list_transform(list_zip(qv, qv), p -> p[1] * p[2]), (a, b) -> a + b)))
+          AS cosine
+      FROM e, q
+      ORDER BY cosine DESC, vec_id
+      LIMIT 20"""))
+
+  // ---- MinHash signatures + LSH candidates + SimHash (xxhash64-based:
+  //      not DuckDB-expressible → rows-only; pair-detection is covered
+  //      by DedupSpec on synthetic near-dups) ----
+  private val qMinhash = Q(
+    "q_minhash_signatures",
+    (s, d) => Dedup.minHashSignatures(Tables.documents(s, d), "doc_id", "text"),
+    None)
+
+  private val qSimhash = Q(
+    "q_simhash",
+    (s, d) => Dedup.simHash(Tables.documents(s, d), "doc_id", "text"),
+    None)
+
+  private val qLshPairs = Q(
+    "q_embedding_neardup_pairs",
+    // threshold low enough that the synthetic corpus yields pairs;
+    // exercises bucketing + verify-join. rows-only (LSH hash not in SQL).
+    (s, d) => Similarity.cosineNearDupPairs(
+      Tables.embeddings(s, d), "vec_id", "embedding", dim = 64,
+      threshold = 0.2, numPlanes = 4),
+    None)
+
+  def all: Seq[Q] = Seq(
+    qDedupExact, qFingerprint, qTokens, qQuality, qLangId, qJaccard, qAnn,
+    qMinhash, qSimhash, qLshPairs)
 }

@@ -1,0 +1,128 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora (north-star
+  * extension surface, BASELINE.json). All formulations are
+  * shuffle-minimal: signatures are computed in one narrow pass per
+  * document; candidate generation shuffles only (band, signature)
+  * pairs, never full texts.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest id per content hash. One hash-groupBy
+    * shuffle on the 128-bit digest (uniform keys — no skew at 100 TB);
+    * only (digest, id) pairs shuffle, not the documents. */
+  def exactByContent(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(md5(col(textCol).cast("binary")).as("content_hash"), col(idCol))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word n-gram shingles as an array column (distinct). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    if (n == 1) array_distinct(words)
+    else array_distinct(
+      filter(
+        transform(words, (_, i) => concat_ws(" ", slice(words, i + 1, lit(n)))),
+        s => size(split(s, " ")) === n))
+  }
+
+  /** MinHash signature: k independent min-hashes over the shingle set.
+    * hash_i(s) = xxhash64(i, s) — deterministic, seedable, codegen'd.
+    * One explode + one groupBy(id) with k min() aggregates (all
+    * map-side combined; the shuffle carries k longs per doc). */
+  def minHashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, shingleSize: Int = 3): DataFrame = {
+    val exploded = df.select(
+      col(idCol),
+      explode(wordShingles(col(textCol), shingleSize)).as("_shingle"))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("_shingle"))).as(s"mh_$i"))
+    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding over minhash signatures → candidate near-dup pairs.
+    * Signatures are split into `bands` bands of `rows` hashes; docs
+    * sharing any band-hash become candidates (classic MinHash-LSH:
+    * P(candidate) = 1-(1-j^rows)^bands). The band join shuffles only
+    * (band_idx, band_hash, id) triples; the equi-join key
+    * (band_idx, band_hash) is uniform → no skew. */
+  def minHashCandidatePairs(
+      signatures: DataFrame, idCol: String,
+      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh_$i"))
+      struct(lit(b).as("band_idx"), xxhash64(cols: _*).as("band_hash"))
+    }
+    val banded = signatures
+      .select(col(idCol), explode(array(bandCols: _*)).as("band"))
+      .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
+    val l = banded.withColumnRenamed(idCol, "id_a")
+    val r = banded.withColumnRenamed(idCol, "id_b")
+    l.join(r, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Estimated jaccard from signatures for candidate pairs: fraction of
+    * agreeing minhashes. */
+  def minHashJaccard(
+      candidates: DataFrame, signatures: DataFrame, idCol: String,
+      numHashes: Int = 32): DataFrame = {
+    val sigA = signatures.toDF(signatures.columns.map(c =>
+      if (c == idCol) "id_a" else s"a_$c").toIndexedSeq: _*)
+    val sigB = signatures.toDF(signatures.columns.map(c =>
+      if (c == idCol) "id_b" else s"b_$c").toIndexedSeq: _*)
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"a_mh_$i") === col(s"b_mh_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    candidates.join(sigA, "id_a").join(sigB, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (agree.cast("double") / numHashes).as("est_jaccard"))
+  }
+
+  /** 63-bit SimHash per document: sign-sum of token-hash bits. One
+    * explode + 63 conditional sums (single agg pass); bits packed into
+    * a non-negative long (bit 63 left clear — avoids sign/overflow
+    * divergence between engines). */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df.select(col(idCol), explode(split(col(textCol), " ")).as("_tok"))
+      .withColumn("_h", xxhash64(col("_tok")))
+    val bitSums = (0 until 63).map { b =>
+      sum(when(shiftright(col("_h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"_b$b")
+    }
+    val agg = exploded.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val packed = (0 until 63)
+      .map(b => when(col(s"_b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+      .reduce(_ + _)
+    agg.select(col(idCol), packed.as("simhash"))
+  }
+
+  /** Exact word-set Jaccard for given candidate pairs (verification
+    * stage after blocking): explode distinct words once, self-join on
+    * word within pairs. `pairs` must be pre-blocked (LSH/banding) —
+    * this never computes all-pairs. */
+  def wordJaccard(
+      df: DataFrame, pairs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(col(idCol),
+      explode(array_distinct(split(col(textCol), " "))).as("_w"))
+    val sizes = words.groupBy(col(idCol)).agg(count(lit(1)).as("_sz"))
+    val wA = words.select(col(idCol).as("id_a"), col("_w"))
+    val wB = words.select(col(idCol).as("id_b"), col("_w"))
+    val inter = pairs.join(wA, "id_a").join(wB, Seq("id_b", "_w"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("_inter"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.withColumnsRenamed(Map(idCol -> "id_a", "_sz" -> "_sza")), "id_a")
+      .join(sizes.withColumnsRenamed(Map(idCol -> "id_b", "_sz" -> "_szb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (coalesce(col("_inter"), lit(0L)).cast("double") /
+          (col("_sza") + col("_szb") - coalesce(col("_inter"), lit(0L))).cast("double"))
+          .as("jaccard"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-quality / language-ID / token-count operators (north-star
+  * training-data surface). All pure Column expressions — codegen'd,
+  * no UDFs, fully pushdown-friendly.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count via length arithmetic (engine-portable:
+    * identical in Spark and any SQL oracle):
+    * tokens = 1 + (#spaces) for non-empty text. */
+  def tokenCountWhitespace(text: Column): Column =
+    when(length(text) === 0, 0L)
+      .otherwise(length(text) - length(regexp_replace(text, " ", "")) + lit(1))
+      .cast("long")
+
+  /** BPE-ish subword count heuristic: words plus extra tokens for every
+    * 4 chars beyond the first 4 of each word (public rule of thumb:
+    * ~4 chars/token). ceil(len/4) summed over words, computed with
+    * aggregate() over the split array. */
+  def tokenCountBpeIsh(text: Column): Column =
+    aggregate(
+      split(text, " "),
+      lit(0L),
+      (acc, w) => acc + greatest(ceil(length(w).cast("double") / 4.0).cast("long"), lit(1L)))
+
+  /** Character classes for quality scoring. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\.,;:!\\?]", ""))
+  def digitCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[0-9]", ""))
+  def upperCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[A-Z]", ""))
+
+  /** Heuristic quality score in [0,1]: penalize extreme length, high
+    * punct/digit density, low word diversity. Weights are fixed
+    * constants; the score is a deterministic arithmetic expression. */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val toks = tokenCountWhitespace(text).cast("double")
+    val avgWord = when(toks > 0, len / toks).otherwise(lit(0.0))
+    val punctR = when(len > 0, punctCount(text).cast("double") / len).otherwise(lit(0.0))
+    val digitR = when(len > 0, digitCount(text).cast("double") / len).otherwise(lit(0.0))
+    val lenScore = when(len >= 50 && len <= 10000, lit(1.0))
+      .when(len < 50, len / 50.0)
+      .otherwise(lit(10000.0) / len)
+    val wordScore = when(avgWord >= 3.0 && avgWord <= 12.0, lit(1.0)).otherwise(lit(0.5))
+    lenScore * wordScore * (lit(1.0) - punctR) * (lit(1.0) - digitR)
+  }
+
+  /** Stopword lists for the n-gram/stopword language-ID heuristic —
+    * small public function-word sets per language. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of ", " to ", " in "),
+    "de" -> Seq(" der ", " und ", " die ", " das ", " ist "),
+    "fr" -> Seq(" le ", " la ", " et ", " les ", " des "),
+    "es" -> Seq(" el ", " los ", " las ", " una ", " y "),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Count occurrences of a literal substring (portable: length
+    * difference after replace, divided by pattern length). */
+  def substrCount(text: Column, sub: String): Column =
+    ((length(text) - length(replace(text, lit(sub), lit("")))) / sub.length).cast("long")
+
+  /** Language-ID by stopword vote: score each language by summed
+    * stopword occurrences in the padded text; argmax with
+    * deterministic (alphabetical) tie-break; 'und' (undetermined) when
+    * all scores are zero. */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val score = words.map(w => substrCount(padded, w)).reduce(_ + _)
+      struct(score.as("score"), lit(lang).as("lang"))
+    }
+    // array_max on (score, lang) structs orders by score then lang —
+    // but we need ties to pick the ALPHABETICALLY FIRST lang, so order
+    // by (score, negated-rank) instead: precompute rank by index.
+    val ranked = scored.zipWithIndex.map { case (s, i) =>
+      struct(s.getField("score").as("score"), lit(-i).as("nrank"), s.getField("lang").as("lang"))
+    }
+    val best = array_max(array(ranked: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: first 16 hex chars of md5 (content-stable,
+    * engine-portable). For a rolling/locality-sensitive fingerprint see
+    * Dedup.simHash. */
+  def fingerprint(text: Column): Column =
+    substring(md5(text.cast("binary")), 1, 16)
+}
