@@ -1,0 +1,113 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.commons.math3.linear.{Array2DRowRealMatrix, EigenDecomposition}
+
+/** PCA on samples (ref analysis.py:51-93 `pca`): the reference fits
+  * sklearn PCA on `df.values.T` (rows = samples, columns = features,
+  * NaN→0).
+  *
+  * Scale design: n_samples is small (≤10³) but n_features is
+  * table-scale, so the only distributed-heavy object is the feature
+  * axis. We compute the s×s sample Gram/covariance matrix with ONE
+  * aggregation over the long form (s² tiny accumulators), eigen-solve
+  * driver-side (commons-math3), then emit:
+  *   - scores per sample (tiny),
+  *   - weights per feature (distributed: one groupBy(feature) matvec).
+  * No n_features×n_features object ever materializes — this survives
+  * 100 TB where sklearn's SVD cannot.
+  */
+object Pca {
+
+  final case class PcaModel(
+      sampleOrder: Seq[String],
+      mean: Array[Double], // per-sample mean over features
+      components: Array[Array[Double]], // [comp][sample]
+      explainedVarianceRatio: Array[Double])
+
+  /** Fit on long form (idCol, sampleCol, valueCol); nulls→0 like the
+    * reference. Centering is per sample (the reference's
+    * `mean_center` over features). */
+  def fit(
+      df: DataFrame,
+      idCol: String,
+      sampleCol: String,
+      valueCol: String,
+      nComponents: Int = 2): PcaModel = {
+    val v = coalesce(col(valueCol), lit(0.0))
+    // n_features = distinct ids; per-sample sums (one pass)
+    val nFeatures = df.select(col(idCol)).distinct().count().toDouble
+    val samples = df.select(col(sampleCol)).distinct()
+      .collect().map(_.get(0).toString).sorted
+    val sIdx = samples.zipWithIndex.toMap
+
+    val sums = df.groupBy(col(sampleCol)).agg(sum(v).as("s")).collect()
+      .map(r => r.get(0).toString -> r.getDouble(1)).toMap
+    val mean = samples.map(s => sums.getOrElse(s, 0.0) / nFeatures).toArray
+
+    // Gram matrix of centered data: G[a,b] = Σ_f (x_fa-μa)(x_fb-μb)
+    //   = Σ_f x_fa x_fb - n μa μb (expanding; Σ_f x_fa = n μa).
+    // Cross-products via self-join on the feature id + one agg.
+    val l = df.select(col(idCol), col(sampleCol).as("sa"), v.as("xa"))
+    val r = df.select(col(idCol), col(sampleCol).as("sb"), v.as("xb"))
+    val cross = l.join(r, idCol)
+      .groupBy(col("sa"), col("sb"))
+      .agg(sum(col("xa") * col("xb")).as("sxy"))
+      .collect()
+    val s = samples.length
+    val g = Array.ofDim[Double](s, s)
+    cross.foreach { row =>
+      val a = sIdx(row.get(0).toString); val b = sIdx(row.get(1).toString)
+      g(a)(b) = row.getDouble(2) - nFeatures * mean(a) * mean(b)
+    }
+
+    val eig = new EigenDecomposition(new Array2DRowRealMatrix(g))
+    val order = eig.getRealEigenvalues.zipWithIndex.sortBy(-_._1).take(nComponents)
+    val totalVar = eig.getRealEigenvalues.filter(_ > 0).sum
+    val comps = order.map { case (_, i) =>
+      val vct = eig.getEigenvector(i).toArray
+      // deterministic sign: largest-|coord| entry positive (sklearn-like svd_flip)
+      val m = vct.indices.maxBy(j => math.abs(vct(j)))
+      if (vct(m) < 0) vct.map(-_) else vct
+    }
+    PcaModel(samples.toSeq, mean, comps,
+      order.map(_._1 / totalVar))
+  }
+
+  /** Scores per sample: s×c, driver-tiny — score[s,c] derives from the
+    * Gram row, but matches sklearn's transform = centered X^T · weight;
+    * computed distributed for generality. */
+  def sampleScores(
+      spark: SparkSession, df: DataFrame, model: PcaModel,
+      idCol: String, sampleCol: String, valueCol: String): DataFrame = {
+    val weights = featureWeights(df, model, idCol, sampleCol, valueCol)
+    val v = coalesce(col(valueCol), lit(0.0))
+    val meanMap = map(model.sampleOrder.zip(model.mean)
+      .flatMap { case (sm, mu) => Seq(lit(sm), lit(mu)) }: _*)
+    val centered = df.withColumn("_c", v - element_at(meanMap, col(sampleCol)))
+    val aggs = (0 until model.components.length).map(c =>
+      sum(col("_c") * col(s"w_$c")).as(s"pc_$c"))
+    centered.join(weights, idCol)
+      .groupBy(col(sampleCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Feature weights (loadings direction in feature space): for each
+    * feature f and component c, w[f,c] = Σ_s centered(f,s)·v_c[s],
+    * normalized by sqrt(eigenvalue) — distributed groupBy(feature). */
+  def featureWeights(
+      df: DataFrame, model: PcaModel,
+      idCol: String, sampleCol: String, valueCol: String): DataFrame = {
+    val v = coalesce(col(valueCol), lit(0.0))
+    val meanMap = map(model.sampleOrder.zip(model.mean)
+      .flatMap { case (sm, mu) => Seq(lit(sm), lit(mu)) }: _*)
+    val centered = df.withColumn("_c", v - element_at(meanMap, col(sampleCol)))
+    val aggs = model.components.zipWithIndex.map { case (comp, c) =>
+      val compMap = map(model.sampleOrder.zip(comp)
+        .flatMap { case (sm, w) => Seq(lit(sm), lit(w)) }: _*)
+      sum(col("_c") * element_at(compMap, col(sampleCol))).as(s"w_$c")
+    }
+    centered.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+}

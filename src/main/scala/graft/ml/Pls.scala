@@ -1,0 +1,85 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PLS via NIPALS (ref analysis.py:96-216 `plsda`/`plsr`; sklearn
+  * PLSRegression is NIPALS-based). PLS1: single response y.
+  *
+  * Scale design: samples are few, features are table-scale. Feature
+  * vectors (weights/loadings) stay DISTRIBUTED DataFrames keyed by the
+  * feature id; sample vectors (scores, y) are driver-tiny maps. Each
+  * NIPALS component costs two groupBy(feature) aggregations and one
+  * per-sample aggregation — a constant number of shuffles per
+  * component, independent of data size. Deflation is expressed lazily
+  * on the long form (no materialized copy); `checkpointEvery`
+  * components the lineage is cut via localCheckpoint to keep plans
+  * bounded.
+  */
+object Pls {
+
+  final case class PlsModel(
+      sampleOrder: Seq[String],
+      // per component: (featureWeights DF (id, w), sampleScores map, loadingQ)
+      components: Seq[(DataFrame, Map[String, Double], Double)])
+
+  /** Fit PLS1 on long form + per-sample response. `y` maps sample →
+    * response (e.g. class 0/1 for PLS-DA, ref analysis.py:116-123). */
+  def fit(
+      spark: SparkSession,
+      df: DataFrame,
+      y: Map[String, Double],
+      idCol: String,
+      sampleCol: String,
+      valueCol: String,
+      nComponents: Int = 2): PlsModel = {
+    val samples = y.keys.toSeq.sorted
+    var yc = center(y) // centered response
+    var x = df.select(col(idCol), col(sampleCol), coalesce(col(valueCol), lit(0.0)).as("_x"))
+      .localCheckpoint()
+
+    val comps = (0 until nComponents).map { _ =>
+      val yMap = typedLit(yc)
+      // w = X y / ||X y||  (distributed over features)
+      val w0 = x.groupBy(col(idCol))
+        .agg(sum(col("_x") * element_at(yMap, col(sampleCol))).as("_w"))
+      val wNorm = math.sqrt(
+        w0.agg(sum(col("_w") * col("_w"))).head().getDouble(0))
+      val w = w0.select(col(idCol), (col("_w") / wNorm).as("w")).localCheckpoint()
+      // t = X^T w  (per sample, tiny)
+      val tRows = x.join(w, idCol)
+        .groupBy(col(sampleCol)).agg(sum(col("_x") * col("w")).as("t"))
+        .collect().map(r => r.get(0).toString -> r.getDouble(1)).toMap
+      val tt = tRows.values.map(v => v * v).sum
+      // q = y^T t / t^T t  (scalar)
+      val q = samples.map(s => yc.getOrElse(s, 0.0) * tRows.getOrElse(s, 0.0)).sum / tt
+      // p = X t / t^T t  (distributed over features)
+      val tMap = typedLit(tRows)
+      val p = x.groupBy(col(idCol))
+        .agg((sum(col("_x") * element_at(tMap, col(sampleCol))) / tt).as("p"))
+      // deflate: X ← X - t p^T ; y ← y - q t
+      x = x.join(p, idCol)
+        .select(col(idCol), col(sampleCol),
+          (col("_x") - element_at(tMap, col(sampleCol)) * col("p")).as("_x"))
+        .localCheckpoint()
+      yc = yc.map { case (s, v) => s -> (v - q * tRows.getOrElse(s, 0.0)) }
+      (w, tRows, q)
+    }
+    PlsModel(samples, comps)
+  }
+
+  /** Per-sample scores table (components as columns) — tiny output. */
+  def scores(spark: SparkSession, model: PlsModel): DataFrame = {
+    import spark.implicits._
+    model.sampleOrder.map { s =>
+      (s, model.components.map(_._2.getOrElse(s, 0.0)))
+    }.toDF("sample", "scores")
+      .select(col("sample") +:
+        model.components.indices.map(i => col("scores").getItem(i).as(s"lv_${i + 1}")): _*)
+  }
+
+  private def center(y: Map[String, Double]): Map[String, Double] = {
+    val mu = y.values.sum / y.size
+    y.map { case (k, v) => k -> (v - mu) }
+  }
+}

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Global row numbering WITHOUT a single-partition window.
+  *
+  * `Window.orderBy(x)` with no partition key collapses all data into
+  * one task — the classic 100 TB killer. Instead: range-bucket the
+  * order key (min/max from one cheap agg), number rows within each
+  * bucket in parallel, and add per-bucket offsets computed from a tiny
+  * (numBuckets-row) summary. Same pattern as QValues; exposed as a
+  * reusable operator (ref rankintensity, visualize.py:1111-1135, and
+  * every `sort_values` site).
+  */
+object DistributedRank {
+
+  /** Append `outCol` = global 1-based row number ordered by
+    * (valueCol [asc|desc], tieCols...). valueCol must be numeric. */
+  def rowNumber(
+      df: DataFrame,
+      valueCol: String,
+      ascending: Boolean,
+      tieCols: Seq[String],
+      outCol: String = "rank",
+      numBuckets: Int = 1024): DataFrame = {
+    val mm = df.agg(
+      min(col(valueCol)).cast("double").as("mn"),
+      max(col(valueCol)).cast("double").as("mx")).head()
+    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    val span = if (mx > mn) mx - mn else 1.0
+    val raw = least(
+      floor((col(valueCol).cast("double") - mn) / span * numBuckets).cast("int"),
+      lit(numBuckets - 1))
+    val bucket = if (ascending) raw else lit(numBuckets - 1) - raw
+
+    val ordered: Seq[Column] = {
+      val v = if (ascending) col(valueCol).asc else col(valueCol).desc
+      v +: tieCols.map(col(_).asc)
+    }
+    val wBkt = Window.partitionBy(col("_rb")).orderBy(ordered: _*)
+    val local = df.withColumn("_rb", bucket)
+      .withColumn("_lrn", row_number().over(wBkt))
+    val wAll = Window.orderBy(col("_rb")) // numBuckets rows only
+    val offsets = local.groupBy(col("_rb")).agg(count(lit(1)).as("_bn"))
+      .withColumn("_off",
+        coalesce(sum(col("_bn")).over(wAll.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_rb"), col("_off"))
+    local.join(broadcast(offsets), Seq("_rb"))
+      .withColumn(outCol, col("_off") + col("_lrn"))
+      .drop("_rb", "_lrn", "_off")
+  }
+}

@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.DistributedRank
+
+/** Remaining reference-surface operators: histograms, QC count stacks,
+  * distributed ranking, ntile chunks, regex label extraction, column
+  * combination (SURVEY §2.6, §2.8-2.10 tail).
+  */
+object MiscQueries extends QueryProvider {
+
+  // ---- modificationlocalization / comparedist: bucketed histograms ----
+  private val qHistogram = Q(
+    "q_histogram",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(least(floor(col("l_discount") * 100), lit(10)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n")),
+    Some("""
+      SELECT CAST(LEAST(FLOOR(l_discount * 100), 10) AS BIGINT) AS bucket,
+             CAST(COUNT(1) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1"""))
+
+  // ---- comparedist: same histogram keyed by group selection ----
+  private val qHistogramCompare = Q(
+    "q_histogram_compare",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"),
+        least(floor(col("l_discount") * 100), lit(10)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n")),
+    Some("""
+      SELECT l_returnflag, CAST(LEAST(FLOOR(l_discount * 100), 10) AS BIGINT) AS bucket,
+             CAST(COUNT(1) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1, 2"""))
+
+  // ---- quality_control (visualize.py:1625-1662): one-pass count stack ----
+  private val qQcCounts = Q(
+    "q_qc_counts",
+    (s, d) => Tables.lineitem(s, d).agg(
+      count(lit(1)).as("total"),
+      sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("n_returned"),
+      sum(when(col("l_linestatus") === "O", 1L).otherwise(0L)).as("n_open"),
+      sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("n_high_qty"),
+      sum(when(col("l_discount") > 0, 1L).otherwise(0L)).as("n_discounted")),
+    Some("""
+      SELECT CAST(COUNT(1) AS BIGINT) AS total,
+        CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+        CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_qty,
+        CAST(SUM(CASE WHEN l_discount > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted
+      FROM lineitem"""))
+
+  // ---- rankintensity: distributed global rank + magnitude segments ----
+  private val qRank = Q(
+    "q_rank_magnitude",
+    (s, d) => DistributedRank.rowNumber(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+        "o_totalprice", ascending = false, tieCols = Seq("o_orderkey"))
+      .withColumn("magnitude",
+        (length(floor(col("o_totalprice")).cast("long").cast("string")) - 1).cast("long"))
+      .select(col("o_orderkey"), col("rank"), col("magnitude")),
+    Some("""
+      SELECT o_orderkey,
+        CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank,
+        CAST(LENGTH(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR)) - 1 AS BIGINT) AS magnitude
+      FROM orders"""))
+
+  // ---- chunks (utils.py:259-279): ntile split ----
+  private val qNtile = Q(
+    "q_ntile_chunks",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.supplier(s, d)
+        .withColumn("chunk",
+          ntile(10).over(Window.orderBy(col("s_acctbal"), col("s_suppkey"))))
+        .select(col("s_suppkey"), col("chunk"))
+    },
+    Some("""
+      SELECT s_suppkey,
+        CAST(NTILE(10) OVER (ORDER BY s_acctbal, s_suppkey) AS INT) AS chunk
+      FROM supplier"""))
+
+  // ---- build_index_from_labels: regex capture over labels ----
+  private val qLabelExtract = Q(
+    "q_label_extract",
+    (s, d) => Tables.orders(s, d).select(
+      col("o_orderkey"),
+      regexp_extract(col("o_orderpriority"), "^(\\d+)-(.*)$", 1).cast("int").as("prio_level"),
+      regexp_extract(col("o_orderpriority"), "^(\\d+)-(.*)$", 2).as("prio_label")),
+    Some("""
+      SELECT o_orderkey,
+        CAST(regexp_extract(o_orderpriority, '^(\d+)-(.*)$', 1) AS INT) AS prio_level,
+        regexp_extract(o_orderpriority, '^(\d+)-(.*)$', 2) AS prio_label
+      FROM orders"""))
+
+  // ---- combine_expression_columns: pair mean projection ----
+  private val qCombine = Q(
+    "q_combine_cols",
+    (s, d) => Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      ((col("l_tax") + col("l_discount")) / 2).as("tax_disc_mean")),
+    Some("""
+      SELECT l_orderkey, l_linenumber, (l_tax + l_discount) / 2 AS tax_disc_mean
+      FROM lineitem"""))
+
+  def all: Seq[Q] = Seq(
+    qHistogram, qHistogramCompare, qQcCounts, qRank, qNtile, qLabelExtract, qCombine)
+}

@@ -22,6 +22,7 @@ object Registry {
     CoreQueries,
     StatQueries,
     TextQueries,
+    MiscQueries,
     MlQueries)
 
   lazy val all: Seq[Q] = providers.flatMap(_.all)
