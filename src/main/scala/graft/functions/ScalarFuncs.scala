@@ -37,10 +37,12 @@ object ScalarFuncs {
   def formatLabel(sep: String, parts: Column*): Column = concat_ws(sep, parts: _*)
 
   /** SAM s0 significance curve (ref utils.py:282-317
-    * `calculate_s0_curve`): y = 10^(-s0/(x - minRatio) - log10(minP)).
-    * Used as a volcano cutoff: significant iff p <= curve(|ratio|). */
+    * `calculate_s0_curve`): fn(x) = 10^(-s0/(x - minRatio) - mminp)
+    * with mminp = -log10(minP), so the curve asymptotes to minP as the
+    * ratio grows. Volcano cutoff: significant iff p <= curve(|ratio|)
+    * (ref visualize.py:584-598). */
   def s0CurveP(absRatio: Column, s0: Double, minRatio: Double, minP: Double): Column =
-    pow(lit(10.0), lit(-s0) / (absRatio - lit(minRatio)) - lit(math.log10(minP)))
+    pow(lit(10.0), lit(-s0) / (absRatio - lit(minRatio)) + lit(math.log10(minP)))
 
   /** Volcano significance classification (ref visualize.py:584-598):
     * point is significant when |ratio| > minRatio and p below the s0

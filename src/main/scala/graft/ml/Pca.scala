@@ -23,7 +23,8 @@ object Pca {
   final case class PcaModel(
       sampleOrder: Seq[String],
       mean: Array[Double], // per-sample mean over features
-      components: Array[Array[Double]], // [comp][sample]
+      components: Array[Array[Double]], // [comp][sample] — eigenvectors of the sample Gram
+      eigenvalues: Array[Double], // λ_c = σ_c² of the centered matrix
       explainedVarianceRatio: Array[Double])
 
   /** Fit on long form (idCol, sampleCol, valueCol); nulls→0 like the
@@ -72,12 +73,13 @@ object Pca {
       if (vct(m) < 0) vct.map(-_) else vct
     }
     PcaModel(samples.toSeq, mean, comps,
-      order.map(_._1 / totalVar))
+      order.map(_._1), order.map(_._1 / totalVar))
   }
 
-  /** Scores per sample: s×c, driver-tiny — score[s,c] derives from the
-    * Gram row, but matches sklearn's transform = centered X^T · weight;
-    * computed distributed for generality. */
+  /** Scores per sample (sklearn convention: V·Σ — the projection of
+    * each centered sample row onto the unit feature components).
+    * Xᶜᵀ·w_c = V·Σ² on the Gram eigenbasis, so dividing by σ_c =
+    * √λ_c recovers V·Σ. One distributed matvec + tiny output. */
   def sampleScores(
       spark: SparkSession, df: DataFrame, model: PcaModel,
       idCol: String, sampleCol: String, valueCol: String): DataFrame = {
@@ -86,8 +88,9 @@ object Pca {
     val meanMap = map(model.sampleOrder.zip(model.mean)
       .flatMap { case (sm, mu) => Seq(lit(sm), lit(mu)) }: _*)
     val centered = df.withColumn("_c", v - element_at(meanMap, col(sampleCol)))
-    val aggs = (0 until model.components.length).map(c =>
-      sum(col("_c") * col(s"w_$c")).as(s"pc_$c"))
+    val aggs = model.eigenvalues.zipWithIndex.map { case (lam, c) =>
+      (sum(col("_c") * col(s"w_$c")) / math.sqrt(lam)).as(s"pc_$c")
+    }.toIndexedSeq
     centered.join(weights, idCol)
       .groupBy(col(sampleCol))
       .agg(aggs.head, aggs.tail: _*)

@@ -1,0 +1,100 @@
+package graft.ml
+
+import graft.SparkSpec
+import graft.ops.Impute
+import org.apache.spark.sql.functions._
+
+class MlSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 4 features × 3 samples golden (numpy, centered per sample, V·Σ). */
+  private def pcaLong = {
+    val x = Map(
+      ("f1", "s1") -> 1.0, ("f1", "s2") -> 2.0, ("f1", "s3") -> 3.0,
+      ("f2", "s1") -> 2.0, ("f2", "s2") -> 4.0, ("f2", "s3") -> 6.1,
+      ("f3", "s1") -> 0.5, ("f3", "s2") -> 1.0, ("f3", "s3") -> 1.4,
+      ("f4", "s1") -> 3.0, ("f4", "s2") -> 5.9, ("f4", "s3") -> 9.0)
+    x.toSeq.map { case ((f, s), v) => (f, s, v) }.toDF("id", "sample", "value")
+  }
+
+  test("Pca matches numpy golden (explained variance + scores)") {
+    val model = Pca.fit(pcaLong, "id", "sample", "value", nComponents = 2)
+    assert(approx(model.explainedVarianceRatio(0), 0.9999659230, 1e-8))
+    assert(approx(model.eigenvalues(0), 52.0007279117, 1e-6))
+    val scores = Pca.sampleScores(spark, pcaLong, model, "id", "sample", "value")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx(scores("s1")._1, 1.9200186979, 1e-6))
+    assert(approx(scores("s2")._1, 3.7692436415, 1e-6))
+    assert(approx(scores("s3")._1, 5.8401248687, 1e-6))
+    assert(approx(scores("s1")._2, 0.0316900940, 1e-6))
+  }
+
+  test("Ward clusters obvious 2-cluster structure") {
+    // samples s0,s1 near origin; s2,s3 near (10,10) — features are coords
+    val long = Seq(
+      ("fx", "s0", 0.0), ("fy", "s0", 0.0),
+      ("fx", "s1", 0.0), ("fy", "s1", 1.0),
+      ("fx", "s2", 10.0), ("fy", "s2", 10.0),
+      ("fx", "s3", 10.0), ("fy", "s3", 11.0)
+    ).toDF("id", "sample", "value")
+    val out = Ward.clusterSamples(spark, long, "id", "sample", "value", k = 2)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out("s0") == out("s1"))
+    assert(out("s2") == out("s3"))
+    assert(out("s0") != out("s2"))
+  }
+
+  test("Ward linkage matches hand-computed merge order and heights") {
+    val sq = Array(
+      Array(0.0, 1.0, 200.0, 221.0),
+      Array(1.0, 0.0, 181.0, 200.0),
+      Array(200.0, 181.0, 0.0, 1.0),
+      Array(221.0, 200.0, 1.0, 0.0))
+    val merges = Ward.linkage(sq)
+    assert(merges.head.dist == 1.0) // first merges are the unit pairs
+    assert(merges(1).dist == 1.0)
+    assert(merges(2).size == 4)
+  }
+
+  test("Pls separates a signal feature (PLS-DA shape)") {
+    // feature fsig tracks y; fnoise is constant-ish
+    val long = Seq(
+      ("fsig", "s1", 1.0), ("fsig", "s2", 1.1), ("fsig", "s3", 5.0), ("fsig", "s4", 5.2),
+      ("fnoise", "s1", 3.0), ("fnoise", "s2", 3.0), ("fnoise", "s3", 3.0), ("fnoise", "s4", 3.0)
+    ).toDF("id", "sample", "value")
+    val y = Map("s1" -> 0.0, "s2" -> 0.0, "s3" -> 1.0, "s4" -> 1.0)
+    val model = Pls.fit(spark, long, y, "id", "sample", "value", nComponents = 1)
+    val scores = Pls.scores(spark, model).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // class 0 scores clearly below class 1 scores on LV1
+    assert(math.max(scores("s1"), scores("s2")) < math.min(scores("s3"), scores("s4")))
+    // weights: fsig dominates
+    val w = model.components.head._1.collect()
+      .map(r => r.getString(0) -> math.abs(r.getDouble(1))).toMap
+    assert(w("fsig") > w("fnoise"))
+  }
+
+  test("gaussian imputation: observed preserved, imputed deterministic + downshifted") {
+    val rng = new scala.util.Random(5)
+    val rows = (1 to 400).map { i =>
+      val v = if (i % 4 == 0) None else Some(20.0 + rng.nextGaussian())
+      (i, "s1", v)
+    }
+    val df = rows.toDF("id", "sample", "value")
+    val out1 = Impute.gaussian(df, "sample", "value", seed = 42L)
+      .select("id", "value", "was_imputed").as[(Int, Double, Boolean)].collect()
+    val out2 = Impute.gaussian(df, "sample", "value", seed = 42L)
+      .select("id", "value", "was_imputed").as[(Int, Double, Boolean)].collect()
+    // determinism under a fixed seed
+    assert(out1.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq)
+    val byId = out1.map(r => r._1 -> r).toMap
+    rows.foreach {
+      case (i, _, Some(v)) => assert(byId(i)._2 == v && !byId(i)._3)
+      case (i, _, None) => assert(byId(i)._3)
+    }
+    // imputed mean ≈ μ - 1.8σ (σ≈1, μ≈20) → around 18.2, and below observed mean
+    val imputed = out1.filter(_._3).map(_._2)
+    val mImp = imputed.sum / imputed.length
+    assert(mImp < 19.5 && mImp > 16.5)
+  }
+}

@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("DistributedRank equals single-partition row_number") {
+    val rng = new scala.util.Random(9)
+    val df = (1 to 1000).map(i => (i.toLong, rng.nextDouble() * 100)).toDF("id", "v")
+    val fast = DistributedRank.rowNumber(df, "v", ascending = false, Seq("id"), numBuckets = 8)
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    import org.apache.spark.sql.expressions.Window
+    val naive = df.withColumn("rank",
+        row_number().over(Window.orderBy($"v".desc, $"id")).cast("long"))
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    assert(fast == naive)
+  }
+
+  test("subtractColumnMedian centers each sample at median 0") {
+    val df = Seq(
+      ("a", "s1", 1.0), ("b", "s1", 2.0), ("c", "s1", 9.0),
+      ("a", "s2", 10.0), ("b", "s2", 20.0), ("c", "s2", 30.0), ("d", "s2", 40.0)
+    ).toDF("id", "sample", "value")
+    val out = Normalize.subtractColumnMedian(df, "sample", "value")
+    val med = out.groupBy($"sample").agg(expr("median(value)").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(approx(med("s1"), 0.0, 1e-12))
+    assert(approx(med("s2"), 0.0, 1e-12)) // even count: interpolated median
+  }
+
+  test("zscore standardizes within key") {
+    val df = (1 to 100).map(i => ("s", i.toDouble)).toDF("sample", "value")
+    val out = Normalize.zscore(df, Seq("sample"))
+    val stats = out.agg(avg($"zscore"), stddev_samp($"zscore")).head()
+    assert(approx(stats.getDouble(0), 0.0, 1e-9))
+    assert(approx(stats.getDouble(1), 1.0, 1e-9))
+  }
+
+  test("buildIndexFromDesign annotates via broadcast lookup, unmatched kept/dropped") {
+    val obs = Seq(
+      ("f1", "Intensity A1", 1.0), ("f1", "Intensity B1", 2.0), ("f1", "Unknown", 3.0)
+    ).toDF("id", "sample", "value")
+    val design = Seq(("A1", "Control", 1), ("B1", "Treat", 1))
+      .toDF("Label", "Group", "Replicate")
+    val kept = Design.buildIndexFromDesign(obs, design, removePrefixes = Seq("Intensity "))
+    assert(kept.count() == 3)
+    val m = kept.collect().map(r => r.getAs[String]("sample") -> Option(r.getAs[String]("Group"))).toMap
+    assert(m("Intensity A1").contains("Control"))
+    assert(m("Unknown").isEmpty)
+    val dropped = Design.buildIndexFromDesign(obs, design,
+      removePrefixes = Seq("Intensity "), keepUnmatched = false)
+    assert(dropped.count() == 2)
+  }
+
+  test("buildIndexFromLabels regex capture with cast") {
+    val df = Seq(("Ratio H/L normalized E1", 1.0)).toDF("sample", "v")
+    val out = Design.buildIndexFromLabels(df, "sample",
+      Seq(("exp", "E(\\d+)$", Some("int")), ("kind", "^Ratio (./.)", None)))
+    val r = out.head()
+    assert(r.getAs[Int]("exp") == 1)
+    assert(r.getAs[String]("kind") == "H/L")
+  }
+
+  test("applyExperimentalDesign relabels via lookup with passthrough") {
+    val df = Seq(("e1", 1.0), ("e2", 2.0), ("raw", 3.0)).toDF("sample", "v")
+    val lookup = Seq(("e1", "Control"), ("e2", "Treat")).toDF("Experiment", "Name")
+    val out = Design.applyExperimentalDesign(df, lookup)
+      .collect().map(r => r.getDouble(1) -> r.getString(0)).toMap
+    assert(out(1.0) == "Control" && out(2.0) == "Treat" && out(3.0) == "raw")
+  }
+
+  test("ScalarFuncs protein id split chain") {
+    import graft.functions.ScalarFuncs
+    val df = Seq(("P07830;P63267 extra_tag", "Q9Y6K9-2;P123")).toDF("a", "b")
+    val r = df.select(
+      ScalarFuncs.proteinId($"a").as("pa"),
+      ScalarFuncs.proteinIdBase($"b").as("pb"),
+      ScalarFuncs.proteinIds($"a").as("ids"),
+      ScalarFuncs.shortStr($"a").as("ss")).head()
+    assert(r.getString(0) == "P07830")
+    assert(r.getString(1) == "Q9Y6K9")
+    assert(r.getSeq[String](2) == Seq("P07830", "P63267"))
+    assert(r.getString(3) == "P07830") // text before first ';'
+  }
+
+  test("s0 significance curve gates by ratio and p") {
+    import graft.functions.ScalarFuncs
+    val df = Seq(
+      (0.001, 3.0), // tiny p, big ratio → significant
+      (0.5, 3.0),   // big p → depends on curve; s0 small keeps it out
+      (0.001, 0.5)  // ratio below minRatio → never
+    ).toDF("p", "absratio")
+    val out = df.select(ScalarFuncs.s0Significant($"p", $"absratio", 0.5, 1.0, 0.05).as("sig"))
+      .as[Boolean].collect().toSeq
+    assert(out == Seq(true, false, false))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.stats
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Golden values generated with numpy (equal-var t-test, one-way
+  * ANOVA, pairwise-complete masked correlation) — the same math the
+  * reference runs via scipy (analysis.py:467, :387, :26). */
+class StatTestsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tTestInd matches scipy golden (t, df, p)") {
+    val a = Seq(10.0, 12.0, 11.5, 9.0).map(("f", "A", _))
+    val b = Seq(14.0, 15.5, 13.0).map(("f", "B", _))
+    val df = (a ++ b).toDF("id", "group", "value")
+    val r = StatTests.tTestInd(df, Seq("id"), "group", "value", "A", "B").head()
+    assert(approx(r.getAs[Double]("t"), -3.484660262186, 1e-9))
+    assert(r.getAs[Double]("df") == 5.0)
+    assert(approx(r.getAs[Double]("p"), 0.017570710081, 1e-9))
+    assert(approx(r.getAs[Double]("mean_a"), 10.625, 1e-12))
+    assert(approx(r.getAs[Double]("mean_b"), 14.1666666667, 1e-9))
+  }
+
+  test("tTest1Samp vs popmean 0") {
+    val df = Seq(1.0, 2.0, 3.0).map(("f", _)).toDF("id", "value")
+    val r = StatTests.tTest1Samp(df, Seq("id"), "value").head()
+    // t = mean/ (sd/sqrt(n)) = 2 / (1/sqrt(3)) = 3.4641016151
+    assert(approx(r.getAs[Double]("t"), 3.4641016151377544, 1e-9))
+    assert(r.getAs[Double]("df") == 2.0)
+  }
+
+  test("anova1Way matches golden F") {
+    val rows =
+      Seq(1.0, 2.0, 3.0).map(("f", "g1", _)) ++
+      Seq(2.0, 3.0, 4.0).map(("f", "g2", _)) ++
+      Seq(5.0, 6.0, 7.0).map(("f", "g3", _))
+    val r = StatTests.anova1Way(rows.toDF("id", "group", "value"),
+      Seq("id"), "group", "value").head()
+    assert(approx(r.getAs[Double]("f"), 13.0, 1e-9))
+    assert(r.getAs[Double]("df1") == 2.0 && r.getAs[Double]("df2") == 6.0)
+    assert(r.getAs[Long]("k") == 3L)
+  }
+
+  test("correlationMatrix uses pairwise-complete (masked) semantics") {
+    // np.ma.corrcoef golden: x=[1,2,NaN,4,5], y=[2,NaN,6,8,11] → pairs at idx 0,3,4
+    val rows = Seq(
+      (1, "x", Some(1.0)), (2, "x", Some(2.0)), (3, "x", None), (4, "x", Some(4.0)), (5, "x", Some(5.0)),
+      (1, "y", Some(2.0)), (2, "y", None), (3, "y", Some(6.0)), (4, "y", Some(8.0)), (5, "y", Some(11.0)))
+    val df = rows.toDF("id", "sample", "value")
+    val out = StatTests.correlationMatrix(df, Seq("id"), "sample", "value")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val (n, r) = out(("x", "y"))
+    assert(n == 3) // only both-observed rows
+    assert(approx(r, 0.995870594886, 1e-9))
+    assert(approx(out(("x", "x"))._2, 1.0, 1e-12))
+  }
+
+  test("volcano two-sample classifies by s0 curve") {
+    // strong separation → significant; weak → not
+    val strong = (1 to 4).flatMap(i => Seq(("s", "A", 1.0 + i * 0.01), ("s", "B", 9.0 + i * 0.01)))
+    val weak = (1 to 4).flatMap(i => Seq(("w", "A", 5.0 + i * 0.3), ("w", "B", 5.1 + i * 0.3)))
+    val df = (strong ++ weak).toDF("id", "group", "value")
+    val out = Volcano.twoSample(df, Seq("id"), "group", "value", "A", "B",
+        minValidN = 3, s0 = 0.5, minRatio = 1.0, minP = 0.05)
+      .collect().map(r => r.getString(0) -> r.getAs[Boolean]("significant")).toMap
+    assert(out("s"))
+    assert(!out("w"))
+  }
+
+  test("upDownCounts splits by ratio sign") {
+    val df = Seq(("a", 2.0, true), ("b", -1.5, true), ("c", 3.0, false))
+      .toDF("id", "ratio", "significant")
+    val m = Volcano.upDownCounts(df).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("up" -> 1L, "down" -> 1L))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+  private val nearDup = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+  private val other = "completely different content about spark query engines and shuffles everywhere"
+
+  private def docs = Seq(
+    (1L, base), (2L, nearDup), (3L, other), (4L, base) // 4 = exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exactByContent collapses exact duplicates to lowest id") {
+    val out = Dedup.exactByContent(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out(1L) == 2L) // doc 1+4 same hash, kept id 1, 2 copies
+    assert(out(2L) == 1L && out(3L) == 1L)
+  }
+
+  test("minhash LSH finds exact and near duplicates as candidates") {
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", numHashes = 32, shingleSize = 3)
+    val cands = Dedup.minHashCandidatePairs(sigs, "doc_id", numHashes = 32, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 4L))) // exact dup always collides
+    assert(cands.contains((1L, 2L)) || cands.contains((2L, 4L))) // near dup
+    val est = Dedup.minHashJaccard(
+      Dedup.minHashCandidatePairs(sigs, "doc_id"), sigs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(est((1L, 4L)) == 1.0) // identical signatures
+  }
+
+  test("wordShingles produces distinct n-grams") {
+    val out = docs.filter($"doc_id" === 1)
+      .select(Dedup.wordShingles($"text", 3).as("sh"))
+      .head().getSeq[String](0)
+    assert(out.contains("the quick brown"))
+    assert(out.forall(_.split(" ").length == 3))
+  }
+
+  test("wordJaccard computes exact set jaccard for given pairs") {
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.wordJaccard(docs, pairs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // base vs nearDup differ by one word: |A∩B|=12, |A∪B|=14 (12 distinct each)
+    assert(out((1L, 2L)) > 0.8)
+    assert(out((1L, 3L)) < 0.1)
+  }
+
+  test("simHash: near-dups at small hamming distance, different docs far") {
+    val out = Dedup.simHash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(out(1L), out(4L)) == 0) // identical text
+    assert(ham(out(1L), out(2L)) < ham(out(1L), out(3L)))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.text
+
+import graft.SparkSpec
+import graft.sim.Similarity
+import org.apache.spark.sql.functions._
+
+class TextSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCountWhitespace / BPE-ish counts") {
+    val df = Seq((1, "a bb ccc dddd eeeee"), (2, ""), (3, "single")).toDF("id", "t")
+    val out = df.select($"id",
+      TextAnalysis.tokenCountWhitespace($"t").as("ws"),
+      TextAnalysis.tokenCountBpeIsh($"t").as("bpe"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1)._1 == 5)
+    assert(out(2)._1 == 0)
+    assert(out(3)._1 == 1)
+    // bpe-ish: ceil(len/4) per word, min 1 → 1+1+1+1+2 = 6
+    assert(out(1)._2 == 6)
+  }
+
+  test("langId votes stopwords with deterministic tie-break") {
+    val df = Seq(
+      (1, "the cat and the dog sat in the house of cards"),
+      (2, "der hund und die katze ist hier und der vogel"),
+      (3, "le chat et la maison des les fleurs"),
+      (4, "xyzzy plugh abcdef")
+    ).toDF("id", "t")
+    val out = df.select($"id", TextAnalysis.langId($"t").as("l"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out(1) == "en")
+    assert(out(2) == "de")
+    assert(out(3) == "fr")
+    assert(out(4) == "und")
+  }
+
+  test("qualityScore in [0,1], penalizes junk") {
+    val df = Seq(
+      (1, "this is a perfectly reasonable sentence with normal words and structure"),
+      (2, "!!!???...;;;:::!!!???...;;;:::"),
+      (3, "1234567890 1234567890 1234567890")
+    ).toDF("id", "t")
+    val out = df.select($"id", TextAnalysis.qualityScore($"t").as("q"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    out.values.foreach(q => assert(q >= 0.0 && q <= 1.0))
+    assert(out(1) > out(2))
+    assert(out(1) > out(3))
+  }
+
+  test("bruteForceTopK ranks by exact cosine") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", Array(1.0, 0.0, 0.0), 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 2L))
+  }
+
+  test("cosineNearDupPairs finds the colliding near-identical pair") {
+    val vecs = Seq(
+      (1L, Array.fill(8)(0.5f)),
+      (2L, Array.fill(8)(0.5001f)), // near-identical direction
+      (3L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
+        dim = 8, threshold = 0.99, numPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L)))
+  }
+
+  test("lshTopK recalls the identical vector") {
+    val q = Array.tabulate(8)(i => 0.3 + 0.1 * i)
+    val vecs = (Seq((1L, q.map(_.toFloat))) ++
+      (2L to 50L).map(i => (i, Array.tabulate(8)(j => ((i * 31 + j * 7) % 13 - 6).toFloat / 6f))))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(vecs, "vec_id", "embedding", q, k = 5, dim = 8)
+      .collect().map(_.getLong(0))
+    assert(out.head == 1L) // exact match lands in the query's bucket, cosine 1
+  }
+}
