@@ -1,0 +1,147 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** MaxQuant / Perseus table IO (ref `padua/io.py`). */
+object MaxQuant {
+
+  /** `read_maxquant` (ref io.py:6-18): TSV scan with header row;
+    * schema inferred; `id` stays a regular column (Spark has no row
+    * index — SURVEY §1.4). Distributed CSV scan: header parsing is
+    * per-file, splits parallelize. */
+  def readMaxQuant(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("sep", "\t")
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .csv(path)
+
+  /** Perseus type codes (ref io.py:44-65 FIELD_TYPE_MAP): C
+    * categorical, N numeric, T text, E expression (default). */
+  val fieldTypeMap: Map[String, String] = Map(
+    "Amino acid" -> "C", "Charge" -> "C", "Reverse" -> "C",
+    "Potential contaminant" -> "C", "Multiplicity" -> "C",
+    "Localization prob" -> "N", "PEP" -> "N", "Score" -> "N",
+    "Delta score" -> "N", "Score for localization" -> "N",
+    "Mass error [ppm]" -> "N", "Intensity" -> "N", "Position" -> "N",
+    "Proteins" -> "T", "Positions within proteins" -> "T",
+    "Leading proteins" -> "T", "Protein names" -> "T", "Gene names" -> "T",
+    "Sequence window" -> "T", "Unique identifier" -> "T")
+
+  /** `read_perseus` (ref io.py:21-30): TSV with 4 header rows (label +
+    * `#!{Type}` annotations); only level 0 (the labels) is kept. The
+    * Perseus type row maps C/T → string, N/E → double.
+    *
+    * The 4 header lines are read driver-side (they are metadata, not
+    * data); the bulk scan is a distributed CSV read with an explicit
+    * schema and the annotation rows filtered out. */
+  def readPerseus(spark: SparkSession, path: String): DataFrame = {
+    val src = scala.io.Source.fromFile(path)
+    val headerLines = try src.getLines().take(4).toList finally src.close()
+    val labels = headerLines.head.split("\t", -1)
+    val typeRow = headerLines
+      .find(_.contains("#!{Type}"))
+      .map(_.split("\t", -1).map(_.replace("#!{Type}", "")))
+      .getOrElse(Array.fill(labels.length)("E"))
+    // Read all-strings first so the header block's raw text is visible
+    // to the filter (with a typed schema, annotation cells in numeric
+    // columns would parse to null and become indistinguishable from
+    // data). Types are applied as cast projections after the filter —
+    // still one distributed pass. Header rows are matched by their
+    // first field; data rows never carry a header label there in
+    // MaxQuant/Perseus tables.
+    val headFirstFields = headerLines.map(_.split("\t", -1).head).filter(_.nonEmpty)
+    val raw = spark.read
+      .option("sep", "\t")
+      .option("header", "false")
+      .schema(StructType(labels.map(StructField(_, StringType))))
+      .csv(path)
+      .filter(!coalesce(col(labels.head), lit("")).isin(headFirstFields: _*))
+    raw.select(labels.zip(typeRow).map { case (name, t) =>
+      if (t == "N" || t == "E") col(name).cast("double").as(name) else col(name)
+    }.toIndexedSeq: _*)
+  }
+
+  /** `write_perseus` (ref io.py:33-82): TSV with the `#!{Type}`
+    * annotation row between header and data.
+    *
+    * Scale divergence (documented): the reference writes one local
+    * file. Here the data plane writes distributed part files and the
+    * 2-line header block goes to a `_perseus_header.tsv` sidecar; pass
+    * `singleFile=true` to coalesce(1) for small exports. */
+  def writePerseus(df: DataFrame, dir: String, singleFile: Boolean = false): Unit = {
+    val types = df.columns.zipWithIndex.map { case (c, i) =>
+      val t = fieldTypeMap.getOrElse(c, "E")
+      if (i == 0) s"#!{Type}$t" else t
+    }
+    val header = df.columns.mkString("\t") + "\n" + types.mkString("\t") + "\n"
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").option("sep", "\t").option("header", "false").csv(dir)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_perseus_header.tsv"), header)
+  }
+
+  /** `write_phosphopath` (ref io.py:95-127): derive
+    * (protein, protein-Rsite, Rsite, multiplicity) via string surgery
+    * — all codegen'd Column exprs, no UDFs. Input columns follow the
+    * long-form model: Proteins / Amino acid / Positions /
+    * Multiplicity as regular columns. */
+  def phosphopathFrame(df: DataFrame): DataFrame = {
+    val protein = split(split(split(split(col("Proteins"), ";").getItem(0), " ").getItem(0),
+      "_").getItem(0), "-").getItem(0)
+    val position = split(split(split(col("Positions").cast("string"), ";").getItem(0), " ")
+      .getItem(0), "_").getItem(0).cast("int").cast("string")
+    val apos = concat(col("Amino acid"), position)
+    df.select(
+      protein.as("protein"),
+      concat_ws("-", protein, apos).as("protein_rsite"),
+      apos.as("rsite"),
+      substring(col("Multiplicity").cast("string"), -1, 1).as("multiplicity"))
+  }
+
+  def writePhosphopath(df: DataFrame, dir: String): Unit =
+    phosphopathFrame(df).coalesce(1).write.mode("overwrite")
+      .option("sep", "\t").option("header", "false").csv(dir)
+
+  /** `write_phosphopath_ratio` (ref io.py:129-185): per-site ratio of
+    * control-group mean to each comparison-group mean, encoded as
+    * `protein-Rsite-mult-timepoint`. Long-form: two conditional avgs
+    * per feature + ratio; timepoints ordinal-encoded (dense_rank over
+    * the distinct timepoint domain — driver-tiny). */
+  def phosphopathRatioFrame(
+      long: DataFrame,
+      groupCol: String,
+      timepointCol: String,
+      valueCol: String,
+      control: String,
+      comparisons: Seq[(String, Int)]): DataFrame = {
+    val tpOrdinal = comparisons.map(_._2).distinct.sorted.zipWithIndex.toMap
+    val frames = comparisons.map { case (grp, tp) =>
+      val inScope = long.filter(
+        (col(groupCol) === control) ||
+        (col(groupCol) === grp && col(timepointCol) === tp))
+      inScope
+        .groupBy(col("protein"), col("rsite"), col("multiplicity"))
+        .agg(
+          avg(when(col(groupCol) === control, col(valueCol))).as("_ma"),
+          avg(when(col(groupCol) === grp, col(valueCol))).as("_mc"))
+        .select(
+          concat_ws("-", col("protein"), col("rsite"),
+            col("multiplicity").cast("string"),
+            lit((tpOrdinal(tp) + 1).toString)).as("ID"),
+          (col("_ma") / col("_mc")).as("Ratio"))
+    }
+    frames.reduce(_ unionByName _)
+  }
+
+  /** `write_r` (ref io.py:188-203): CSV with index tuple columns
+    * joined by `@`. (The reference also overwrites the column labels
+    * from the row index — a bug, io.py:202; implemented as intended:
+    * data columns unchanged.) */
+  def rFrame(df: DataFrame, indexCols: Seq[String], sep: String = "@"): DataFrame =
+    df.select(
+      (concat_ws(sep, indexCols.map(c => col(c).cast("string")): _*).as("index") +:
+        df.columns.filterNot(indexCols.contains).map(col).toSeq): _*)
+}

@@ -23,6 +23,7 @@ object Registry {
     StatQueries,
     TextQueries,
     MiscQueries,
+    MediaQueries,
     MlQueries)
 
   lazy val all: Seq[Q] = providers.flatMap(_.all)

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming surface (green-field — the reference has no
+  * streaming, SURVEY §2.11). Mirrors the batch event operators so a
+  * pipeline can lift batch transforms onto a stream unchanged:
+  * readStream → watermark → windowed agg / stateful sessionize →
+  * sink.
+  */
+object EventStream {
+
+  /** events.parquet schema with ts as nanos-since-epoch long (see
+    * Verify: spark.sql.legacy.parquet.nanosAsLong). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming scan of an events directory. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(dir)
+      .withColumn("event_ts", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Tumbling-window count/sum per event type with a watermark for
+    * state eviction (append-mode safe). Mirrors batch q_events_window. */
+  def windowedAgg(
+      events: DataFrame,
+      window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("event_ts", watermark)
+      .groupBy(window(col("event_ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  final case class Event(event_id: Long, ts: Long, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(sessionCount: Int, lastTsNanos: Long)
+  final case class SessionAssignment(event_id: Long, user_id: Long, session_id: Int)
+
+  /** Stateful gap sessionization (30 min) via mapGroupsWithState —
+    * the streaming analogue of the batch q_sessionize window query.
+    * State per user is O(1) (last timestamp + counter). */
+  def sessionize(
+      spark: SparkSession,
+      events: DataFrame,
+      gapNanos: Long = 1800L * 1000 * 1000 * 1000): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
+          var st = state.getOption.getOrElse(SessionState(0, Long.MinValue))
+          val out = rows.toSeq.sortBy(e => (e.ts, e.event_id)).map { e =>
+            val newSession = st.lastTsNanos != Long.MinValue && e.ts - st.lastTsNanos > gapNanos
+            st = SessionState(st.sessionCount + (if (newSession) 1 else 0), e.ts)
+            SessionAssignment(e.event_id, userId, st.sessionCount)
+          }
+          state.update(st)
+          out.iterator
+        })
+      .toDF()
+  }
+
+  /** Drive a streaming frame to a memory sink synchronously (local
+    * verification; production would use a real sink). */
+  def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): StreamingQuery = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}

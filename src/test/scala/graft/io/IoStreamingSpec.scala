@@ -1,0 +1,151 @@
+package graft.io
+
+import graft.SparkSpec
+import graft.streaming.EventStream
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class IoStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("readMaxQuant parses TSV with header and inferred types") {
+    val tmp = Files.createTempDirectory("mq").toString
+    Files.writeString(java.nio.file.Paths.get(tmp, "sites.txt"),
+      "id\tProteins\tLocalization prob\tReverse\n" +
+      "1\tP07830;P63267\t0.99\t\n" +
+      "2\tQ12345\t0.42\t+\n")
+    val df = MaxQuant.readMaxQuant(spark, s"$tmp/sites.txt")
+    assert(df.count() == 2)
+    assert(df.schema("Localization prob").dataType.typeName == "double")
+    assert(df.filter($"Reverse" === "+").count() == 1)
+  }
+
+  test("readPerseus keeps label row only, types from #!{Type} row") {
+    val tmp = Files.createTempDirectory("pers").toString
+    Files.writeString(java.nio.file.Paths.get(tmp, "p.txt"),
+      "Proteins\tIntensity A\tIntensity B\n" +
+      "#!{Type}T\tE\tE\n" +
+      "C:x\t\t\n" +
+      "C:y\t\t\n" +
+      "P1\t1.5\t2.5\n" +
+      "P2\t3.5\t4.5\n")
+    val df = MaxQuant.readPerseus(spark, s"$tmp/p.txt")
+    assert(df.columns.toSeq == Seq("Proteins", "Intensity A", "Intensity B"))
+    assert(df.count() == 2)
+    assert(df.schema("Intensity A").dataType.typeName == "double")
+    assert(approx(df.filter($"Proteins" === "P1").head().getDouble(1), 1.5))
+  }
+
+  test("writePerseus emits data parts + header sidecar with type row") {
+    val tmp = Files.createTempDirectory("persw").toString + "/out"
+    val df = Seq(("P1", 0.9, 1.0)).toDF("Proteins", "Localization prob", "Intensity A")
+    MaxQuant.writePerseus(df, tmp, singleFile = true)
+    val header = Files.readString(java.nio.file.Paths.get(tmp, "_perseus_header.tsv"))
+    assert(header.startsWith("Proteins\tLocalization prob\tIntensity A\n"))
+    assert(header.contains("#!{Type}T\tN\tE"))
+  }
+
+  test("phosphopathFrame string surgery matches reference format") {
+    val df = Seq(
+      ("Q13619;P999", "S", "10;22", "___1"),
+      ("Q9H3Z4-2 extra", "T", "100", "___3")
+    ).toDF("Proteins", "Amino acid", "Positions", "Multiplicity")
+    val out = MaxQuant.phosphopathFrame(df).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(out.contains(("Q13619", "Q13619-S10", "S10", "1")))
+    assert(out.contains(("Q9H3Z4", "Q9H3Z4-T100", "T100", "3")))
+  }
+
+  test("phosphopathRatioFrame encodes protein-rsite-mult-tp with ordinal timepoints") {
+    val long = Seq(
+      ("P1", "S5", 1, "Control", 0, 2.0), ("P1", "S5", 1, "Control", 0, 4.0),
+      ("P1", "S5", 1, "PGE2", 5, 1.0), ("P1", "S5", 1, "PGE2", 5, 2.0),
+      ("P1", "S5", 1, "PGE2", 30, 6.0)
+    ).toDF("protein", "rsite", "multiplicity", "group", "timepoint", "value")
+    val out = MaxQuant.phosphopathRatioFrame(long, "group", "timepoint", "value",
+        "Control", Seq(("PGE2", 5), ("PGE2", 30)))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(approx(out("P1-S5-1-1"), 3.0 / 1.5)) // tp 5 → ordinal 1
+    assert(approx(out("P1-S5-1-2"), 3.0 / 6.0)) // tp 30 → ordinal 2
+  }
+
+  test("rFrame joins index tuples with @") {
+    val df = Seq((1, "S", 2.5)).toDF("id", "aa", "v")
+    val out = MaxQuant.rFrame(df, Seq("id", "aa"))
+    assert(out.columns.toSeq == Seq("index", "v"))
+    assert(out.head().getString(0) == "1@S")
+  }
+
+  /** Streaming file sources require a directory: stage the (small)
+    * events file into a temp dir. */
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("events_stream")
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("streaming windowedAgg equals batch aggregation on the same data") {
+    val dir = "/root/testdata/sf0.001"
+    val stream = EventStream.windowedAgg(EventStream.readEvents(spark, eventsDir))
+    val q = EventStream.runToMemory(stream, "win_agg", outputMode = "append")
+    q.stop()
+    // append mode only emits closed windows (watermark); compare the
+    // emitted subset against batch values
+    val got = spark.table("win_agg")
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("event_ts", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy(window(col("event_ts"), "1 hour").getField("start").as("ws"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    val gotMap = got.collect().map(r => (r.get(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val batchMap = batch.collect().map(r => (r.get(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(gotMap.nonEmpty)
+    gotMap.foreach { case (k, v) =>
+      assert(batchMap(k)._1 == v._1)
+      assert(approx(batchMap(k)._2, v._2, 1e-6))
+    }
+  }
+
+  test("streaming sessionize matches batch window sessionization") {
+    val dir = "/root/testdata/sf0.001"
+    val events = EventStream.readEvents(spark, eventsDir)
+    val q = EventStream.runToMemory(
+      EventStream.sessionize(spark, events), "sessions", outputMode = "append")
+    q.stop()
+    val got = spark.table("sessions")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // batch reference (same as q_sessionize)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("_gap", when(col("ts") - lag(col("ts"), 1).over(w) > 1800000000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("_gap")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("event_id"), col("session_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got.nonEmpty && got.size == batch.size)
+    got.foreach { case (id, s) => assert(batch(id) == s, s"event $id") }
+  }
+
+  test("multimodal decode is deterministic and batched") {
+    val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
+    val media = Multimodal.attachBinary(docs, "doc_id", "text")
+    val f1 = Multimodal.decodeFeatures(spark, media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.decodeFeatures(spark,
+      Multimodal.repartitionBySize(media, 3)).collect().sortBy(_.media_id)
+    assert(f1.map(_.content_hash).toSeq == f2.map(_.content_hash).toSeq)
+    assert(f1.head.n_bytes == 11)
+    assert(f1.head.features.length == 8)
+    assert(f1(1).features.forall(_ == 0.0)) // empty payload
+  }
+
+  test("sampleFrames explodes deterministic frame indices") {
+    val docs = Seq((1L, "x" * 200)).toDF("doc_id", "text")
+    val out = Multimodal.sampleFrames(Multimodal.attachBinary(docs, "doc_id", "text"))
+    assert(out.count() == 3) // floor(200/64)=3 frames
+    assert(out.agg(max(col("frame_offset"))).head().getInt(0) == 128)
+  }
+}
