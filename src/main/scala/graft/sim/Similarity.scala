@@ -27,13 +27,18 @@ object Similarity {
 
   /** Brute-force cosine top-k against a single query vector (driver
     * constant → literal array; no join at all — the scan stays
-    * narrow and whole-stage codegen'd). Deterministic tie-break on id. */
+    * narrow and whole-stage codegen'd). The query norm is folded
+    * driver-side with the SAME left-to-right accumulation as the
+    * Column fold, so results stay bitwise oracle-parity while saving
+    * one 64-element fold per row. Deterministic tie-break on id. */
   def bruteForceTopK(
       embeddings: DataFrame, idCol: String, vecCol: String,
       query: Array[Double], k: Int): DataFrame = {
     val q = array(query.map(lit): _*)
+    val qNorm = math.sqrt(query.foldLeft(0.0)((acc, x) => acc + x * x))
+    val v = asDouble(col(vecCol))
     embeddings
-      .select(col(idCol), cosine(asDouble(col(vecCol)), q).as("cosine"))
+      .select(col(idCol), (dot(v, q) / (norm(v) * lit(qNorm))).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
@@ -95,14 +100,21 @@ object Similarity {
   def cosineNearDupPairs(
       embeddings: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, numPlanes: Int = 10): DataFrame = {
-    val withBucket = embeddings.select(
-      col(idCol), col(vecCol),
-      signLshBucket(asDouble(col(vecCol)), dim, numPlanes).as("_bucket"))
-    val l = withBucket.select(col("_bucket"), col(idCol).as("id_a"), col(vecCol).as("_va"))
-    val r = withBucket.select(col("_bucket"), col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    // Pre-normalize each vector ONCE before the join: cosine of two
+    // unit vectors is just the dot product, so the per-pair work drops
+    // from three array folds to one (~3× fewer flops where the time
+    // actually goes — the O(pairs) verify stage).
+    val v = asDouble(col(vecCol))
+    val unit = embeddings
+      .select(col(idCol), v.as("_v"), norm(v).as("_n"),
+        signLshBucket(v, dim, numPlanes).as("_bucket"))
+      .select(col(idCol), col("_bucket"),
+        transform(col("_v"), x => x / col("_n")).as("_unit"))
+    val l = unit.select(col("_bucket"), col(idCol).as("id_a"), col("_unit").as("_va"))
+    val r = unit.select(col("_bucket"), col(idCol).as("id_b"), col("_unit").as("_vb"))
     l.join(r, Seq("_bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", cosine(asDouble(col("_va")), asDouble(col("_vb"))))
+      .withColumn("cosine", dot(col("_va"), col("_vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

@@ -1,0 +1,70 @@
+package graft
+
+import graft.queries.Registry
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape regression tests: the properties that make these
+  * operators survive a 100 TB cluster — filter/projection pushdown
+  * into the parquet scan, broadcast joins for dimension tables,
+  * partial (map-side) aggregation, no single-partition global windows
+  * in the scalable operators.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = Registry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("filter queries push predicates into the parquet scan") {
+    val p = plan("q_filter_threshold")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(l_discount,0.05)"), p)
+  }
+
+  test("projection prunes the scan to referenced columns only") {
+    val p = plan("q_split_ids")
+    // only o_orderkey and o_orderpriority should be read
+    assert(p.contains("ReadSchema") && !p.contains("o_totalprice"), p)
+  }
+
+  test("design join broadcasts the dimension tables") {
+    val p = plan("q_design_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("aggregations are partial (map-side combine before shuffle)") {
+    val p = plan("q1_agg")
+    // two HashAggregate nodes: partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("min-valid filter uses left-semi join, not a window") {
+    val p = plan("q_min_valid_in_any_group")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q-values avoid a global single-partition window (bucketed ranks)") {
+    val p = plan("q_qvalues_bh")
+    // windows must be partitioned by the bucket column, except the
+    // numBuckets-row offsets window
+    assert(p.contains("_bkt"), p)
+  }
+
+  test("whole-stage codegen covers the scan->filter->project pipelines") {
+    // formatted explain marks codegen'd nodes with a leading '*'
+    val p = plan("q_log2_transform")
+    assert(p.contains("* Project"), p)
+  }
+
+  test("exact dedup shuffles digests, not documents") {
+    val df = Registry.queries("q_dedup_exact")(spark, sf)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the pre-shuffle projection carries only hash+id (text is consumed
+    // by md5 before the exchange)
+    assert(p.contains("hashpartitioning(content_hash"), p)
+  }
+}
