@@ -1,0 +1,60 @@
+package graft.stats
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Static entry points the generated code calls — keeps the CDF math
+  * inside whole-stage codegen as a plain static invocation (no UDF
+  * serialization, no InternalRow boxing). */
+object DistMath {
+  def tPTwoSided(t: Double, df: Double): Double =
+    if (df <= 0 || java.lang.Double.isNaN(t)) Double.NaN
+    else 2.0 * new org.apache.commons.math3.distribution.TDistribution(df)
+      .cumulativeProbability(-math.abs(t))
+
+  def fPUpper(f: Double, d1: Double, d2: Double): Double =
+    if (d1 <= 0 || d2 <= 0 || java.lang.Double.isNaN(f)) Double.NaN
+    else 1.0 - new org.apache.commons.math3.distribution.FDistribution(d1, d2)
+      .cumulativeProbability(f)
+}
+
+/** Two-sided Student-t p-value as a native Catalyst expression with
+  * doGenCode (SURVEY §4.2: t CDF is the one genuinely custom scalar
+  * this engine needs — commons-math3 supplies the math, the Expression
+  * keeps it codegen-resident). Null-intolerant: null in → null out. */
+case class TPValueTwoSided(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  // inputs are cast to double at the Column wrapper (DistExpressions)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(t: Any, df: Any): Any =
+    DistMath.tPTwoSided(t.asInstanceOf[Double], df.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, df) => s"graft.stats.DistMath.tPTwoSided($t, $df)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "t_pvalue_two_sided"
+}
+
+/** Upper-tail F p-value (one-way ANOVA), same design. */
+case class FPValueUpper(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(f: Any, d1: Any, d2: Any): Any =
+    DistMath.fPUpper(f.asInstanceOf[Double], d1.asInstanceOf[Double], d2.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (f, d1, d2) => s"graft.stats.DistMath.fPUpper($f, $d1, $d2)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "f_pvalue_upper"
+}
+
+object DistExpressions {
+  private def e(c: Column) = Bridge.expression(c.cast("double"))
+  def tPValueTwoSided(t: Column, df: Column): Column =
+    Bridge.column(TPValueTwoSided(e(t), e(df)))
+  def fPValueUpper(f: Column, d1: Column, d2: Column): Column =
+    Bridge.column(FPValueUpper(e(f), e(d1), e(d2)))
+}
