@@ -36,6 +36,25 @@ object ScalarFuncs {
   /** Join label parts (ref utils.py:191-225 `format_label`). */
   def formatLabel(sep: String, parts: Column*): Column = concat_ws(sep, parts: _*)
 
+  /** Distinct short protein IDs across a frame (ref utils.py:142-162
+    * `get_protein_id_list`): explode the per-row ID arrays, distinct. */
+  def proteinIdList(df: org.apache.spark.sql.DataFrame, column: String): org.apache.spark.sql.DataFrame =
+    df.select(explode(proteinIds(col(column))).as("protein_id")).distinct()
+
+  /** `hierarchical_match` (ref utils.py:228-256): config lookup with
+    * progressively truncated tuple keys — driver-side styling/config
+    * resolution, not a data-plane operator. */
+  def hierarchicalMatch[V](d: Map[Seq[String], V], key: Seq[String], default: V): V = {
+    var k = key
+    while (k.nonEmpty) {
+      d.get(k) match {
+        case Some(v) => return v
+        case None    => k = k.dropRight(1)
+      }
+    }
+    default
+  }
+
   /** SAM s0 significance curve (ref utils.py:282-317
     * `calculate_s0_curve`): fn(x) = 10^(-s0/(x - minRatio) - mminp)
     * with mminp = -log10(minP), so the curve asymptotes to minP as the

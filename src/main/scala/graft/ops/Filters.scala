@@ -89,7 +89,36 @@ object Filters {
   /** `filter_select_columns_ratio`: `^Ratio ./. normalized.*` + metadata.
     * Ref: filters.py:170-174. */
   def selectRatioColumns(df: DataFrame, keep: Seq[String]): DataFrame =
-    selectColumnsMatching(df, "^Ratio ./\\. normalized.*", keep)
+    selectColumnsMatching(df, "^Ratio ./. normalized.*", keep) // ref regex filters.py:174 verbatim
+
+  /** `filter_intensity` family (ref filters.py:177-211): keep all
+    * non-`prefix` columns plus the `prefix` columns matching a sample
+    * label (and optional `___k` multiplicity suffix). Order: metadata
+    * first, then matched expression columns — the reference's concat
+    * order. */
+  def filterPrefixedByLabel(
+      df: DataFrame, prefix: String, label: String,
+      withMultiplicity: Boolean = false): DataFrame = {
+    val mult = if (withMultiplicity) "(___\\d)?" else ""
+    val r = ("^" + java.util.regex.Pattern.quote(prefix) + " *" +
+      java.util.regex.Pattern.quote(label) + mult + "$").r
+    val isPrefixed = (c: String) => c.startsWith(prefix)
+    val meta = df.columns.filterNot(isPrefixed)
+    val matched = df.columns.filter(c => isPrefixed(c) && r.findFirstIn(c).isDefined)
+    df.select((meta ++ matched).map(col).toIndexedSeq: _*)
+  }
+
+  def filterIntensity(df: DataFrame, label: String = "", withMultiplicity: Boolean = false): DataFrame =
+    filterPrefixedByLabel(df, "Intensity", label, withMultiplicity)
+  def filterIntensityLfq(df: DataFrame, label: String = "", withMultiplicity: Boolean = false): DataFrame =
+    filterPrefixedByLabel(df, "LFQ intensity", label, withMultiplicity)
+  def filterRatio(df: DataFrame, label: String = "", withMultiplicity: Boolean = false): DataFrame =
+    filterPrefixedByLabel(df, "Ratio", label, withMultiplicity)
+
+  /** `strip_index_labels` (ref process.py:178-195): remove a substring
+    * from every column label. */
+  def stripColumnLabels(df: DataFrame, strip: String): DataFrame =
+    df.toDF(df.columns.map(_.replace(strip, "")).toIndexedSeq: _*)
 
   // ------------------------------------------------------------------
   // Group-validity filter (shuffle-bearing)

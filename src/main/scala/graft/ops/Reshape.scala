@@ -34,7 +34,10 @@ object Reshape {
       idCol: String = "id"): DataFrame = {
     val suffixed = df.columns.filter(c => suffixes.exists(c.endsWith))
     val base = df.columns.filterNot(suffixed.contains)
-    val branches = suffixes.map { sfx =>
+    // only expand multiplicities that actually occur — a branch for an
+    // absent suffix would union mismatched schemas
+    val present = suffixes.filter(sfx => suffixed.exists(_.endsWith(sfx)))
+    val branches = present.map { sfx =>
       val theseCols = suffixed.filter(_.endsWith(sfx))
       val renamed = theseCols.map(c => col(c).as(c.stripSuffix(sfx)))
       val baseCols = base.map {
