@@ -226,5 +226,67 @@ object StatQueries extends QueryProvider {
     },
     None)
 
-  def all: Seq[Q] = Seq(qTtest, anovaBuild, qCorr, qQvalues, qEventsWindow, qSessionize, qVolcano)
+  // ---- §2.10 ttest_1samp (intended semantics, popmean 0) ----
+  private val qTtest1 = Q(
+    "q_ttest_1samp",
+    (s, d) => StatTests.tTest1Samp(
+        Tables.lineitem(s, d)
+          .select(col("l_suppkey").as("id"), (col("l_discount") - 0.05).as("value")),
+        Seq("id"), "value")
+      .filter(col("n") >= 2)
+      .drop("p"),
+    Some {
+      val v = "(l_discount - 0.05)"
+      val s1 = MS.sumExact(v); val s2 = MS.sumSqExact(v)
+      s"""
+      WITH g AS (
+        SELECT l_suppkey AS id, $s1 AS s1, $s2 AS s2,
+               CAST(COUNT($v) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_suppkey)
+      SELECT id, n,
+        s1 / CAST(n AS DOUBLE) AS mean,
+        (s1 / CAST(n AS DOUBLE) - 0.0)
+          / SQRT(((s2 - s1 * s1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+                 / CAST(n AS DOUBLE)) AS t,
+        CAST(n AS DOUBLE) - 1.0 AS df
+      FROM g WHERE n >= 2"""
+    })
+
+  // ---- §2.5 technical-replicate collapse: exact median per key ----
+  private val qMedianCollapse = Q(
+    "q_median_collapse",
+    (s, d) => graft.stats.Summaries.collapseTechnicalReplicates(
+      Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("id"), col("l_returnflag").as("Group"),
+          col("l_quantity").as("value")),
+      Seq("id"), Seq("Group"), "value"),
+    Some("""
+      SELECT l_suppkey AS id, l_returnflag AS "Group",
+             MEDIAN(l_quantity) AS value
+      FROM lineitem GROUP BY 1, 2"""))
+
+  // ---- §2.5 _non_zero_sum ----
+  private val qNonZeroSum = Q(
+    "q_nonzero_sum",
+    (s, d) => Tables.events(s, d)
+      .filter(col("value") > 0)
+      .groupBy(col("event_type"))
+      .agg(Moments.sumExact(col("value")).as("sum_value")),
+    Some(s"""
+      SELECT event_type, ${MS.sumExact("value")} AS sum_value
+      FROM events WHERE value > 0 GROUP BY event_type"""))
+
+  // ---- §2.6 qvalues with Storey spline pi0 (driver-side spline →
+  //      rows-only; BH variant above is the oracle) ----
+  private val qQvaluesStorey = Q(
+    "q_qvalues_storey",
+    (s, d) => {
+      val p = Tables.supplier(s, d)
+        .select(col("s_suppkey"), ((col("s_acctbal") + 1000.0) / 11000.0).as("p"))
+      QValues.qvalues(p, "p", qCol = "q", pi0 = QValues.storeyPi0(p, "p"))
+    },
+    None)
+
+  def all: Seq[Q] = Seq(qTtest, anovaBuild, qCorr, qQvalues, qQvaluesStorey,
+    qTtest1, qMedianCollapse, qNonZeroSum, qEventsWindow, qSessionize, qVolcano)
 }

@@ -170,7 +170,20 @@ object TextQueries extends QueryProvider {
       threshold = 0.2, numPlanes = 4),
     None)
 
+  // ---- ANN scale path: sign-LSH bucket-pruned top-k (rows-only:
+  //      xxhash-derived hyperplanes not in SQL) ----
+  private val qAnnLsh = Q(
+    "q_ann_lsh_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(transform(col("embedding"), _.cast("double")).as("q"))
+        .head().getSeq[Double](0).toArray
+      Similarity.lshTopK(emb, "vec_id", "embedding", q, k = 20, dim = q.length)
+    },
+    None)
+
   def all: Seq[Q] = Seq(
-    qDedupExact, qFingerprint, qTokens, qQuality, qLangId, qJaccard, qAnn,
+    qDedupExact, qFingerprint, qTokens, qQuality, qLangId, qJaccard, qAnn, qAnnLsh,
     qMinhash, qSimhash, qLshPairs)
 }

@@ -13,6 +13,7 @@ object TestSpark {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .withExtensions(new GraftExtensions)
     .getOrCreate()
 }
 
