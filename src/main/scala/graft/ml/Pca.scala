@@ -3,6 +3,7 @@ package graft.ml
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.commons.math3.linear.{Array2DRowRealMatrix, EigenDecomposition}
+import graft.stats.StatTests
 
 /** PCA on samples (ref analysis.py:51-93 `pca`): the reference fits
   * sklearn PCA on `df.values.T` (rows = samples, columns = features,
@@ -49,18 +50,20 @@ object Pca {
 
     // Gram matrix of centered data: G[a,b] = Σ_f (x_fa-μa)(x_fb-μb)
     //   = Σ_f x_fa x_fb - n μa μb (expanding; Σ_f x_fa = n μa).
-    // Cross-products via self-join on the feature id + one agg.
-    val l = df.select(col(idCol), col(sampleCol).as("sa"), v.as("xa"))
-    val r = df.select(col(idCol), col(sampleCol).as("sb"), v.as("xb"))
-    val cross = l.join(r, idCol)
-      .groupBy(col("sa"), col("sb"))
-      .agg(sum(col("xa") * col("xb")).as("sxy"))
+    // Cross-products via one groupBy(feature) + in-row pair expansion
+    // (zero-filled cells contribute 0 to every product, so skipping
+    // nulls is exact). Upper triangle mirrored driver-side.
+    val cross = StatTests.pairObservations(df, Seq(idCol), sampleCol, valueCol)
+      .groupBy(col("s1"), col("s2"))
+      .agg(sum(col("x") * col("y")).as("sxy"))
       .collect()
     val s = samples.length
     val g = Array.ofDim[Double](s, s)
     cross.foreach { row =>
       val a = sIdx(row.get(0).toString); val b = sIdx(row.get(1).toString)
-      g(a)(b) = row.getDouble(2) - nFeatures * mean(a) * mean(b)
+      val centered = row.getDouble(2) - nFeatures * mean(a) * mean(b)
+      g(a)(b) = centered
+      g(b)(a) = centered // pairObservations emits the upper triangle
     }
 
     val eig = new EigenDecomposition(new Array2DRowRealMatrix(g))

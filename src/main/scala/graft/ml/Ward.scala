@@ -16,17 +16,19 @@ import org.apache.spark.sql.functions._
 object Ward {
 
   /** Squared euclidean distances between samples over the long form:
-    * d²(a,b) = Σ_f (x_fa - x_fb)², computed as one self-join + agg. */
+    * d²(a,b) = Σ_f (x_fa - x_fb)². Nulls zero-filled first (the
+    * reference pdist runs on the zero-filled matrix), then a single
+    * groupBy(feature) + in-row pair expansion (StatTests
+    * .pairObservations) — one shuffle instead of a double-scan
+    * self-join. */
   def pairwiseSqDist(
-      df: DataFrame, idCol: String, sampleCol: String, valueCol: String): DataFrame = {
-    val v = coalesce(col(valueCol), lit(0.0))
-    val l = df.select(col(idCol), col(sampleCol).as("sa"), v.as("xa"))
-    val r = df.select(col(idCol), col(sampleCol).as("sb"), v.as("xb"))
-    l.join(r, idCol)
-      .filter(col("sa") < col("sb"))
-      .groupBy(col("sa"), col("sb"))
-      .agg(sum((col("xa") - col("xb")) * (col("xa") - col("xb"))).as("sqdist"))
-  }
+      df: DataFrame, idCol: String, sampleCol: String, valueCol: String): DataFrame =
+    graft.stats.StatTests.pairObservations(
+        df.withColumn(valueCol, coalesce(col(valueCol), lit(0.0))),
+        Seq(idCol), sampleCol, valueCol)
+      .filter(col("s1") < col("s2"))
+      .groupBy(col("s1").as("sa"), col("s2").as("sb"))
+      .agg(sum((col("x") - col("y")) * (col("x") - col("y"))).as("sqdist"))
 
   final case class Merge(a: Int, b: Int, dist: Double, size: Int)
 

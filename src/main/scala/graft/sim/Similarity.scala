@@ -43,20 +43,28 @@ object Similarity {
       .limit(k)
   }
 
-  /** Sign-LSH bucket id: pack the signs of `numPlanes` pseudo-random
-    * hyperplane projections into a long. Hyperplane h_p[i] derives from
-    * xxhash64(p, i) scaled to [-0.5, 0.5] — deterministic, no stored
-    * model. */
-  def signLshBucket(vec: Column, dim: Int, numPlanes: Int = 12): Column = {
-    val planes = (0 until numPlanes).map { p =>
-      val proj = (0 until dim).map { i =>
-        vec.getItem(i).cast("double") *
-          ((xxhash64(lit(p), lit(i)) % 1000L).cast("double") / 1000.0)
-      }.reduce(_ + _)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
-    }
-    planes.reduce(_ + _)
+  /** Deterministic pseudo-random plane coefficient in [-0.5, 0.5]
+    * (SplitMix64 — public-domain mixer): computed DRIVER-SIDE so the
+    * per-row expression is a plain dot against a literal array rather
+    * than thousands of folded hash-expression nodes (which blow up
+    * codegen). Same seed → same planes on every run/engine. */
+  private def splitMix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
   }
+
+  private def planeCoefs(table: Int, plane: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { i =>
+      val h = splitMix64(table.toLong * 1000003L + plane.toLong * 7919L + i)
+      (h.toDouble / Long.MaxValue.toDouble) / 2.0 // [-0.5, 0.5]
+    }
+
+  /** Sign-LSH bucket id: pack the signs of `numPlanes` hyperplane
+    * projections into a long. */
+  def signLshBucket(vec: Column, dim: Int, numPlanes: Int = 12): Column =
+    signLshTableBucket(vec, dim, numPlanes, table = 0)
 
   /** LSH-pruned cosine top-k: score only vectors whose bucket matches
     * the query's bucket in at least one of `numTables` independent
@@ -70,10 +78,13 @@ object Similarity {
       numPlanes: Int = 8, numTables: Int = 4): DataFrame = {
     val qCol = array(query.map(lit): _*)
     val tables = (0 until numTables).map { t =>
-      // per-table plane seed offset keeps tables independent
-      val bucket = signLshTableBucket(asDouble(col(vecCol)), dim, numPlanes, t)
-      val qBucketExpr = signLshTableBucket(qCol, dim, numPlanes, t)
-      bucket === qBucketExpr
+      // the query's bucket is a driver-side constant — the per-row
+      // predicate is bucket-expression === literal
+      val qBucket = (0 until numPlanes).map { p =>
+        val proj = planeCoefs(t, p, dim).zip(query).map { case (c, x) => c * x }.sum
+        if (proj > 0) 1L << p else 0L
+      }.sum
+      signLshTableBucket(asDouble(col(vecCol)), dim, numPlanes, t) === lit(qBucket)
     }
     embeddings
       .filter(tables.reduce(_ || _))
@@ -84,11 +95,8 @@ object Similarity {
 
   private def signLshTableBucket(vec: Column, dim: Int, numPlanes: Int, table: Int): Column = {
     val planes = (0 until numPlanes).map { p =>
-      val proj = (0 until dim).map { i =>
-        vec.getItem(i) *
-          ((xxhash64(lit(table * 1000 + p), lit(i)) % 1000L).cast("double") / 1000.0)
-      }.reduce(_ + _)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
+      val coefs = array(planeCoefs(table, p, dim).map(lit).toIndexedSeq: _*)
+      when(dot(vec, coefs) > 0, shiftleft(lit(1L), p)).otherwise(0L)
     }
     planes.reduce(_ + _)
   }

@@ -115,29 +115,47 @@ object StatTests {
       .drop("_ts1", "_ts2", "_ssw")
   }
 
-  /** Pairwise-complete Pearson correlation matrix between samples (ref
-    * analysis.py:26-48 `correlation`, np.ma.corrcoef semantics:
-    * each pair uses rows where BOTH are observed — differs from
-    * spark.ml's listwise deletion, hence the self-join formulation,
-    * SURVEY §7.4).
+  /** One row per (feature, ordered sample pair, x, y) with BOTH values
+    * observed — the pairwise-complete building block shared by the
+    * correlation matrix, the PCA Gram matrix and Ward distances.
     *
-    * Plan: equi self-join on the feature id (sort-merge at scale; the
-    * join key is the high-cardinality id so it partitions evenly),
-    * then one hash agg per (sample1, sample2). n² sample pairs is
-    * small (samples ≤ 10³) — the OUTPUT is tiny; all heavy work is the
-    * join, which AQE handles.
+    * Plan: ONE groupBy(feature) gathers each feature's (sample, value)
+    * list (samples ≤ 10³ — bounded per row), then an in-row pair
+    * expansion. A self-join formulation would scan and shuffle the
+    * fact table TWICE and sort both sides; this shuffles it once and
+    * the pair blow-up happens after the exchange, feeding straight
+    * into a partial aggregate.
     */
-  def correlationMatrix(
+  def pairObservations(
       df: DataFrame,
       idCols: Seq[String],
       sampleCol: String,
       valueCol: String): DataFrame = {
-    val l = df.select((idCols.map(col) :+ col(sampleCol).as("s1") :+ col(valueCol).as("x")): _*)
-      .filter(col("x").isNotNull)
-    val r = df.select((idCols.map(col) :+ col(sampleCol).as("s2") :+ col(valueCol).as("y")): _*)
-      .filter(col("y").isNotNull)
-    l.join(r, idCols)
+    val gathered = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(idCols.map(col): _*)
+      .agg(collect_list(struct(col(sampleCol).as("s"), col(valueCol).as("v"))).as("_obs"))
+    val pairs = flatten(transform(col("_obs"), a =>
+      transform(col("_obs"), b =>
+        struct(a.getField("s").as("s1"), b.getField("s").as("s2"),
+          a.getField("v").as("x"), b.getField("v").as("y")))))
+    gathered
+      .select(explode(pairs).as("_p"))
+      .select(col("_p.s1"), col("_p.s2"), col("_p.x"), col("_p.y"))
       .filter(col("s1") <= col("s2"))
+  }
+
+  /** Pairwise-complete Pearson correlation matrix between samples (ref
+    * analysis.py:26-48 `correlation`, np.ma.corrcoef semantics:
+    * each pair uses rows where BOTH are observed — differs from
+    * spark.ml's listwise deletion). Built on pairObservations (single
+    * shuffle); the s² output is tiny. */
+  def correlationMatrix(
+      df: DataFrame,
+      idCols: Seq[String],
+      sampleCol: String,
+      valueCol: String): DataFrame =
+    pairObservations(df, idCols, sampleCol, valueCol)
       .groupBy(col("s1"), col("s2"))
       .agg(
         count(lit(1)).as("n"),
@@ -146,5 +164,4 @@ object StatTests {
         sumProdExact(col("x"), col("y")).as("_sxy"))
       .withColumn("r", corrOf(col("n"), col("_sx"), col("_sy"), col("_sxx"), col("_syy"), col("_sxy")))
       .drop("_sx", "_sy", "_sxx", "_syy", "_sxy")
-  }
 }

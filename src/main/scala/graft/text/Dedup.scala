@@ -31,17 +31,19 @@ object Dedup {
 
   /** MinHash signature: k independent min-hashes over the shingle set.
     * hash_i(s) = xxhash64(i, s) — deterministic, seedable, codegen'd.
-    * One explode + one groupBy(id) with k min() aggregates (all
-    * map-side combined; the shuffle carries k longs per doc). */
+    *
+    * Entirely ROW-LOCAL: the shingle array is materialized once per
+    * document and each signature slot is an array_min over a
+    * transform — zero shuffles, embarrassingly parallel at any scale
+    * (an explode + groupBy formulation would shuffle every shingle). */
   def minHashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, shingleSize: Int = 3): DataFrame = {
-    val exploded = df.select(
-      col(idCol),
-      explode(wordShingles(col(textCol), shingleSize)).as("_shingle"))
+    val withShingles = df.select(
+      col(idCol), wordShingles(col(textCol), shingleSize).as("_shingles"))
     val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("_shingle"))).as(s"mh_$i"))
-    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      array_min(transform(col("_shingles"), s => xxhash64(lit(i), s))).as(s"mh_$i"))
+    withShingles.select((col(idCol) +: mins): _*)
   }
 
   /** LSH banding over minhash signatures → candidate near-dup pairs.
@@ -86,21 +88,22 @@ object Dedup {
         (agree.cast("double") / numHashes).as("est_jaccard"))
   }
 
-  /** 63-bit SimHash per document: sign-sum of token-hash bits. One
-    * explode + 63 conditional sums (single agg pass); bits packed into
-    * a non-negative long (bit 63 left clear — avoids sign/overflow
-    * divergence between engines). */
+  /** 63-bit SimHash per document: sign-sum of token-hash bits, packed
+    * into a non-negative long (bit 63 left clear — avoids sign/overflow
+    * divergence between engines).
+    *
+    * ROW-LOCAL like minHashSignatures: token hashes are one array per
+    * document, each bit's sign-sum an aggregate() over that array —
+    * zero shuffles. */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = df.select(col(idCol), explode(split(col(textCol), " ")).as("_tok"))
-      .withColumn("_h", xxhash64(col("_tok")))
-    val bitSums = (0 until 63).map { b =>
-      sum(when(shiftright(col("_h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"_b$b")
-    }
-    val agg = exploded.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val packed = (0 until 63)
-      .map(b => when(col(s"_b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
-      .reduce(_ + _)
-    agg.select(col(idCol), packed.as("simhash"))
+    val hashes = transform(split(col(textCol), " "), t => xxhash64(t))
+    val withHashes = df.select(col(idCol), hashes.as("_h"))
+    val packed = (0 until 63).map { b =>
+      val bitSum = aggregate(col("_h"), lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(bitSum > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce(_ + _)
+    withHashes.select(col(idCol), packed.as("simhash"))
   }
 
   /** Exact word-set Jaccard for given candidate pairs (verification
