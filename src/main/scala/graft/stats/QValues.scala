@@ -84,6 +84,7 @@ object QValues {
       .agg(count(lit(1)).as("_m"), aggs: _*)
       .head()
     val m = row.getLong(0).toDouble
+    if (m < 100) return 1.0 // ref utils.py:44-45: few tests → pi0 = 1
     val pi0s = lambdas.zipWithIndex.map { case (l, i) => row.getLong(i + 1) / (m * (1.0 - l)) }
     val fitted = NaturalCubicSpline.interpolate(lambdas.toArray, pi0s.toArray, lambdas.last)
     math.min(math.max(fitted, 1e-8), 1.0)
