@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.io.MaxQuant
+import graft.ops.{Filters, Normalize, Reshape}
+
+/** Parity harness (SURVEY §5.2.4): reads a MaxQuant-style fixture TSV,
+  * applies the engine's filter/reshape/normalize chain, dumps each
+  * stage as CSV for tools/parity.py to diff against the reference
+  * (padua itself, run in pandas) on the same fixture.
+  */
+object ParityDump {
+  def main(args: Array[String]): Unit = {
+    val Array(fixture, outDir) = args
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val raw = MaxQuant.readMaxQuant(spark, fixture)
+
+    def dump(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      df.coalesce(1).write.mode("overwrite").option("header", "true")
+        .csv(s"$outDir/$name")
+
+    // stage 1: decoy/contaminant removal
+    val s1 = Filters.removeContaminants(Filters.removeReverse(raw))
+    dump(s1.select(col("id")), "after_flags")
+
+    // stage 2: localization probability filter
+    val s2 = Filters.filterLocalizationProbability(s1)
+    dump(s2.select(col("id")), "after_locprob")
+
+    // stage 3: expand side table
+    val s3 = Reshape.expandSideTable(s2)
+    dump(s3.select(col("id"), col("Multiplicity"),
+      col("Intensity A1"), col("Intensity B1")), "after_expand")
+
+    // stage 4: log2 + median centering on the long form
+    val intensityCols = s3.columns.filter(_.startsWith("Intensity ")).toSeq
+    val long = Reshape.unpivot(s3, Seq("id"), intensityCols,
+        nameCol = "sample", valueCol = "value")
+      .withColumn("value", Reshape.infToNull(log2(col("value"))))
+    val centered = Normalize.subtractColumnMedian(long, "sample", "value")
+    dump(centered.select(col("id"), col("sample"),
+      format_number(col("value"), 9).as("value")), "after_median")
+
+    spark.stop()
+  }
+}

@@ -34,12 +34,20 @@ object Reshape {
       idCol: String = "id"): DataFrame = {
     val suffixed = df.columns.filter(c => suffixes.exists(c.endsWith))
     val base = df.columns.filterNot(suffixed.contains)
-    // only expand multiplicities that actually occur — a branch for an
-    // absent suffix would union mismatched schemas
-    val present = suffixes.filter(sfx => suffixed.exists(_.endsWith(sfx)))
-    val branches = present.map { sfx =>
-      val theseCols = suffixed.filter(_.endsWith(sfx))
-      val renamed = theseCols.map(c => col(c).as(c.stripSuffix(sfx)))
+    // every requested multiplicity gets a branch, like the reference
+    // (process.py:247-268 always emits ___1/___2/___3): a suffix with
+    // no matching columns contributes all-null expression cells
+    // (verified against padua itself by tools/parity.py)
+    val valueBases = suffixed.map(c =>
+      suffixes.find(c.endsWith).map(c.stripSuffix).getOrElse(c)).distinct
+    def typeOf(baseName: String) =
+      df.schema(df.columns.find(c =>
+        suffixes.exists(s => c == baseName + s)).get).dataType
+    val branches = suffixes.map { sfx =>
+      val renamed = valueBases.map { b =>
+        if (df.columns.contains(b + sfx)) col(b + sfx).as(b)
+        else lit(null).cast(typeOf(b)).as(b)
+      }
       val baseCols = base.map {
         case c if c == idCol => concat(col(idCol).cast("string"), lit(sfx)).as(idCol)
         case c               => col(c)

@@ -42,7 +42,7 @@ class PropertySpec extends SparkSpec {
       val cols = suffixes.map(s => s"Intensity X$s")
       val df = vs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("id", "v0")
       val wide = cols.foldLeft(df) { (acc, c) => acc.withColumn(c, col("v0")) }.drop("v0")
-      val out = Reshape.expandSideTable(wide)
+      val out = Reshape.expandSideTable(wide, suffixes)
       assert(out.count() == vs.length.toLong * mults)
       // id___k values are unique (bijection input×suffix → output)
       assert(out.select("id").distinct().count() == vs.length.toLong * mults)
