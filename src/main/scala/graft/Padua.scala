@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.functions.ScalarFuncs
+import graft.io.MaxQuant
+import graft.ml.{Pca, Pls, Ward}
+import graft.ops._
+import graft.stats._
+
+/** Reference-named facade: every public padua function, addressable by
+  * its original name, delegating to the Spark-first implementation.
+  * A reference user's vocabulary maps 1:1; the long-form data model
+  * and Column-based arguments are the (documented) API shift.
+  */
+object Padua {
+
+  // ---- io (padua/io.py) ----
+  def read_maxquant(spark: SparkSession, f: String): DataFrame = MaxQuant.readMaxQuant(spark, f)
+  def read_perseus(spark: SparkSession, f: String): DataFrame = MaxQuant.readPerseus(spark, f)
+  def write_perseus(f: String, df: DataFrame): Unit = MaxQuant.writePerseus(df, f)
+  def write_phosphopath(df: DataFrame, f: String): Unit = MaxQuant.writePhosphopath(df, f)
+  def write_phosphopath_ratio(long: DataFrame, groupCol: String, tpCol: String,
+      valueCol: String, control: String, comparisons: Seq[(String, Int)]): DataFrame =
+    MaxQuant.phosphopathRatioFrame(long, groupCol, tpCol, valueCol, control, comparisons)
+  def write_r(df: DataFrame, indexCols: Seq[String]): DataFrame = MaxQuant.rFrame(df, indexCols)
+
+  // ---- filters (padua/filters.py) ----
+  def remove_rows_matching(df: DataFrame, column: String, m: Any): DataFrame =
+    Filters.removeRowsMatching(df, column, m)
+  def remove_rows_containing(df: DataFrame, column: String, m: String): DataFrame =
+    Filters.removeRowsContaining(df, column, m)
+  def remove_reverse(df: DataFrame): DataFrame = Filters.removeReverse(df)
+  def remove_contaminants(df: DataFrame): DataFrame = Filters.removeContaminants(df)
+  def remove_only_identified_by_site(df: DataFrame): DataFrame =
+    Filters.removeOnlyIdentifiedBySite(df)
+  def filter_localization_probability(df: DataFrame, threshold: Double = 0.75): DataFrame =
+    Filters.filterLocalizationProbability(df, threshold = threshold)
+  def minimum_valid_values_in_any_group(df: DataFrame, idCols: Seq[String],
+      groupCols: Seq[String], valueCol: String, n: Long): DataFrame =
+    Filters.minimumValidValuesInAnyGroup(df, idCols, groupCols, valueCol, n)
+  def search(df: DataFrame, m: String, columns: Seq[String]): DataFrame =
+    Filters.search(df, m, columns)
+  def filter_exclude(df: DataFrame, s: String): DataFrame = Filters.filterExclude(df, s)
+  def filter_select_columns_intensity(df: DataFrame, keep: Seq[String]): DataFrame =
+    Filters.selectIntensityColumns(df, keep)
+  def filter_select_columns_ratio(df: DataFrame, keep: Seq[String]): DataFrame =
+    Filters.selectRatioColumns(df, keep)
+  def filter_intensity(df: DataFrame, label: String = "", withMultiplicity: Boolean = false): DataFrame =
+    Filters.filterIntensity(df, label, withMultiplicity)
+  def filter_intensity_lfq(df: DataFrame, label: String = "", withMultiplicity: Boolean = false): DataFrame =
+    Filters.filterIntensityLfq(df, label, withMultiplicity)
+  def filter_ratio(df: DataFrame, label: String = "", withMultiplicity: Boolean = false): DataFrame =
+    Filters.filterRatio(df, label, withMultiplicity)
+
+  // ---- process (padua/process.py) ----
+  def build_index_from_design(obs: DataFrame, design: DataFrame,
+      removePrefixes: Seq[String] = Nil, keepUnmatched: Boolean = true): DataFrame =
+    Design.buildIndexFromDesign(obs, design,
+      removePrefixes = removePrefixes, keepUnmatched = keepUnmatched)
+  def build_index_from_labels(df: DataFrame, sampleCol: String,
+      levels: Seq[(String, String, Option[String])]): DataFrame =
+    Design.buildIndexFromLabels(df, sampleCol, levels)
+  def apply_experimental_design(df: DataFrame, lookup: DataFrame): DataFrame =
+    Design.applyExperimentalDesign(df, lookup)
+  def strip_index_labels(df: DataFrame, strip: String): DataFrame =
+    Filters.stripColumnLabels(df, strip)
+  def expand_side_table(df: DataFrame): DataFrame = Reshape.expandSideTable(df)
+  def fold_columns_to_rows(df: DataFrame, keyCols: Seq[String], valueCols: Seq[String]): DataFrame =
+    Reshape.unpivot(df, keyCols, valueCols)
+  def transform_expression_columns(df: DataFrame, columns: Seq[String],
+      fn: Column => Column = org.apache.spark.sql.functions.log2): DataFrame =
+    Reshape.transformExpressionColumns(df, columns, fn)
+  def combine_expression_columns(df: DataFrame, pairs: Seq[(String, String, String)]): DataFrame =
+    Reshape.combineExpressionColumns(df, pairs)
+
+  // ---- normalization / imputation ----
+  def subtract_column_median(df: DataFrame, sampleCol: String = "sample",
+      valueCol: String = "value"): DataFrame =
+    Normalize.subtractColumnMedian(df, sampleCol, valueCol)
+  def gaussian(df: DataFrame, sampleCol: String = "sample", valueCol: String = "value",
+      width: Double = 0.3, downshift: Double = -1.8, seed: Long = 42L): DataFrame =
+    Impute.gaussian(df, sampleCol, valueCol, width, downshift, seed)
+
+  // ---- analysis (padua/analysis.py) ----
+  def correlation(df: DataFrame, idCols: Seq[String], sampleCol: String,
+      valueCol: String): DataFrame =
+    StatTests.correlationMatrix(df, idCols, sampleCol, valueCol)
+  def ttest_ind(df: DataFrame, idCols: Seq[String], groupCol: String, valueCol: String,
+      a: String, b: String): DataFrame =
+    StatTests.tTestInd(df, idCols, groupCol, valueCol, a, b)
+  def ttest_1samp(df: DataFrame, idCols: Seq[String], valueCol: String,
+      popMean: Double = 0.0): DataFrame =
+    StatTests.tTest1Samp(df, idCols, valueCol, popMean)
+  def anova_1way(df: DataFrame, idCols: Seq[String], groupCol: String,
+      valueCol: String): DataFrame =
+    StatTests.anova1Way(df, idCols, groupCol, valueCol)
+  def pca(df: DataFrame, idCol: String, sampleCol: String, valueCol: String,
+      nComponents: Int = 2): Pca.PcaModel =
+    Pca.fit(df, idCol, sampleCol, valueCol, nComponents)
+  def plsda(spark: SparkSession, df: DataFrame, groupA: Set[String], groupB: Set[String],
+      idCol: String, sampleCol: String, valueCol: String, nComponents: Int = 2): Pls.PlsModel = {
+    val y = (groupA.map(_ -> 0.0) ++ groupB.map(_ -> 1.0)).toMap
+    Pls.fit(spark, df, y, idCol, sampleCol, valueCol, nComponents)
+  }
+  def plsr(spark: SparkSession, df: DataFrame, y: Map[String, Double],
+      idCol: String, sampleCol: String, valueCol: String, nComponents: Int = 2): Pls.PlsModel =
+    Pls.fit(spark, df, y, idCol, sampleCol, valueCol, nComponents)
+  def enrichment_from_msp(df: DataFrame, modificationsCol: String, sampleCol: String,
+      valueCol: String, modification: String): DataFrame =
+    Summaries.enrichmentFromMsp(df, modificationsCol, sampleCol, valueCol, modification)
+  def sitespeptidesproteins(df: DataFrame): DataFrame = Summaries.sitesPeptidesProteins(df)
+  def modifiedaminoacids(df: DataFrame): DataFrame =
+    df.groupBy(org.apache.spark.sql.functions.col("Amino acid"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+
+  // ---- utils (padua/utils.py) ----
+  def qvalues(df: DataFrame, pCol: String, qCol: String = "q", pi0: Double = 1.0): DataFrame =
+    QValues.qvalues(df, pCol, qCol, pi0)
+  def get_protein_id(c: Column): Column = ScalarFuncs.proteinId(c)
+  def get_protein_ids(c: Column): Column = ScalarFuncs.proteinIds(c)
+  def get_protein_id_list(df: DataFrame, column: String): DataFrame =
+    ScalarFuncs.proteinIdList(df, column)
+  def get_shortstr(c: Column): Column = ScalarFuncs.shortStr(c)
+  def format_label(sep: String, parts: Column*): Column = ScalarFuncs.formatLabel(sep, parts: _*)
+  def hierarchical_match[V](d: Map[Seq[String], V], k: Seq[String], default: V): V =
+    ScalarFuncs.hierarchicalMatch(d, k, default)
+  def calculate_s0_curve(absRatio: Column, s0: Double, minRatio: Double, minP: Double): Column =
+    ScalarFuncs.s0CurveP(absRatio, s0, minRatio, minP)
+  def chunks(df: DataFrame, orderCol: String, tieCol: String, num: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    df.withColumn("chunk", ntile(num).over(Window.orderBy(col(orderCol), col(tieCol))))
+  }
+  def find_nearest_idx(df: DataFrame, valueColumn: String, keyCol: String, value: Double): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.agg(min_by(col(keyCol), struct(abs(col(valueColumn) - value), col(keyCol))).as("nearest"))
+  }
+
+  // ---- visualize data contracts (padua/visualize.py analytics) ----
+  def volcano(df: DataFrame, idCols: Seq[String], groupCol: String, valueCol: String,
+      control: String, comparison: String, minValidN: Int = 3, s0: Double = 0.5,
+      minRatio: Double = 1.0, minP: Double = 0.05): DataFrame =
+    Volcano.twoSample(df, idCols, groupCol, valueCol, control, comparison,
+      minValidN, s0, minRatio, minP)
+  def venn(a: DataFrame, b: DataFrame): Long = a.intersect(b).count()
+  def hierarchical(spark: SparkSession, df: DataFrame, idCol: String, sampleCol: String,
+      valueCol: String, nClusters: Int): DataFrame =
+    Ward.clusterSamples(spark, df, idCol, sampleCol, valueCol, nClusters)
+}
