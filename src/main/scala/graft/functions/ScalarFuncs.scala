@@ -26,11 +26,13 @@ object ScalarFuncs {
 
   /** int → double → string coercion chain (ref process.py:7-20 `numeric`).
     * Returns a struct so all three candidate types survive Catalyst's
-    * single-type column rule; consumers pick the field they need. */
+    * single-type column rule; consumers pick the field they need.
+    * try_cast: failures become null (the reference falls through to
+    * the next type) rather than erroring under ANSI mode. */
   def numericCoerce(c: Column): Column =
     struct(
-      c.cast("long").as("as_long"),
-      c.cast("double").as("as_double"),
+      c.try_cast("long").as("as_long"),
+      c.try_cast("double").as("as_double"),
       c.cast("string").as("as_string"))
 
   /** Join label parts (ref utils.py:191-225 `format_label`). */

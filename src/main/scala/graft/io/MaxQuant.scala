@@ -60,7 +60,9 @@ object MaxQuant {
       .csv(path)
       .filter(!coalesce(col(labels.head), lit("")).isin(headFirstFields: _*))
     raw.select(labels.zip(typeRow).map { case (name, t) =>
-      if (t == "N" || t == "E") col(name).cast("double").as(name) else col(name)
+      // try_cast: malformed numerics coerce to null (pandas semantics)
+      // instead of throwing under Spark 4's default ANSI mode
+      if (t == "N" || t == "E") col(name).try_cast("double").as(name) else col(name)
     }.toIndexedSeq: _*)
   }
 
@@ -92,7 +94,7 @@ object MaxQuant {
     val protein = split(split(split(split(col("Proteins"), ";").getItem(0), " ").getItem(0),
       "_").getItem(0), "-").getItem(0)
     val position = split(split(split(col("Positions").cast("string"), ";").getItem(0), " ")
-      .getItem(0), "_").getItem(0).cast("int").cast("string")
+      .getItem(0), "_").getItem(0).try_cast("int").cast("string")
     val apos = concat(col("Amino acid"), position)
     df.select(
       protein.as("protein"),

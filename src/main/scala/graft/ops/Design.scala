@@ -57,7 +57,8 @@ object Design {
       levels: Seq[(String, String, Option[String])]): DataFrame =
     levels.foldLeft(df) { case (acc, (out, pattern, castTo)) =>
       val extracted = regexp_extract(col(sampleCol), pattern, 1)
-      acc.withColumn(out, castTo.fold(extracted)(t => extracted.cast(t)))
+      // try_cast: an unmatched label extracts "" — null, not an ANSI error
+      acc.withColumn(out, castTo.fold(extracted)(t => extracted.try_cast(t)))
     }
 
   /** `apply_experimental_design` (ref process.py:280-306): relabel

@@ -85,11 +85,11 @@ object MiscQueries extends QueryProvider {
     "q_label_extract",
     (s, d) => Tables.orders(s, d).select(
       col("o_orderkey"),
-      regexp_extract(col("o_orderpriority"), "^(\\d+)-(.*)$", 1).cast("int").as("prio_level"),
+      regexp_extract(col("o_orderpriority"), "^(\\d+)-(.*)$", 1).try_cast("int").as("prio_level"),
       regexp_extract(col("o_orderpriority"), "^(\\d+)-(.*)$", 2).as("prio_label")),
     Some("""
       SELECT o_orderkey,
-        CAST(regexp_extract(o_orderpriority, '^(\d+)-(.*)$', 1) AS INT) AS prio_level,
+        TRY_CAST(regexp_extract(o_orderpriority, '^(\d+)-(.*)$', 1) AS INT) AS prio_level,
         regexp_extract(o_orderpriority, '^(\d+)-(.*)$', 2) AS prio_label
       FROM orders"""))
 

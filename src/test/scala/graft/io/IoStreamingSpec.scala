@@ -21,7 +21,7 @@ class IoStreamingSpec extends SparkSpec {
     assert(df.filter($"Reverse" === "+").count() == 1)
   }
 
-  test("readPerseus keeps label row only, types from #!{Type} row") {
+  test("readPerseus keeps label row only, types from #!{Type} row, malformed numerics -> null") {
     val tmp = Files.createTempDirectory("pers").toString
     Files.writeString(java.nio.file.Paths.get(tmp, "p.txt"),
       "Proteins\tIntensity A\tIntensity B\n" +
@@ -29,12 +29,14 @@ class IoStreamingSpec extends SparkSpec {
       "C:x\t\t\n" +
       "C:y\t\t\n" +
       "P1\t1.5\t2.5\n" +
-      "P2\t3.5\t4.5\n")
+      "P2\t3.5\t4.5\n" +
+      "P3\tNaN?\tbroken\n") // malformed numerics coerce to null, not ANSI error
     val df = MaxQuant.readPerseus(spark, s"$tmp/p.txt")
     assert(df.columns.toSeq == Seq("Proteins", "Intensity A", "Intensity B"))
-    assert(df.count() == 2)
+    assert(df.count() == 3)
     assert(df.schema("Intensity A").dataType.typeName == "double")
     assert(approx(df.filter($"Proteins" === "P1").head().getDouble(1), 1.5))
+    assert(df.filter($"Proteins" === "P3").head().isNullAt(1))
   }
 
   test("writePerseus emits data parts + header sidecar with type row") {
