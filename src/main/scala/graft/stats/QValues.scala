@@ -32,9 +32,9 @@ object QValues {
       qCol: String = "q",
       pi0: Double = 1.0,
       numBuckets: Int = 1024): DataFrame = {
-    val m = df.filter(col(pCol).isNotNull).count() // total tests (one cheap count job)
     val p = col(pCol)
     val bucketed = df
+      .filter(p.isNotNull)
       .withColumn("_bkt", least(floor(p * numBuckets).cast("int"), lit(numBuckets - 1)))
 
     // Tiny per-bucket summary: row count and min raw candidate needs
@@ -48,12 +48,18 @@ object QValues {
     val offsets = counts
       .withColumn("_offset",
         coalesce(sum(col("_bn")).over(wAll.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("_bkt"), col("_offset"))
+      // m (total tests) = running offset + bucket count of the LAST
+      // bucket — derived from the summary the plan already computes,
+      // instead of a separate count() pass over the data
+      .withColumn("_m",
+        max(col("_offset") + col("_bn")).over(wAll.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("_bkt"), col("_offset"), col("_m"))
 
     val ranked = local
       .join(broadcast(offsets), Seq("_bkt"))
       .withColumn("_rank", col("_offset") + col("_lrank"))
-      .withColumn("_raw", lit(pi0) * lit(m.toDouble) * p / col("_rank").cast("double"))
+      .withColumn("_raw", lit(pi0) * col("_m").cast("double") * p / col("_rank").cast("double"))
 
     // Backward running min within bucket…
     val withLocalMin = ranked.withColumn(
@@ -67,7 +73,7 @@ object QValues {
     withLocalMin
       .join(broadcast(bucketMins), Seq("_bkt"))
       .withColumn(qCol, least(least(col("_lmin"), col("_laterMin")), lit(1.0)))
-      .drop("_bkt", "_lrank", "_offset", "_rank", "_raw", "_lmin", "_laterMin")
+      .drop("_bkt", "_lrank", "_offset", "_m", "_rank", "_raw", "_lmin", "_laterMin")
   }
 
   /** Storey pi0 estimate (ref utils.py:42-72): over λ grid 0,0.01,…,0.89,
