@@ -206,13 +206,13 @@ object CoreQueries extends QueryProvider {
   private val qVenn = Q(
     "q_venn",
     (s, d) => {
+      // fully lazy: one action computes all three set sizes
       val a = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey"))
       val b = Tables.orders(s, d).select(col("o_custkey").as("c_custkey")).distinct()
-      val na = a.count(); val nb = b.count(); val nab = a.intersect(b).count()
-      val spark = s
-      import spark.implicits._
-      Seq((na, nb, nab)).toDF("n_a", "n_b", "n_ab")
+      a.agg(count(lit(1)).as("n_a"))
+        .crossJoin(b.agg(count(lit(1)).as("n_b")))
+        .crossJoin(a.intersect(b).agg(count(lit(1)).as("n_ab")))
     },
     Some("""
       SELECT

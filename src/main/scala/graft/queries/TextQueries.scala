@@ -161,6 +161,13 @@ object TextQueries extends QueryProvider {
     (s, d) => Dedup.simHash(Tables.documents(s, d), "doc_id", "text"),
     None)
 
+  private val qWinnow = Q(
+    "q_winnowing_fingerprints",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      size(TextAnalysis.winnowingFingerprints(col("text"))).as("n_fingerprints")),
+    None)
+
   private val qLshPairs = Q(
     "q_embedding_neardup_pairs",
     // threshold low enough that the synthetic corpus yields pairs;
@@ -185,5 +192,5 @@ object TextQueries extends QueryProvider {
 
   def all: Seq[Q] = Seq(
     qDedupExact, qFingerprint, qTokens, qQuality, qLangId, qJaccard, qAnn, qAnnLsh,
-    qMinhash, qSimhash, qLshPairs)
+    qMinhash, qSimhash, qWinnow, qLshPairs)
 }

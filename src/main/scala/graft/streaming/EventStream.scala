@@ -73,6 +73,15 @@ object EventStream {
       .toDF()
   }
 
+  /** Streaming exact dedup: drop events whose dedup key was already
+    * seen within the watermark horizon (`dropDuplicatesWithinWatermark`
+    * — bounded state, unlike unbounded dropDuplicates). The streaming
+    * face of Dedup.exactByContent. */
+  def dedupeStream(events: DataFrame, keyCols: Seq[String], watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("event_ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Drive a streaming frame to a memory sink synchronously (local
     * verification; production would use a real sink). */
   def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): StreamingQuery = {

@@ -87,7 +87,27 @@ object TextAnalysis {
 
   /** Document fingerprint: first 16 hex chars of md5 (content-stable,
     * engine-portable). For a rolling/locality-sensitive fingerprint see
-    * Dedup.simHash. */
+    * Dedup.simHash and winnowingFingerprints. */
   def fingerprint(text: Column): Column =
     substring(md5(text.cast("binary")), 1, 16)
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
+    * scheme): hash every k-gram, then keep the minimum hash of each
+    * sliding window of `w` consecutive k-gram hashes; the distinct
+    * minima are the document's fingerprint set. Guarantees any shared
+    * substring of length >= w+k-1 yields a shared fingerprint.
+    *
+    * Entirely row-local (sequence/transform/slice/array_min) — no
+    * explode, no shuffle; pair-matching on fingerprints is then an
+    * equi-join on the exploded fingerprint set. */
+  def winnowingFingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
+    val n = length(text)
+    val grams = transform(
+      sequence(lit(1), greatest(n - (k - 1), lit(1))),
+      i => xxhash64(text.substr(i, lit(k))))
+    val windows = transform(
+      sequence(lit(0), greatest(size(grams) - w, lit(0))),
+      i => array_min(slice(grams, i + 1, lit(w))))
+    array_distinct(windows)
+  }
 }

@@ -132,6 +132,18 @@ class IoStreamingSpec extends SparkSpec {
     got.foreach { case (id, s) => assert(batch(id) == s, s"event $id") }
   }
 
+  test("streaming dedup drops duplicate keys within the watermark") {
+    val events = EventStream.readEvents(spark, eventsDir)
+      // synthesize duplicates: halve the key space
+      .withColumn("dup_key", col("event_id") % 100)
+    val q = EventStream.runToMemory(
+      EventStream.dedupeStream(events, Seq("dup_key")), "dedup_stream")
+    q.stop()
+    val got = spark.table("dedup_stream")
+    assert(got.count() <= 100)
+    assert(got.select("dup_key").distinct().count() == got.count())
+  }
+
   test("multimodal decode is deterministic and batched") {
     val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
     val media = Multimodal.attachBinary(docs, "doc_id", "text")

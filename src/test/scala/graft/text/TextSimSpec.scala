@@ -48,6 +48,20 @@ class TextSimSpec extends SparkSpec {
     assert(out(1) > out(3))
   }
 
+  test("winnowing fingerprints: shared substrings share fingerprints, stable under shift") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val shifted = "PREFIX " + base // same content, shifted position
+    val other = "zqxwv jklmn pqrst uvabc defgh ijklo"
+    val df = Seq((1L, base), (2L, shifted), (3L, other)).toDF("id", "t")
+    val fps = df.select($"id", TextAnalysis.winnowingFingerprints($"t").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // winnowing guarantee: long shared substrings → shared fingerprints
+    val overlap12 = fps(1L).intersect(fps(2L)).size.toDouble / fps(1L).size
+    val overlap13 = fps(1L).intersect(fps(3L)).size.toDouble / fps(1L).size
+    assert(overlap12 > 0.8, s"shifted copy overlap $overlap12")
+    assert(overlap13 < 0.1, s"unrelated overlap $overlap13")
+  }
+
   test("bruteForceTopK ranks by exact cosine") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
