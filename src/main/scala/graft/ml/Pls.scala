@@ -21,7 +21,8 @@ object Pls {
   final case class PlsModel(
       sampleOrder: Seq[String],
       // per component: (featureWeights DF (id, w), sampleScores map, loadingQ)
-      components: Seq[(DataFrame, Map[String, Double], Double)])
+      components: Seq[(DataFrame, Map[String, Double], Double)],
+      yMean: Double)
 
   /** Fit PLS1 on long form + per-sample response. `y` maps sample →
     * response (e.g. class 0/1 for PLS-DA, ref analysis.py:116-123). */
@@ -35,7 +36,13 @@ object Pls {
       nComponents: Int = 2): PlsModel = {
     val samples = y.keys.toSeq.sorted
     var yc = center(y) // centered response
-    var x = df.select(col(idCol), col(sampleCol), coalesce(col(valueCol), lit(0.0)).as("_x"))
+    // center X per feature over samples (sklearn PLSRegression centers
+    // both X and y; without it scores carry a constant offset and the
+    // regression equation ŷ = ȳ + Σ q·t is biased)
+    val raw = df.select(col(idCol), col(sampleCol), coalesce(col(valueCol), lit(0.0)).as("_x"))
+    val featureMeans = raw.groupBy(col(idCol)).agg(avg(col("_x")).as("_fmu"))
+    var x = raw.join(featureMeans, idCol)
+      .select(col(idCol), col(sampleCol), (col("_x") - col("_fmu")).as("_x"))
       .localCheckpoint()
 
     val comps = (0 until nComponents).map { _ =>
@@ -65,7 +72,19 @@ object Pls {
       yc = yc.map { case (s, v) => s -> (v - q * tRows.getOrElse(s, 0.0)) }
       (w, tRows, q)
     }
-    PlsModel(samples, comps)
+    PlsModel(samples, comps, y.values.sum / y.size)
+  }
+
+  /** Training-sample predictions: ŷ(s) = ȳ + Σ_c q_c·t_c(s) (the
+    * NIPALS regression equation — ref analysis.py:164-216 `plsr`
+    * returns predictions alongside scores). Driver-tiny. */
+  def predict(spark: SparkSession, model: PlsModel): DataFrame = {
+    import spark.implicits._
+    model.sampleOrder.map { s =>
+      val yhat = model.yMean +
+        model.components.map { case (_, t, q) => q * t.getOrElse(s, 0.0) }.sum
+      (s, yhat)
+    }.toDF("sample", "predicted")
   }
 
   /** Per-sample scores table (components as columns) — tiny output. */

@@ -72,6 +72,11 @@ class MlSpec extends SparkSpec {
     val w = model.components.head._1.collect()
       .map(r => r.getString(0) -> math.abs(r.getDouble(1))).toMap
     assert(w("fsig") > w("fnoise"))
+    // predictions recover the class structure (plsr surface)
+    val pred = Pls.predict(spark, model).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pred("s1") < 0.5 && pred("s2") < 0.5)
+    assert(pred("s3") > 0.5 && pred("s4") > 0.5)
   }
 
   test("gaussian imputation: observed preserved, imputed deterministic + downshifted") {
