@@ -49,6 +49,14 @@ object ParityDump {
     dump(centered.select(col("id"), col("sample"),
       format_number(col("value"), 9).as("value")), "after_median")
 
+    // timed single-pass run of the whole chain (session already warm)
+    // for the pandas-vs-engine throughput comparison (tools/parity.py
+    // bench mode): count() forces the full pipeline without the CSV
+    // sink overhead.
+    val t0 = System.nanoTime()
+    val n = centered.count()
+    println(f"PIPELINE_SECONDS=${(System.nanoTime() - t0) / 1e9}%.3f ROWS=$n")
+
     spark.stop()
   }
 }

@@ -31,9 +31,29 @@ def load(name):
     return mod
 
 
-def gen(path):
+def bench(fixture):
+    """Time the reference's own pandas chain (filters -> locprob ->
+    expand -> log2 -> median-center) on the fixture. Compare with the
+    PIPELINE_SECONDS line ParityDump prints for the same chain."""
+    import time
+    filters = load("filters")
+    process = load("process")
+    df = pd.read_csv(fixture, sep="\t", index_col="id")
+    t0 = time.time()
+    s = filters.remove_rows_containing(df, "Reverse", "+")
+    s = filters.remove_rows_matching(s, "Potential contaminant", "+")
+    s = filters.filter_localization_probability(s)
+    s = process.expand_side_table(s)
+    expr_cols = [c for c in s.columns if c.startswith("Intensity ")]
+    s[expr_cols] = np.log2(s[expr_cols])
+    s[expr_cols] = s[expr_cols].replace([np.inf, -np.inf], np.nan)
+    s[expr_cols] = s[expr_cols] - s[expr_cols].median(axis=0)
+    n = s[expr_cols].notna().sum().sum()
+    print(f"PANDAS_SECONDS={time.time() - t0:.3f} CELLS={int(n)}")
+
+
+def gen(path, n=40):
     rng = np.random.RandomState(7)
-    n = 40
     rows = []
     for i in range(n):
         base = 50.0 * (i + 1)
@@ -152,6 +172,8 @@ def check(fixture, outdir):
 
 if __name__ == "__main__":
     if sys.argv[1] == "gen":
-        gen(sys.argv[2])
+        gen(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 40)
+    elif sys.argv[1] == "bench":
+        bench(sys.argv[2])
     else:
         sys.exit(check(sys.argv[2], sys.argv[3]))
