@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.{Dedup, TextAnalysis}
+
+/** End-to-end training-data curation (the north-star extension
+  * surface as ONE composable pipeline): annotate → quality/language
+  * gate → exact dedup → near-dup dedup (MinHash-LSH candidates +
+  * signature-estimated Jaccard), keeping the lowest doc id of each
+  * duplicate cluster.
+  *
+  * Plan shape at 100 TB: annotation is row-local (no shuffle); the
+  * exact-dedup pass shuffles (digest, id) pairs; LSH shuffles
+  * (band, hash, id) triples; the only joins against the full corpus
+  * are left-anti by id. Documents' text never shuffles.
+  */
+object TrainingData {
+
+  final case class CurationConfig(
+      minQuality: Double = 0.3,
+      langs: Set[String] = Set("en"),
+      minTokens: Long = 5,
+      minHashes: Int = 32,
+      bands: Int = 8,
+      shingleSize: Int = 3,
+      nearDupJaccard: Double = 0.7)
+
+  /** Row-local annotation: quality, language, token counts,
+    * fingerprints. */
+  def annotate(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol), col(textCol),
+      TextAnalysis.qualityScore(col(textCol)).as("quality"),
+      TextAnalysis.langId(col(textCol)).as("lang_pred"),
+      TextAnalysis.tokenCountWhitespace(col(textCol)).as("n_tokens"),
+      TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+
+  /** Full curation: returns the surviving documents with annotations
+    * plus a `drop_reason` breakdown table (second element). */
+  def curate(
+      docs: DataFrame, idCol: String, textCol: String,
+      cfg: CurationConfig = CurationConfig()): (DataFrame, DataFrame) = {
+    val ann = annotate(docs, idCol, textCol)
+    val gated = ann.filter(
+      col("quality") >= cfg.minQuality &&
+      col("lang_pred").isin(cfg.langs.toSeq: _*) &&
+      col("n_tokens") >= cfg.minTokens)
+
+    // exact dedup: keep the lowest id per content hash
+    val keepExact = gated
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    val exactDeduped = gated.join(keepExact, Seq(idCol), "left_semi")
+
+    // near-dup dedup: LSH candidates → estimated jaccard → drop the
+    // higher id of each confirmed pair
+    val sigs = Dedup.minHashSignatures(exactDeduped, idCol, textCol,
+      cfg.minHashes, cfg.shingleSize)
+    val nearDups = Dedup.minHashJaccard(
+        Dedup.minHashCandidatePairs(sigs, idCol, cfg.minHashes, cfg.bands),
+        sigs, idCol, cfg.minHashes)
+      .filter(col("est_jaccard") >= cfg.nearDupJaccard)
+      .select(col("id_b").as(idCol)).distinct()
+    val kept = exactDeduped.join(nearDups, Seq(idCol), "left_anti")
+
+    val reasons = ann
+      .withColumn("drop_reason",
+        when(col("quality") < cfg.minQuality, "low_quality")
+          .when(!col("lang_pred").isin(cfg.langs.toSeq: _*), "language")
+          .when(col("n_tokens") < cfg.minTokens, "too_short")
+          .otherwise("kept_or_dedup"))
+      .groupBy(col("drop_reason")).agg(count(lit(1)).as("n"))
+    (kept, reasons)
+  }
+}

@@ -190,7 +190,20 @@ object TextQueries extends QueryProvider {
     },
     None)
 
+  // ---- the full curation pipeline (annotate -> gate -> exact dedup ->
+  //      minhash near-dup dedup) as one lazy plan; rows-only ----
+  private val qCurate = Q(
+    "q_curate_pipeline",
+    (s, d) => {
+      val (kept, _) = graft.pipeline.TrainingData.curate(
+        Tables.documents(s, d), "doc_id", "text",
+        graft.pipeline.TrainingData.CurationConfig(
+          minQuality = 0.1, langs = Set("en", "de", "fr", "es", "zh"), minTokens = 3))
+      kept.select(col("doc_id"), col("quality"), col("lang_pred"), col("n_tokens"))
+    },
+    None)
+
   def all: Seq[Q] = Seq(
     qDedupExact, qFingerprint, qTokens, qQuality, qLangId, qJaccard, qAnn, qAnnLsh,
-    qMinhash, qSimhash, qWinnow, qLshPairs)
+    qMinhash, qSimhash, qWinnow, qLshPairs, qCurate)
 }
