@@ -179,6 +179,18 @@ object TextQueries extends QueryProvider {
 
   // ---- ANN scale path: sign-LSH bucket-pruned top-k (rows-only:
   //      xxhash-derived hyperplanes not in SQL) ----
+  private val qAnnIvf = Q(
+    "q_ann_ivf_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(transform(col("embedding"), _.cast("double")).as("q"))
+        .head().getSeq[Double](0).toArray
+      val (assigned, centroids) = Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 16)
+      Similarity.ivfTopK(assigned, centroids, "vec_id", "embedding", q, k = 20, nProbe = 4)
+    },
+    None)
+
   private val qAnnLsh = Q(
     "q_ann_lsh_topk",
     (s, d) => {
@@ -205,5 +217,5 @@ object TextQueries extends QueryProvider {
 
   def all: Seq[Q] = Seq(
     qDedupExact, qFingerprint, qTokens, qQuality, qLangId, qJaccard, qAnn, qAnnLsh,
-    qMinhash, qSimhash, qWinnow, qLshPairs, qCurate)
+    qAnnIvf, qMinhash, qSimhash, qWinnow, qLshPairs, qCurate)
 }

@@ -101,6 +101,49 @@ object Similarity {
     planes.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) ANN: KMeans coarse quantizer assigns every
+    * vector to a cell; queries scan only the `nProbe` cells whose
+    * centroids are nearest the query. The scale path when the corpus
+    * is partitioned/bucketed by cell id: probing becomes partition
+    * pruning and the scan touches nProbe/nCells of the data.
+    *
+    * Returns (model-assigned frame, centroids) from `ivfIndex`;
+    * `ivfTopK` then prunes + scores. spark.ml KMeans (seeded) does the
+    * distributed fit.
+    */
+  def ivfIndex(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withFeatures = embeddings.withColumn("_features",
+      array_to_vector(asDouble(col(vecCol))))
+    val model = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("_features").setPredictionCol("_cell")
+      .fit(withFeatures)
+    val assigned = model.transform(withFeatures).drop("_features")
+    (assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  def ivfTopK(
+      assigned: DataFrame, centroids: Array[Array[Double]],
+      idCol: String, vecCol: String,
+      query: Array[Double], k: Int, nProbe: Int): DataFrame = {
+    // nearest centroids to the query — driver-side (centroids are tiny)
+    def dist2(c: Array[Double]) =
+      c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
+    val probeCells = centroids.zipWithIndex.sortBy(p => dist2(p._1))
+      .take(nProbe).map(_._2)
+    val qCol = array(query.map(lit): _*)
+    val qNorm = math.sqrt(query.foldLeft(0.0)((acc, x) => acc + x * x))
+    val v = asDouble(col(vecCol))
+    assigned
+      .filter(col("_cell").isin(probeCells.toIndexedSeq: _*))
+      .select(col(idCol), (dot(v, qCol) / (norm(v) * lit(qNorm))).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All-pairs near-neighbor join within LSH buckets (for near-dup
     * detection over embeddings): bucket both sides, equi-join on
     * bucket, verify with exact cosine ≥ threshold. Shuffles only

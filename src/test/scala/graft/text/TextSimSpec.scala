@@ -86,6 +86,17 @@ class TextSimSpec extends SparkSpec {
     assert(out.contains((1L, 2L)))
   }
 
+  test("ivfTopK recalls the identical vector through cell probing") {
+    val q = Array.tabulate(8)(i => 0.3 + 0.1 * i)
+    val vecs = (Seq((1L, q.map(_.toFloat))) ++
+      (2L to 60L).map(i => (i, Array.tabulate(8)(j => ((i * 31 + j * 7) % 13 - 6).toFloat / 6f))))
+      .toDF("vec_id", "embedding")
+    val (assigned, centroids) = Similarity.ivfIndex(vecs, "vec_id", "embedding", nCells = 4)
+    val out = Similarity.ivfTopK(assigned, centroids, "vec_id", "embedding",
+      q, k = 3, nProbe = 2)
+    assert(out.collect().head.getLong(0) == 1L) // exact vector is in the probed cells
+  }
+
   test("lshTopK recalls the identical vector") {
     val q = Array.tabulate(8)(i => 0.3 + 0.1 * i)
     val vecs = (Seq((1L, q.map(_.toFloat))) ++
