@@ -63,7 +63,7 @@ object ScalarFuncs {
     * ratio grows. Volcano cutoff: significant iff p <= curve(|ratio|)
     * (ref visualize.py:584-598). */
   def s0CurveP(absRatio: Column, s0: Double, minRatio: Double, minP: Double): Column =
-    pow(lit(10.0), lit(-s0) / (absRatio - lit(minRatio)) + lit(math.log10(minP)))
+    pow(lit(10.0), try_divide(lit(-s0), absRatio - lit(minRatio)) + lit(math.log10(minP)))
 
   /** Volcano significance classification (ref visualize.py:584-598):
     * point is significant when |ratio| > minRatio and p below the s0

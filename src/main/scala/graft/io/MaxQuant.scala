@@ -133,7 +133,7 @@ object MaxQuant {
           concat_ws("-", col("protein"), col("rsite"),
             col("multiplicity").cast("string"),
             lit((tpOrdinal(tp) + 1).toString)).as("ID"),
-          (col("_ma") / col("_mc")).as("Ratio"))
+          (try_divide(col("_ma"), col("_mc"))).as("Ratio"))
     }
     frames.reduce(_ unionByName _)
   }

@@ -45,7 +45,7 @@ object Normalize {
       .agg(avg(col(valueCol)).as("_mu"), stddev_samp(col(valueCol)).as("_sd"))
     val dim = if (broadcastStats) broadcast(stats) else stats
     df.join(dim, keyCols, "left")
-      .withColumn(outCol, (col(valueCol) - col("_mu")) / col("_sd"))
+      .withColumn(outCol, org.apache.spark.sql.functions.try_divide(col(valueCol) - col("_mu"), col("_sd")))
       .drop("_mu", "_sd")
   }
 }

@@ -250,7 +250,7 @@ object CoreQueries extends QueryProvider {
         .select(col("l_returnflag"), col("_mu"), col("_sd"))
       li.join(broadcast(stats), Seq("l_returnflag"))
         .select(col("l_orderkey"), col("l_linenumber"),
-          ((col("l_quantity") - col("_mu")) / col("_sd")).as("z"))
+          Moments.div(col("l_quantity") - col("_mu"), col("_sd")).as("z"))
     },
     Some(s"""
       SELECT l_orderkey, l_linenumber, (l_quantity - _mu) / _sd AS z
@@ -286,7 +286,7 @@ object CoreQueries extends QueryProvider {
         .agg(
           Moments.sumExact(when(col("_mod"), col("value"))).as("modified"),
           Moments.sumExact(col("value")).as("total"))
-        .withColumn("enrichment", col("modified") / col("total"))
+        .withColumn("enrichment", Moments.div(col("modified"), col("total")))
     },
     Some(s"""
       SELECT event_type,

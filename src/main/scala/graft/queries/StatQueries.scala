@@ -74,12 +74,12 @@ object StatQueries extends QueryProvider {
       val ts2 = (col("_s2a") + col("_s2n") + col("_s2r")).cast("double")
       val nTot = (col("n_a") + col("n_n") + col("n_r")).cast("double")
       def ssw1(sfx: String) =
-        d1(s"_s2$sfx") - d1(s"_s1$sfx") * d1(s"_s1$sfx") / d1(s"n_$sfx")
+        d1(s"_s2$sfx") - Moments.div(d1(s"_s1$sfx") * d1(s"_s1$sfx"), d1(s"n_$sfx"))
       val ssw = ssw1("a") + ssw1("n") + ssw1("r")
-      val sst = ts2 - ts1 * ts1 / nTot
+      val sst = ts2 - Moments.div(ts1 * ts1, nTot)
       val ssb = sst - ssw
       val df2 = nTot - lit(3.0)
-      val f = (ssb / lit(2.0)) / (ssw / df2)
+      val f = Moments.div(Moments.div(ssb, lit(2.0)), Moments.div(ssw, df2))
       g.filter(col("n_a") >= 2 && col("n_n") >= 2 && col("n_r") >= 2)
         .withColumn("f", f)
         .withColumn("df2", df2)

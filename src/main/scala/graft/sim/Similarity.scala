@@ -21,7 +21,7 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = try_divide(dot(a, b), norm(a) * norm(b))
 
   private def asDouble(a: Column): Column = transform(a, _.cast("double"))
 
@@ -38,7 +38,7 @@ object Similarity {
     val qNorm = math.sqrt(query.foldLeft(0.0)((acc, x) => acc + x * x))
     val v = asDouble(col(vecCol))
     embeddings
-      .select(col(idCol), (dot(v, q) / (norm(v) * lit(qNorm))).as("cosine"))
+      .select(col(idCol), try_divide(dot(v, q), norm(v) * lit(qNorm)).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
@@ -139,7 +139,7 @@ object Similarity {
     val v = asDouble(col(vecCol))
     assigned
       .filter(col("_cell").isin(probeCells.toIndexedSeq: _*))
-      .select(col(idCol), (dot(v, qCol) / (norm(v) * lit(qNorm))).as("cosine"))
+      .select(col(idCol), try_divide(dot(v, qCol), norm(v) * lit(qNorm)).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
@@ -160,7 +160,7 @@ object Similarity {
       .select(col(idCol), v.as("_v"), norm(v).as("_n"),
         signLshBucket(v, dim, numPlanes).as("_bucket"))
       .select(col(idCol), col("_bucket"),
-        transform(col("_v"), x => x / col("_n")).as("_unit"))
+        transform(col("_v"), x => try_divide(x, col("_n"))).as("_unit"))
     val l = unit.select(col("_bucket"), col(idCol).as("id_a"), col("_unit").as("_va"))
     val r = unit.select(col("_bucket"), col(idCol).as("id_b"), col("_unit").as("_vb"))
     l.join(r, Seq("_bucket"))

@@ -42,20 +42,28 @@ object Moments {
   /** Deterministic sum of products as double. */
   def sumProdExact(x: Column, y: Column): Column = sum(decProd(x, y)).cast("double")
 
+  /** Division used by every derived statistic: `try_divide`, because
+    * (a) Spark 4 ANSI mode ERRORS on double division by zero — a
+    * degenerate group (n=0, zero variance) must yield null, not kill
+    * the job — and (b) DuckDB's plain `/` returns NULL on a zero
+    * divisor, so try_divide keeps oracle parity bitwise-identical in
+    * both the normal and the degenerate case. */
+  def div(a: Column, b: Column): Column = try_divide(a, b)
+
   /** Mean from exact sum: s1/n (deterministic double). */
-  def meanOf(s1: Column, n: Column): Column = s1 / n.cast("double")
+  def meanOf(s1: Column, n: Column): Column = div(s1, n.cast("double"))
 
   /** Sample variance from exact moments: (s2 - s1*s1/n)/(n-1). */
   def varOf(s1: Column, s2: Column, n: Column): Column = {
     val nd = n.cast("double")
-    (s2 - s1 * s1 / nd) / (nd - lit(1.0))
+    div(s2 - div(s1 * s1, nd), nd - lit(1.0))
   }
 
   /** Pearson r from exact cross-moments:
     * (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)). */
   def corrOf(n: Column, sx: Column, sy: Column, sxx: Column, syy: Column, sxy: Column): Column = {
     val nd = n.cast("double")
-    (nd * sxy - sx * sy) / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
+    div(nd * sxy - sx * sy, sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
   }
 
   /** The same formulas as DuckDB SQL fragments, for oracle strings.

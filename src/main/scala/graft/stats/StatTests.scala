@@ -43,8 +43,8 @@ object StatTests {
     val vb = varOf(col("_s1b"), col("_s2b"), col("n_b"))
     // pooled variance (equal-var t-test, scipy default)
     val dfree = na + nb - lit(2.0)
-    val svar = ((na - 1.0) * va + (nb - 1.0) * vb) / dfree
-    val t = (ma - mb) / sqrt(svar * (lit(1.0) / na + lit(1.0) / nb))
+    val svar = div((na - 1.0) * va + (nb - 1.0) * vb, dfree)
+    val t = div(ma - mb, sqrt(svar * (div(lit(1.0), na) + div(lit(1.0), nb))))
     g.withColumn("mean_a", ma)
       .withColumn("mean_b", mb)
       .withColumn("t", t)
@@ -69,7 +69,7 @@ object StatTests {
     val nd = col("n").cast("double")
     val m = meanOf(col("_s1"), col("n"))
     val variance = varOf(col("_s1"), col("_s2"), col("n"))
-    val t = (m - lit(popMean)) / sqrt(variance / nd)
+    val t = div(m - lit(popMean), sqrt(div(variance, nd)))
     g.withColumn("mean", m)
       .withColumn("t", t)
       .withColumn("df", nd - lit(1.0))
@@ -100,14 +100,14 @@ object StatTests {
         sum(col("_n")).as("n"),
         count(lit(1)).as("k"),
         // within-group sum of squares: Σ_g (s2_g - s1_g²/n_g)
-        sum(col("_s2") - col("_s1") * col("_s1") / col("_n").cast("double")).as("_ssw"))
+        sum(col("_s2") - div(col("_s1") * col("_s1"), col("_n").cast("double"))).as("_ssw"))
     val nd = col("n").cast("double")
     val kd = col("k").cast("double")
-    val sst = col("_ts2") - col("_ts1") * col("_ts1") / nd
+    val sst = col("_ts2") - div(col("_ts1") * col("_ts1"), nd)
     val ssb = sst - col("_ssw")
     val df1 = kd - lit(1.0)
     val df2 = nd - kd
-    val f = (ssb / df1) / (col("_ssw") / df2)
+    val f = div(div(ssb, df1), div(col("_ssw"), df2))
     g.withColumn("f", f)
       .withColumn("df1", df1)
       .withColumn("df2", df2)

@@ -22,7 +22,7 @@ object Summaries {
       .agg(
         sum(when(isMod, v)).as("modified"),
         sum(v).as("total"))
-      .withColumn("enrichment", col("modified") / col("total"))
+      .withColumn("enrichment", try_divide(col("modified"), col("total")))
   }
 
   /** `_non_zero_sum` (ref analysis.py:221-229): per-key sum of

@@ -124,7 +124,7 @@ object Dedup {
       .join(sizes.withColumnsRenamed(Map(idCol -> "id_a", "_sz" -> "_sza")), "id_a")
       .join(sizes.withColumnsRenamed(Map(idCol -> "id_b", "_sz" -> "_szb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (coalesce(col("_inter"), lit(0L)).cast("double") /
+        try_divide(coalesce(col("_inter"), lit(0L)).cast("double"),
           (col("_sza") + col("_szb") - coalesce(col("_inter"), lit(0L))).cast("double"))
           .as("jaccard"))
   }

@@ -1,0 +1,88 @@
+package graft
+
+import graft.ops.{Filters, Impute, Normalize}
+import graft.stats.{QValues, StatTests, Volcano}
+import graft.text.Dedup
+import graft.pipeline.TrainingData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Degenerate-input behavior: empty frames, all-null values, absent
+  * groups, single observations. Operators must return empty/null
+  * results, not throw. */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyLong = Seq.empty[(String, String, Option[Double])]
+    .toDF("id", "sample", "value")
+
+  test("qvalues on empty and all-null input") {
+    assert(QValues.qvalues(Seq.empty[(Int, Double)].toDF("id", "p"), "p").count() == 0)
+    val allNull = Seq((1, Option.empty[Double]), (2, None)).toDF("id", "p")
+    assert(QValues.qvalues(allNull, "p").count() == 0) // null p rows are not tests
+  }
+
+  test("tTestInd with an absent group yields null t, not an error") {
+    val df = Seq(("f", "A", 1.0), ("f", "A", 2.0)).toDF("id", "group", "value")
+    val r = StatTests.tTestInd(df, Seq("id"), "group", "value", "A", "B").head()
+    assert(r.getAs[Long]("n_b") == 0L)
+    assert(r.isNullAt(r.fieldIndex("t")) || r.getAs[Double]("t").isNaN)
+  }
+
+  test("tTest1Samp single observation: df=0 -> null p") {
+    val df = Seq(("f", 1.5)).toDF("id", "value")
+    val r = StatTests.tTest1Samp(df, Seq("id"), "value").head()
+    assert(r.getAs[Double]("df") == 0.0)
+    assert(r.isNullAt(r.fieldIndex("p")))
+  }
+
+  test("volcano on empty input returns empty") {
+    assert(Volcano.twoSample(emptyLong, Seq("id"), "sample", "value", "A", "B").count() == 0)
+  }
+
+  test("correlationMatrix with one shared observation: r is NaN/null, not a crash") {
+    val df = Seq((1, "x", 1.0), (1, "y", 2.0)).toDF("id", "sample", "value")
+    val rows = StatTests.correlationMatrix(df, Seq("id"), "sample", "value").collect()
+    assert(rows.nonEmpty) // n=1 pairs exist; r = 0/0 = NaN
+    rows.foreach { r =>
+      val v = r.getAs[Any]("r")
+      assert(v == null || v.asInstanceOf[Double].isNaN || !v.asInstanceOf[Double].isInfinite)
+    }
+  }
+
+  test("median centering and imputation on empty frames") {
+    assert(Normalize.subtractColumnMedian(emptyLong, "sample", "value").count() == 0)
+    assert(Impute.gaussian(emptyLong, "sample", "value").count() == 0)
+  }
+
+  test("imputation with a sample that has zero observed values keeps nulls") {
+    val df = Seq(("a", "s1", Option.empty[Double]), ("b", "s1", None))
+      .toDF("id", "sample", "value")
+    val out = Impute.gaussian(df, "sample", "value").collect()
+    // no μ/σ to draw from → value stays null, flagged imputed
+    out.foreach { r => assert(r.isNullAt(r.fieldIndex("value"))) }
+  }
+
+  test("minimumValidValuesInAnyGroup empty and n=0") {
+    assert(Filters.minimumValidValuesInAnyGroup(
+      emptyLong, Seq("id"), Seq("sample"), "value", 1L).count() == 0)
+    val df = Seq(("f", "g", Option.empty[Double])).toDF("id", "group", "value")
+    // n=0: every feature passes (0 >= 0)
+    assert(Filters.minimumValidValuesInAnyGroup(
+      df, Seq("id"), Seq("group"), "value", 0L).count() == 1)
+  }
+
+  test("minhash/simhash on empty text does not throw") {
+    val docs = Seq((1L, ""), (2L, "one")).toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text").collect()
+    assert(sigs.length == 2)
+    assert(Dedup.simHash(docs, "doc_id", "text").count() == 2)
+  }
+
+  test("curate on empty corpus returns empty + empty reasons") {
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val (kept, reasons) = TrainingData.curate(docs, "doc_id", "text")
+    assert(kept.count() == 0)
+    assert(reasons.count() == 0)
+  }
+}
