@@ -55,6 +55,23 @@ object Summaries {
       countDistinct(split(col(proteinsCol), ";").getItem(0)).as("proteins"))
   }
 
+  /** Approximate summary for the 100 TB path: exact countDistinct
+    * shuffles every distinct value; HyperLogLog++ sketches (±~2.3%
+    * at the default rsd 0.05) partial-aggregate instead. */
+  def sitesPeptidesProteinsApprox(
+      df: DataFrame,
+      probCol: String = "Localization prob",
+      seqCol: String = "Sequence window",
+      proteinsCol: String = "Proteins",
+      threshold: Double = 0.75,
+      rsd: Double = 0.05): DataFrame = {
+    val classI = df.filter(col(probCol) > threshold)
+    classI.agg(
+      count(lit(1)).as("sites"),
+      approx_count_distinct(col(seqCol), rsd).as("peptides"),
+      approx_count_distinct(split(col(proteinsCol), ";").getItem(0), rsd).as("proteins"))
+  }
+
   /** `plot_point_cov`/`plot_cov_ellipse` data (ref visualize.py:60-113):
     * 2×2 covariance of an (x, y) cloud + eigen decomposition →
     * (center, width, height, angle) of the nσ ellipse. Covariance is

@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.stats.Summaries
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.ExplainMode
+
+class StorageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("partitioned write -> read filter becomes partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("partstore").toString + "/obs"
+    val long = (1 to 300).map(i => (i, s"s${i % 3}", i * 1.0)).toDF("id", "sample", "value")
+    Storage.writePartitioned(long, dir, Seq("sample"))
+    val back = Storage.readPartitioned(spark, dir).filter($"sample" === "s1")
+    val plan = back.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters: [isnotnull(sample"), plan)
+    assert(back.count() == 100)
+    // data predicate on value additionally pushes to the scan
+    val both = Storage.readPartitioned(spark, dir)
+      .filter($"sample" === "s1" && $"value" > 100.0)
+    val p2 = both.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p2.contains("PushedFilters: [IsNotNull(value), GreaterThan(value,100.0)"), p2)
+  }
+
+  test("approx median within tolerance of exact; approx distinct near exact") {
+    val rng = new scala.util.Random(13)
+    val long = (1 to 20000).map(i => (i, "s", rng.nextGaussian() * 10 + 50))
+      .toDF("id", "sample", "value")
+    val exact = Normalize.subtractColumnMedian(long)
+      .agg(expr("median(value)")).head().getDouble(0)
+    val approxq = Normalize.subtractColumnMedianApprox(long)
+      .agg(expr("median(value)")).head().getDouble(0)
+    assert(math.abs(exact) < 1e-9)
+    assert(math.abs(approxq) < 0.1) // approx-centered median near 0
+
+    val docs = (1 to 5000).map(i => (0.99, s"W${i % 1000}", s"P${i % 700};X"))
+      .toDF("Localization prob", "Sequence window", "Proteins")
+    val ex = Summaries.sitesPeptidesProteins(docs).head()
+    val ap = Summaries.sitesPeptidesProteinsApprox(docs).head()
+    assert(math.abs(ap.getLong(1) - ex.getLong(1)).toDouble / ex.getLong(1) < 0.1)
+    assert(math.abs(ap.getLong(2) - ex.getLong(2)).toDouble / ex.getLong(2) < 0.1)
+  }
+}
