@@ -127,11 +127,8 @@ object Padua {
     ScalarFuncs.hierarchicalMatch(d, k, default)
   def calculate_s0_curve(absRatio: Column, s0: Double, minRatio: Double, minP: Double): Column =
     ScalarFuncs.s0CurveP(absRatio, s0, minRatio, minP)
-  def chunks(df: DataFrame, orderCol: String, tieCol: String, num: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions._
-    df.withColumn("chunk", ntile(num).over(Window.orderBy(col(orderCol), col(tieCol))))
-  }
+  def chunks(df: DataFrame, orderCol: String, tieCol: String, num: Int): DataFrame =
+    graft.ops.DistributedRank.ntile(df, orderCol, Seq(tieCol), num)
   def find_nearest_idx(df: DataFrame, valueColumn: String, keyCol: String, value: Double): DataFrame = {
     import org.apache.spark.sql.functions._
     df.agg(min_by(col(keyCol), struct(abs(col(valueColumn) - value), col(keyCol))).as("nearest"))

@@ -51,4 +51,29 @@ object DistributedRank {
       .withColumn(outCol, col("_off") + col("_lrn"))
       .drop("_rb", "_lrn", "_off")
   }
+
+  /** Exact SQL `NTILE(num)` semantics without a single-partition
+    * window: global rank via the bucketed pattern above, then the
+    * closed-form rank→bucket map (first `n mod num` buckets carry the
+    * extra row, matching NTILE). Ref `chunks`, utils.py:259-279.
+    */
+  def ntile(
+      df: DataFrame,
+      valueCol: String,
+      tieCols: Seq[String],
+      num: Int,
+      outCol: String = "chunk",
+      numBuckets: Int = 1024): DataFrame = {
+    val n = df.count()
+    val q = n / num // min bucket size
+    val r = n % num // first r buckets have q+1 rows
+    val ranked = rowNumber(df, valueCol, ascending = true, tieCols, "_ntr", numBuckets)
+    val bucket =
+      if (q == 0L) col("_ntr") // fewer rows than buckets: one row each
+      else when(col("_ntr") <= lit(r * (q + 1)),
+          floor((col("_ntr") - 1) / lit((q + 1).toDouble)) + 1)
+        .otherwise(lit(r) +
+          floor((col("_ntr") - 1 - lit(r * (q + 1))) / lit(q.toDouble)) + 1)
+    ranked.withColumn(outCol, bucket.cast("int")).drop("_ntr")
+  }
 }

@@ -206,13 +206,21 @@ object CoreQueries extends QueryProvider {
   private val qVenn = Q(
     "q_venn",
     (s, d) => {
-      // fully lazy: one action computes all three set sizes
+      // one-pass: tag each side, union, ONE shuffle on the key, then a
+      // single-row membership agg — no intersect/distinct shuffles, each
+      // table scanned once. (c_custkey is unique in customer, so n_a =
+      // row count = distinct count.)
       val a = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
-        .select(col("c_custkey"))
-      val b = Tables.orders(s, d).select(col("o_custkey").as("c_custkey")).distinct()
-      a.agg(count(lit(1)).as("n_a"))
-        .crossJoin(b.agg(count(lit(1)).as("n_b")))
-        .crossJoin(a.intersect(b).agg(count(lit(1)).as("n_ab")))
+        .select(col("c_custkey"), lit(1).as("in_a"), lit(0).as("in_b"))
+      val b = Tables.orders(s, d)
+        .select(col("o_custkey").as("c_custkey"), lit(0).as("in_a"), lit(1).as("in_b"))
+      a.unionByName(b)
+        .groupBy(col("c_custkey"))
+        .agg(max(col("in_a")).as("ia"), max(col("in_b")).as("ib"))
+        .agg(
+          sum(col("ia")).cast("bigint").as("n_a"),
+          sum(col("ib")).cast("bigint").as("n_b"),
+          sum(col("ia") * col("ib")).cast("bigint").as("n_ab"))
     },
     Some("""
       SELECT

@@ -68,13 +68,9 @@ object MiscQueries extends QueryProvider {
   // ---- chunks (utils.py:259-279): ntile split ----
   private val qNtile = Q(
     "q_ntile_chunks",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      Tables.supplier(s, d)
-        .withColumn("chunk",
-          ntile(10).over(Window.orderBy(col("s_acctbal"), col("s_suppkey"))))
-        .select(col("s_suppkey"), col("chunk"))
-    },
+    (s, d) => graft.ops.DistributedRank
+      .ntile(Tables.supplier(s, d), "s_acctbal", Seq("s_suppkey"), 10)
+      .select(col("s_suppkey"), col("chunk")),
     Some("""
       SELECT s_suppkey,
         CAST(NTILE(10) OVER (ORDER BY s_acctbal, s_suppkey) AS INT) AS chunk

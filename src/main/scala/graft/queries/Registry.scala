@@ -20,6 +20,7 @@ trait QueryProvider {
 object Registry {
   def providers: Seq[QueryProvider] = Seq(
     CoreQueries,
+    JoinQueries,
     StatQueries,
     TextQueries,
     MiscQueries,
