@@ -74,4 +74,24 @@ object TrainingData {
       .groupBy(col("drop_reason")).agg(count(lit(1)).as("n"))
     (kept, reasons)
   }
+
+  /** Seeded per-stratum Bernoulli sample (e.g. rebalance languages or
+    * sources to target rates). Row-local hash-based accept/reject —
+    * no shuffle, deterministic for a fixed seed, linear scan at any
+    * scale. Strata missing from `fractions` are dropped (rate 0). */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCol: String,
+      fractions: Map[String, Double],
+      seed: Long): DataFrame =
+    df.stat.sampleBy(strataCol, fractions, seed)
+
+  /** Weighted source mixing for a training corpus: down-sample each
+    * source at its rate and union. Rates > 1 are clamped to 1 (this
+    * mixes by subsampling, not duplication). Per-source seeds keep the
+    * draw deterministic and independent across sources. */
+  def mixSources(sources: Seq[(DataFrame, Double)], seed: Long): DataFrame =
+    sources.zipWithIndex.map { case ((df, rate), i) =>
+      df.sample(withReplacement = false, math.min(rate, 1.0), seed + i)
+    }.reduce(_ unionByName _)
 }

@@ -215,7 +215,30 @@ object TextQueries extends QueryProvider {
     },
     None)
 
+  // ---- corpus vocabulary top-k: distributed top-k, never a global
+  //      sort (TakeOrderedAndProject) ----
+  private val qTokenTopK = Q(
+    "q_token_topk",
+    (s, d) => TextAnalysis.topTokens(Tables.documents(s, d), "text", 50),
+    Some("""
+      SELECT token, CAST(COUNT(1) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split_regex(text, '\s+')) AS token
+            FROM documents)
+      WHERE token <> ''
+      GROUP BY token ORDER BY n DESC, token LIMIT 50"""))
+
+  // ---- seeded stratified sampling (training-data rebalancing);
+  //      rows-only: the accept/reject hash is engine-specific ----
+  private val qStratSample = Q(
+    "q_stratified_sample",
+    (s, d) => graft.pipeline.TrainingData.stratifiedSample(
+        Tables.documents(s, d), "lang",
+        Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0, "zh" -> 1.0),
+        seed = 42L)
+      .select(col("doc_id"), col("lang"), col("source")),
+    None)
+
   def all: Seq[Q] = Seq(
     qDedupExact, qFingerprint, qTokens, qQuality, qLangId, qJaccard, qAnn, qAnnLsh,
-    qAnnIvf, qMinhash, qSimhash, qWinnow, qLshPairs, qCurate)
+    qAnnIvf, qMinhash, qSimhash, qWinnow, qLshPairs, qCurate, qTokenTopK, qStratSample)
 }

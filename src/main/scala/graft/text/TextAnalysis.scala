@@ -110,4 +110,16 @@ object TextAnalysis {
       i => array_min(slice(grams, i + 1, lit(w))))
     array_distinct(windows)
   }
+
+  /** Corpus vocabulary top-k: the k most frequent whitespace tokens
+    * with a deterministic tie-break on the token itself. The
+    * orderBy+limit plans as TakeOrderedAndProject — per-partition
+    * top-k then a k-row driver merge, never a global sort. */
+  def topTokens(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(split(col(textCol), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
 }

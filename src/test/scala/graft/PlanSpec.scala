@@ -67,4 +67,34 @@ class PlanSpec extends SparkSpec {
     // by md5 before the exchange)
     assert(p.contains("hashpartitioning(content_hash"), p)
   }
+
+  test("as-of join is one keyed window pass — no join of the fact sides, no global window") {
+    val p = plan("q_asof_join")
+    assert(p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(user_id"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop"), p)
+  }
+
+  test("range join keeps the equi key — hash/merge equi-join, never nested-loop") {
+    val p = plan("q_range_join_count")
+    // equi key present => planner picks a hash-based join (broadcast at
+    // this scale, shuffled SMJ/SHJ when both sides are large) — the
+    // range predicate rides along as a secondary condition
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("vocabulary top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_token_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("distributed ntile has no unpartitioned data-plane window") {
+    val df = Registry.queries("q_ntile_chunks")(spark, sf)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the per-bucket row_number window is keyed by _rb; the only
+    // orderBy-without-partition window runs over the numBuckets-row
+    // offsets summary
+    assert(p.contains("partitionBy=[_rb]") || p.contains("_rb"), p)
+  }
 }

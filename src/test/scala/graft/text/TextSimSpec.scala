@@ -106,4 +106,15 @@ class TextSimSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(out.head == 1L) // exact match lands in the query's bucket, cosine 1
   }
+
+  test("topTokens ranks by count with lexicographic tie-break, skips empty splits") {
+    val docs = Seq(
+      (1L, "  b b a a c"), // leading whitespace -> empty token dropped
+      (2L, "a b\tz"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.topTokens(docs, "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a", 3L), ("b", 3L), ("c", 1L)))
+  }
 }
