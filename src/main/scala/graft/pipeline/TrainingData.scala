@@ -24,7 +24,13 @@ object TrainingData {
       minHashes: Int = 32,
       bands: Int = 8,
       shingleSize: Int = 3,
-      nearDupJaccard: Double = 0.7)
+      nearDupJaccard: Double = 0.7,
+      // The annotated frame feeds the dedup semi-join (which reads it
+      // twice), the signature build, the final anti-join, AND the
+      // reasons breakdown — ~5 evaluations of the regex-heavy
+      // annotation pass unless persisted. At warehouse scale swap the
+      // persist for a materialized stage table (ops.Storage).
+      persistStages: Boolean = true)
 
   /** Row-local annotation: quality, language, token counts,
     * fingerprints. */
@@ -41,7 +47,11 @@ object TrainingData {
   def curate(
       docs: DataFrame, idCol: String, textCol: String,
       cfg: CurationConfig = CurationConfig()): (DataFrame, DataFrame) = {
-    val ann = annotate(docs, idCol, textCol)
+    val ann0 = annotate(docs, idCol, textCol)
+    val ann =
+      if (cfg.persistStages)
+        ann0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else ann0
     val gated = ann.filter(
       col("quality") >= cfg.minQuality &&
       col("lang_pred").isin(cfg.langs.toSeq: _*) &&
@@ -55,9 +65,13 @@ object TrainingData {
     val exactDeduped = gated.join(keepExact, Seq(idCol), "left_semi")
 
     // near-dup dedup: LSH candidates → estimated jaccard → drop the
-    // higher id of each confirmed pair
+    // higher id of each confirmed pair.
+    // The signature table is referenced by the band self-join AND both
+    // jaccard sides — persist it (it's narrow: id + k longs, ~0.3 KB/doc)
+    // or each reference recomputes the scan→gate→dedup→minhash chain.
     val sigs = Dedup.minHashSignatures(exactDeduped, idCol, textCol,
-      cfg.minHashes, cfg.shingleSize)
+        cfg.minHashes, cfg.shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nearDups = Dedup.minHashJaccard(
         Dedup.minHashCandidatePairs(sigs, idCol, cfg.minHashes, cfg.bands),
         sigs, idCol, cfg.minHashes)

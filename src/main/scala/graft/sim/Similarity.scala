@@ -113,12 +113,16 @@ object Similarity {
     */
   def ivfIndex(
       embeddings: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+      nCells: Int, seed: Long = 42L, maxIter: Int = 5): (DataFrame, Array[Array[Double]]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val withFeatures = embeddings.withColumn("_features",
       array_to_vector(asDouble(col(vecCol))))
+    // A coarse quantizer only partitions space — it does not need a
+    // converged clustering. Few Lloyd iterations + random init skips
+    // the multi-pass k-means|| seeding; recall is recovered by nProbe.
     val model = new KMeans().setK(nCells).setSeed(seed)
+      .setMaxIter(maxIter).setInitMode("random")
       .setFeaturesCol("_features").setPredictionCol("_cell")
       .fit(withFeatures)
     val assigned = model.transform(withFeatures).drop("_features")
