@@ -82,6 +82,13 @@ object EventStream {
       .withWatermark("event_ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-static enrichment: left-join each micro-batch against a
+    * static dimension table, broadcast so the stream side never
+    * shuffles — the streaming face of the design join
+    * (ops.Design.buildIndexFromDesign). Stateless, watermark-free. */
+  def enrich(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    events.join(broadcast(dim), keys, "left")
+
   /** Drive a streaming frame to a memory sink synchronously (local
     * verification; production would use a real sink). */
   def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): StreamingQuery = {

@@ -144,6 +144,22 @@ class IoStreamingSpec extends SparkSpec {
     assert(got.select("dup_key").distinct().count() == got.count())
   }
 
+  test("stream-static enrich equals the batch broadcast join") {
+    val dim = Seq(("view", "browse"), ("click", "browse"), ("purchase", "convert"))
+      .toDF("event_type", "category")
+    val q = EventStream.runToMemory(
+      EventStream.enrich(EventStream.readEvents(spark, eventsDir), dim, Seq("event_type"))
+        .select($"event_id", $"category"),
+      "enrich_stream")
+    q.stop()
+    val got = spark.table("enrich_stream")
+    val batch = spark.read.schema(EventStream.eventsSchema).parquet(eventsDir)
+      .join(dim, Seq("event_type"), "left")
+      .select($"event_id", $"category")
+    assert(got.count() == batch.count()) // left join: every event survives
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
   test("multimodal decode is deterministic and batched") {
     val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
     val media = Multimodal.attachBinary(docs, "doc_id", "text")
