@@ -144,4 +144,48 @@ object Padua {
   def hierarchical(spark: SparkSession, df: DataFrame, idCol: String, sampleCol: String,
       valueCol: String, nClusters: Int): DataFrame =
     Ward.clusterSamples(spark, df, idCol, sampleCol, valueCol, nClusters)
+  def enrichment_from_evidence(df: DataFrame, modificationsCol: String,
+      experimentCol: String, valueCol: String, modification: String): DataFrame =
+    Summaries.enrichmentFromEvidence(df, modificationsCol, experimentCol, valueCol, modification)
+  def modificationlocalization(df: DataFrame, probCol: String = "Localization prob"): DataFrame =
+    Summaries.modificationLocalization(df, probCol)
+  def quality_control(df: DataFrame): DataFrame = Summaries.qualityControl(df)
+  def rankintensity(df: DataFrame, idCol: String, intensityCol: String): DataFrame =
+    Summaries.rankIntensity(df, idCol, intensityCol)
+  def comparedist(a: DataFrame, b: DataFrame, valueCol: String,
+      bins: Int = 100, lo: Double = 0.0, hi: Double = 1.0): DataFrame =
+    Summaries.compareDist(a, b, valueCol, bins, lo, hi)
+  /** `compareimputed` compares the pre- and post-imputation frames —
+    * the same two-sided distribution compare (visualize.py:1387-1435). */
+  def compareimputed(original: DataFrame, imputed: DataFrame, valueCol: String,
+      bins: Int = 100, lo: Double = 0.0, hi: Double = 1.0): DataFrame =
+    Summaries.compareDist(original, imputed, valueCol, bins, lo, hi)
+  /** `column_correlations` renders the sample×sample correlation matrix
+    * — same data contract as `correlation` (visualize.py). */
+  def column_correlations(df: DataFrame, idCols: Seq[String], sampleCol: String,
+      valueCol: String): DataFrame =
+    StatTests.correlationMatrix(df, idCols, sampleCol, valueCol)
+  def box(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    Summaries.boxData(df, groupCols, valueCol)
+
+  // ---- small driver-side helpers (padua/process.py, padua/utils.py) ----
+  def numeric(c: Column): Column = ScalarFuncs.numericCoerce(c)
+  /** `get_unique_indices` (process.py:166-173; implements the intent —
+    * the reference body references an undefined `dif`, SURVEY §4.1):
+    * distinct values per named column, driver-collected. */
+  def get_unique_indices(df: DataFrame, columns: Seq[String]): Map[String, Seq[String]] = {
+    import org.apache.spark.sql.functions.{col, collect_set}
+    val aggs = columns.map(c => collect_set(col(c).cast("string")).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    columns.zipWithIndex
+      .map { case (c, i) => c -> row.getSeq[String](i).sorted.toSeq }.toMap
+  }
+  /** `get_index_list` (utils.py:180-188): positions of the requested
+    * labels within a label list (missing labels skipped). */
+  def get_index_list(l: Seq[String], ms: Seq[String]): Seq[Int] =
+    ms.filter(l.contains).map(l.indexOf)
+  /** `build_combined_label` (utils.py:208-225): shortstr of each
+    * selected entry, joined by `sep`. */
+  def build_combined_label(sl: Map[String, String], idxs: Seq[String], sep: String = " "): String =
+    idxs.map(k => sl(k).split(";")(0)).mkString(sep)
 }

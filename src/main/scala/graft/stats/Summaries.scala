@@ -72,6 +72,110 @@ object Summaries {
       approx_count_distinct(split(col(proteinsCol), ";").getItem(0), rsd).as("proteins"))
   }
 
+  /** `enrichment_from_evidence` (ref analysis.py:232-258): flag rows by
+    * substring in the Modifications column, sum values per experiment
+    * and flag, modified/total ratio per experiment — one conditional
+    * aggregation pass. */
+  def enrichmentFromEvidence(
+      df: DataFrame,
+      modificationsCol: String,
+      experimentCol: String,
+      valueCol: String,
+      modification: String): DataFrame = {
+    val isMod = coalesce(col(modificationsCol).contains(modification), lit(false))
+    df.groupBy(col(experimentCol))
+      .agg(
+        sum(when(isMod, col(valueCol))).as("modified"),
+        sum(col(valueCol)).as("total"))
+      .withColumn("enrichment", try_divide(col("modified"), col("total")))
+  }
+
+  /** `modificationlocalization` (ref visualize.py:751-795): Class
+    * I/II/III localization-probability counts (>0.75 / (0.5,0.75] /
+    * (0.25,0.5]; <=0.25 excluded). */
+  def modificationLocalization(
+      df: DataFrame, probCol: String = "Localization prob"): DataFrame =
+    df.agg(
+      sum(when(col(probCol) > 0.75, 1L).otherwise(0L)).as("class_i"),
+      sum(when(col(probCol) > 0.5 && col(probCol) <= 0.75, 1L).otherwise(0L)).as("class_ii"),
+      sum(when(col(probCol) > 0.25 && col(probCol) <= 0.5, 1L).otherwise(0L)).as("class_iii"))
+
+  /** `quality_control` (ref visualize.py:1625-1662): total rows,
+    * per-flag '+' counts, rows surviving all flags ("Filtered"), and
+    * surviving rows with any non-zero Intensity/Ratio value
+    * ("Quantified") — a single conditional-count pass instead of the
+    * reference's five sequential copies. */
+  def qualityControl(df: DataFrame): DataFrame = {
+    val flagCols = Seq("Reverse", "Potential contaminant", "Contaminant",
+      "Only identified by site").filter(df.columns.contains(_))
+    def flagged(c: String) = coalesce(col(c).cast("string") === "+", lit(false))
+    val pass = flagCols.map(c => !flagged(c))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val exprCols = df.columns.filter(_.matches("(Intensity|Ratio).*")).toSeq
+    val quantified = exprCols
+      .map(c => coalesce(col(c) =!= 0, lit(false)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val flagAggs = flagCols.map(c =>
+      sum(when(flagged(c), 1L).otherwise(0L)).as(s"n_$c"))
+    val base = Seq(
+      count(lit(1)).as("total"),
+      sum(when(pass, 1L).otherwise(0L)).as("filtered"),
+      sum(when(pass && quantified, 1L).otherwise(0L)).as("quantified"))
+    val aggs = base ++ flagAggs
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fixed-width histogram of a value column (`comparedist` /
+    * `compareimputed` / `_areadist` core, ref visualize.py:1374-1491):
+    * width_bucket + count, nulls excluded, under/overflow clamped to
+    * the edge bins. */
+  def histogram(
+      df: DataFrame, valueCol: String,
+      bins: Int, lo: Double, hi: Double): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(least(greatest(
+          width_bucket(col(valueCol), lit(lo), lit(hi), lit(bins)),
+          lit(1)), lit(bins)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** `comparedist`/`compareimputed` (ref visualize.py:1387-1491): the
+    * same histogram over two frames, tagged `a`/`b` for side-by-side
+    * comparison (original vs imputed, group 1 vs group 2). */
+  def compareDist(
+      a: DataFrame, b: DataFrame, valueCol: String,
+      bins: Int = 100, lo: Double = 0.0, hi: Double = 1.0): DataFrame = {
+    val tagged = a.select(lit("a").as("side"), col(valueCol))
+      .unionByName(b.select(lit("b").as("side"), col(valueCol)))
+    tagged.filter(col(valueCol).isNotNull)
+      .groupBy(col("side"), least(greatest(
+          width_bucket(col(valueCol), lit(lo), lit(hi), lit(bins)),
+          lit(1)), lit(bins)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** `rankintensity` data (ref visualize.py:1075-1274): positive
+    * intensities ranked ascending on log10 with the bucketed
+    * distributed rank, segmented by order of magnitude. */
+  def rankIntensity(df: DataFrame, idCol: String, intensityCol: String): DataFrame = {
+    val base = df.filter(col(intensityCol) > 0)
+      .select(col(idCol), log10(col(intensityCol)).as("log10_intensity"))
+    graft.ops.DistributedRank
+      .rowNumber(base, "log10_intensity", ascending = true, Seq(idCol))
+      .withColumn("magnitude", floor(col("log10_intensity")).cast("long"))
+  }
+
+  /** `box` data contract (ref visualize.py:1673): per-group
+    * five-number summary + count (the numbers a box plot draws). */
+  def boxData(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(col(valueCol)).as("n"),
+        min(col(valueCol)).as("lo"),
+        percentile(col(valueCol), lit(0.25)).as("q1"),
+        median(col(valueCol)).as("med"),
+        percentile(col(valueCol), lit(0.75)).as("q3"),
+        max(col(valueCol)).as("hi"))
+
   /** `plot_point_cov`/`plot_cov_ellipse` data (ref visualize.py:60-113):
     * 2×2 covariance of an (x, y) cloud + eigen decomposition →
     * (center, width, height, angle) of the nσ ellipse. Covariance is

@@ -35,4 +35,57 @@ class PaduaFacadeSpec extends SparkSpec {
       minValidN = 3, s0 = 0.1, minRatio = 1.0, minP = 0.05)
     assert(v.filter(col("significant")).count() == 1)
   }
+
+  test("QC/localization/histogram/box/rank data contracts") {
+    val df = Seq(
+      (1, "", "", 0.9, Some(10.0)),
+      (2, "+", "", 0.8, Some(5.0)),
+      (3, "", "+", 0.6, Some(0.0)),
+      (4, "", "", 0.4, None),
+      (5, "", "", 0.1, Some(2.0))
+    ).toDF("id", "Reverse", "Potential contaminant", "Localization prob", "Intensity A")
+
+    val qc = Padua.quality_control(df).head()
+    assert(qc.getAs[Long]("total") == 5)
+    assert(qc.getAs[Long]("n_Reverse") == 1)
+    assert(qc.getAs[Long]("n_Potential contaminant") == 1)
+    assert(qc.getAs[Long]("filtered") == 3) // ids 1, 4, 5 survive both flags
+    assert(qc.getAs[Long]("quantified") == 2) // of those, non-zero intensity: 1, 5
+
+    val ml = Padua.modificationlocalization(df).head()
+    assert(ml.getAs[Long]("class_i") == 2) // 0.9, 0.8
+    assert(ml.getAs[Long]("class_ii") == 1) // 0.6
+    assert(ml.getAs[Long]("class_iii") == 1) // 0.4; 0.1 excluded
+
+    val ev = Seq(
+      ("e1", "Phospho (STY) x2", 10.0), ("e1", "Unmodified", 30.0),
+      ("e2", "Phospho (STY)", 5.0)
+    ).toDF("Experiment", "Modifications", "Intensity")
+    val en = Padua.enrichment_from_evidence(ev, "Modifications", "Experiment",
+        "Intensity", "Phospho (STY)")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("enrichment")).toMap
+    assert(approx(en("e1"), 0.25) && approx(en("e2"), 1.0))
+
+    val cd = Padua.comparedist(
+      Seq(0.1, 0.2).toDF("v"), Seq(0.9).toDF("v"), "v", bins = 10)
+    val cm = cd.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cm(("a", 2L)) == 1 && cm(("a", 3L)) == 1 && cm(("b", 10L)) == 1)
+
+    val bx = Padua.box(Seq(("g", 1.0), ("g", 2.0), ("g", 3.0)).toDF("grp", "v"),
+      Seq("grp"), "v").head()
+    assert(bx.getAs[Double]("med") == 2.0 && bx.getAs[Long]("n") == 3)
+
+    val ri = Padua.rankintensity(
+      Seq((1L, 10.0), (2L, 1000.0), (3L, 0.0)).toDF("id", "Intensity"),
+      "id", "Intensity")
+    val byId = ri.collect().map(r =>
+      r.getAs[Long]("id") -> (r.getAs[Long]("rank"), r.getAs[Long]("magnitude"))).toMap
+    assert(byId(1L) == (1L, 1L) && byId(2L) == (2L, 3L) && !byId.contains(3L))
+
+    assert(Padua.get_index_list(Seq("a", "b", "c"), Seq("c", "zz", "a")) == Seq(2, 0))
+    assert(Padua.build_combined_label(
+      Map("p" -> "P07830;P63267", "q" -> "Q1"), Seq("p", "q"), "-") == "P07830-Q1")
+    val uniq = Padua.get_unique_indices(df, Seq("Reverse"))
+    assert(uniq("Reverse").toSet == Set("", "+"))
+  }
 }
