@@ -18,4 +18,17 @@ object Storage {
   /** Read back a partitioned dataset. */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Range-clustered write for high-cardinality ordering keys
+    * (timestamps) where directory partitioning is infeasible:
+    * repartitionByRange + sortWithinPartitions makes every output file
+    * cover a disjoint key range, so parquet row-group min/max
+    * statistics let a `key BETWEEN ...` scan skip whole files. The
+    * complement of `writePartitioned` (low-cardinality dirs) and
+    * `Skew.writeBucketed` (join co-location). */
+  def writeRangeSorted(
+      df: DataFrame, path: String, rangeCol: String, numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, col(rangeCol))
+      .sortWithinPartitions(col(rangeCol))
+      .write.mode("overwrite").parquet(path)
 }

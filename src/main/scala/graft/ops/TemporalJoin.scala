@@ -42,8 +42,11 @@ object TemporalJoin {
     val rvType = right.select(struct(rCarried: _*).as("_rv")).schema("_rv").dataType
 
     // side 0 sorts before side 1 at equal time => a right row at
-    // exactly left.time is matched (<=, not <).
-    val r = right.select(
+    // exactly left.time is matched (<=, not <). Right rows with a null
+    // time can never be "most recent" — dropped; left rows with a null
+    // time sort NULLS FIRST, before every right row, so they get a
+    // null match (kept, left-join semantics).
+    val r = right.filter(col(time).isNotNull).select(
       col(key), col(time), lit(0).as("_side"), struct(rCarried: _*).as("_rv"))
     val l0 = left.select(
       col(key), col(time), lit(1).as("_side"), lit(null).cast(rvType).as("_rv"))

@@ -161,6 +161,15 @@ object TextQueries extends QueryProvider {
     (s, d) => Dedup.simHash(Tables.documents(s, d), "doc_id", "text"),
     None)
 
+  // ---- simhash near-dup pairing: pigeonhole block join + popcount
+  //      verify (rows-only: xxhash simhash not in SQL) ----
+  private val qSimhashPairs = Q(
+    "q_simhash_neardup_pairs",
+    (s, d) => Dedup.simHashNearDupPairs(
+      Dedup.simHash(Tables.documents(s, d), "doc_id", "text"),
+      "doc_id", "simhash", maxHamming = 7, blocks = 8),
+    None)
+
   private val qWinnow = Q(
     "q_winnowing_fingerprints",
     (s, d) => Tables.documents(s, d).select(
@@ -240,5 +249,6 @@ object TextQueries extends QueryProvider {
 
   def all: Seq[Q] = Seq(
     qDedupExact, qFingerprint, qTokens, qQuality, qLangId, qJaccard, qAnn, qAnnLsh,
-    qAnnIvf, qMinhash, qSimhash, qWinnow, qLshPairs, qCurate, qTokenTopK, qStratSample)
+    qAnnIvf, qMinhash, qSimhash, qSimhashPairs, qWinnow, qLshPairs, qCurate,
+    qTokenTopK, qStratSample)
 }

@@ -106,6 +106,39 @@ object Dedup {
     withHashes.select(col(idCol), packed.as("simhash"))
   }
 
+  /** SimHash near-dup candidate pairs by the pigeonhole block join:
+    * split each hash into `blocks` bit-blocks — two hashes within
+    * hamming distance < `blocks` MUST share at least one block — then
+    * equi-join on (block_idx, block_value) and verify with the exact
+    * popcount of the XOR. Shuffles only (block, id, hash) triples;
+    * never compares all pairs. Classic simhash dedup (Manku et al.,
+    * WWW'07 — public algorithm). */
+  def simHashNearDupPairs(
+      sims: DataFrame, idCol: String, simhashCol: String,
+      maxHamming: Int = 3, blocks: Int = 4): DataFrame = {
+    require(maxHamming < blocks,
+      s"pigeonhole needs maxHamming < blocks ($maxHamming >= $blocks)")
+    val blockBits = 64 / blocks
+    val mask = (1L << blockBits) - 1
+    val blockStructs = (0 until blocks).map(b => struct(
+      lit(b).as("block_idx"),
+      shiftright(col(simhashCol), b * blockBits).bitwiseAND(lit(mask)).as("block_val")))
+    val blocked = sims
+      .select(col(idCol), col(simhashCol), explode(array(blockStructs: _*)).as("_blk"))
+      .select(col(idCol), col(simhashCol),
+        col("_blk.block_idx").as("block_idx"), col("_blk.block_val").as("block_val"))
+    val l = blocked.select(col("block_idx"), col("block_val"),
+      col(idCol).as("id_a"), col(simhashCol).as("_ha"))
+    val r = blocked.select(col("block_idx"), col("block_val"),
+      col(idCol).as("id_b"), col(simhashCol).as("_hb"))
+    l.join(r, Seq("block_idx", "block_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("_ha").bitwiseXOR(col("_hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Exact word-set Jaccard for given candidate pairs (verification
     * stage after blocking): explode distinct words once, self-join on
     * word within pairs. `pairs` must be pre-blocked (LSH/banding) —

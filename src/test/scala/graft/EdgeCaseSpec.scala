@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Filters, Impute, Normalize}
+import graft.ops.{Filters, Impute, Normalize, TemporalJoin}
 import graft.stats.{QValues, StatTests, Volcano}
 import graft.text.Dedup
 import graft.pipeline.TrainingData
@@ -84,5 +84,26 @@ class EdgeCaseSpec extends SparkSpec {
     val (kept, reasons) = TrainingData.curate(docs, "doc_id", "text")
     assert(kept.count() == 0)
     assert(reasons.count() == 0)
+  }
+
+  test("asOf with empty or null-time right side keeps every left row, null match") {
+    val left = Seq(("a", Some(10L), 1), ("a", Option.empty[Long], 2)).toDF("k", "t", "id")
+    val emptyRight = Seq.empty[(String, Option[Long], Double)].toDF("k", "t", "v")
+    val out1 = TemporalJoin.asOf(left, emptyRight, "k", "t", Seq("v"))
+    assert(out1.count() == 2)
+    assert(out1.filter(col("asof_v").isNotNull).count() == 0)
+    // null-time right rows are ignored; null-time left rows get no match
+    val right = Seq(("a", Option.empty[Long], 9.0), ("a", Some(5L), 7.0)).toDF("k", "t", "v")
+    val out2 = TemporalJoin.asOf(left, right, "k", "t", Seq("v"))
+      .collect().map(r => r.getInt(2) -> Option(r.getAs[java.lang.Double]("asof_v"))).toMap
+    assert(out2(1).contains(7.0)) // matched the t=5 row, not the null-time row
+    assert(out2(2).isEmpty) // null-time left row: no prior right row
+  }
+
+  test("countInPrecedingRange with empty right side yields zero counts") {
+    val left = Seq(("a", 10L, 1)).toDF("k", "t", "id")
+    val right = Seq.empty[(String, Long)].toDF("k", "t")
+    val out = TemporalJoin.countInPrecedingRange(left, right, "k", "t", 5L, "n")
+    assert(out.head().getAs[Long]("n") == 0L)
   }
 }

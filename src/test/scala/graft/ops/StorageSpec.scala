@@ -23,6 +23,26 @@ class StorageSpec extends SparkSpec {
     assert(p2.contains("PushedFilters: [IsNotNull(value), GreaterThan(value,100.0)"), p2)
   }
 
+  test("range-sorted write produces disjoint per-file key ranges (row-group skipping)") {
+    val dir = java.nio.file.Files.createTempDirectory("rangestore").toString + "/ev"
+    val rng = new scala.util.Random(3)
+    val df = (1 to 5000).map(i => (i.toLong, rng.nextLong() % 1000000L))
+      .toDF("event_id", "ts")
+    Storage.writeRangeSorted(df, dir, "ts", numFiles = 4)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length == 4)
+    // each file covers a disjoint ts range -> min/max footer stats can
+    // eliminate whole files for a ts-range predicate
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min($"ts"), max($"ts")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) => assert(hi <= lo) }
+    // and nothing was lost
+    assert(spark.read.parquet(dir).count() == 5000)
+  }
+
   test("approx median within tolerance of exact; approx distinct near exact") {
     val rng = new scala.util.Random(13)
     val long = (1 to 20000).map(i => (i, "s", rng.nextGaussian() * 10 + 50))

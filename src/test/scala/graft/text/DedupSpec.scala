@@ -57,4 +57,21 @@ class DedupSpec extends SparkSpec {
     assert(ham(out(1L), out(4L)) == 0) // identical text
     assert(ham(out(1L), out(2L)) < ham(out(1L), out(3L)))
   }
+
+  test("simHashNearDupPairs: block join finds exact/near pairs, excludes far pairs") {
+    val sims = Dedup.simHash(docs, "doc_id", "text")
+    val hams = sims.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nearHam = java.lang.Long.bitCount(hams(1L) ^ hams(2L))
+    val farHam = java.lang.Long.bitCount(hams(1L) ^ hams(3L))
+    // bound tight enough to exclude the far pair, loose enough for the near one
+    val bound = math.max(nearHam, farHam - 1).min(15)
+    val pairs = Dedup.simHashNearDupPairs(sims, "doc_id", "simhash",
+        maxHamming = bound, blocks = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 4L)) == 0L) // exact dup: hamming 0
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == nearHam)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((3L, 4L)))
+    // each surviving pair appears exactly once despite multi-block matches
+    assert(pairs.keySet.size == pairs.size)
+  }
 }
