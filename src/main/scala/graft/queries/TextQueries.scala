@@ -162,12 +162,19 @@ object TextQueries extends QueryProvider {
     None)
 
   // ---- simhash near-dup pairing: pigeonhole block join + popcount
-  //      verify (rows-only: xxhash simhash not in SQL) ----
+  //      verify (rows-only: xxhash simhash not in SQL). The canonical
+  //      k=3 / 4-block config (16-bit blocks keep buckets fine-grained
+  //      even on a similar-vocabulary corpus). ----
   private val qSimhashPairs = Q(
     "q_simhash_neardup_pairs",
-    (s, d) => Dedup.simHashNearDupPairs(
-      Dedup.simHash(Tables.documents(s, d), "doc_id", "text"),
-      "doc_id", "simhash", maxHamming = 7, blocks = 8),
+    (s, d) => {
+      // persist: the block self-join reads the signature frame twice,
+      // and the 63-bit sign-sum is the expensive part (id + hash is
+      // ~16 B/doc — same policy as the curate pipeline)
+      val sims = Dedup.simHash(Tables.documents(s, d), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.simHashNearDupPairs(sims, "doc_id", "simhash", maxHamming = 3, blocks = 4)
+    },
     None)
 
   private val qWinnow = Q(
