@@ -173,19 +173,22 @@ object Padua {
   /** `get_unique_indices` (process.py:166-173; implements the intent —
     * the reference body references an undefined `dif`, SURVEY §4.1):
     * distinct values per named column, driver-collected. */
-  def get_unique_indices(df: DataFrame, columns: Seq[String]): Map[String, Seq[String]] = {
-    import org.apache.spark.sql.functions.{col, collect_set}
-    val aggs = columns.map(c => collect_set(col(c).cast("string")).as(c))
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    columns.zipWithIndex
-      .map { case (c, i) => c -> row.getSeq[String](i).sorted.toSeq }.toMap
-  }
+  def get_unique_indices(df: DataFrame, columns: Seq[String]): Map[String, Seq[String]] =
+    if (columns.isEmpty) Map.empty
+    else {
+      import org.apache.spark.sql.functions.{col, collect_set}
+      val aggs = columns.map(c => collect_set(col(c).cast("string")).as(c))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      columns.zipWithIndex
+        .map { case (c, i) => c -> row.getSeq[String](i).sorted.toSeq }.toMap
+    }
   /** `get_index_list` (utils.py:180-188): positions of the requested
     * labels within a label list (missing labels skipped). */
   def get_index_list(l: Seq[String], ms: Seq[String]): Seq[Int] =
     ms.filter(l.contains).map(l.indexOf)
   /** `build_combined_label` (utils.py:208-225): shortstr of each
-    * selected entry, joined by `sep`. */
+    * selected entry, joined by `sep`; keys absent from `sl` are
+    * skipped (tolerant where the reference would KeyError). */
   def build_combined_label(sl: Map[String, String], idxs: Seq[String], sep: String = " "): String =
-    idxs.map(k => sl(k).split(";")(0)).mkString(sep)
+    idxs.flatMap(sl.get).map(_.split(";")(0)).mkString(sep)
 }

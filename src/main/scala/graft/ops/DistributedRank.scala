@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
 object DistributedRank {
 
   /** Append `outCol` = global 1-based row number ordered by
-    * (valueCol [asc|desc], tieCols...). valueCol must be numeric. */
+    * (valueCol [asc|desc], tieCols...). valueCol must be numeric;
+    * rows with a null order key are excluded (they have no rank). */
   def rowNumber(
       df: DataFrame,
       valueCol: String,
@@ -25,9 +26,12 @@ object DistributedRank {
       tieCols: Seq[String],
       outCol: String = "rank",
       numBuckets: Int = 1024): DataFrame = {
-    val mm = df.agg(
+    val data = df.filter(col(valueCol).isNotNull)
+    val mm = data.agg(
       min(col(valueCol)).cast("double").as("mn"),
       max(col(valueCol)).cast("double").as("mx")).head()
+    if (mm.isNullAt(0)) // empty input: rank column, no rows
+      return data.withColumn(outCol, lit(null).cast("long")).limit(0)
     val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
     val span = if (mx > mn) mx - mn else 1.0
     val raw = least(
@@ -40,7 +44,7 @@ object DistributedRank {
       v +: tieCols.map(col(_).asc)
     }
     val wBkt = Window.partitionBy(col("_rb")).orderBy(ordered: _*)
-    val local = df.withColumn("_rb", bucket)
+    val local = data.withColumn("_rb", bucket)
       .withColumn("_lrn", row_number().over(wBkt))
     val wAll = Window.orderBy(col("_rb")) // numBuckets rows only
     val offsets = local.groupBy(col("_rb")).agg(count(lit(1)).as("_bn"))
@@ -64,7 +68,7 @@ object DistributedRank {
       num: Int,
       outCol: String = "chunk",
       numBuckets: Int = 1024): DataFrame = {
-    val n = df.count()
+    val n = df.filter(col(valueCol).isNotNull).count() // match rowNumber's row set
     val q = n / num // min bucket size
     val r = n % num // first r buckets have q+1 rows
     val ranked = rowNumber(df, valueCol, ascending = true, tieCols, "_ntr", numBuckets)

@@ -69,9 +69,12 @@ object TrainingData {
     // The signature table is referenced by the band self-join AND both
     // jaccard sides — persist it (it's narrow: id + k longs, ~0.3 KB/doc)
     // or each reference recomputes the scan→gate→dedup→minhash chain.
-    val sigs = Dedup.minHashSignatures(exactDeduped, idCol, textCol,
-        cfg.minHashes, cfg.shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs0 = Dedup.minHashSignatures(exactDeduped, idCol, textCol,
+      cfg.minHashes, cfg.shingleSize)
+    val sigs =
+      if (cfg.persistStages)
+        sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sigs0
     val nearDups = Dedup.minHashJaccard(
         Dedup.minHashCandidatePairs(sigs, idCol, cfg.minHashes, cfg.bands),
         sigs, idCol, cfg.minHashes)
@@ -89,23 +92,38 @@ object TrainingData {
     (kept, reasons)
   }
 
-  /** Seeded per-stratum Bernoulli sample (e.g. rebalance languages or
-    * sources to target rates). Row-local hash-based accept/reject —
-    * no shuffle, deterministic for a fixed seed, linear scan at any
-    * scale. Strata missing from `fractions` are dropped (rate 0). */
+  /** Uniform-in-[0,1) draw from (seed, id) — pure row content, so the
+    * accept set is identical across partitionings, cluster sizes, and
+    * re-runs (unlike df.sample/sampleBy, whose rand(seed) streams are
+    * positional per partition). */
+  private def hashUniform(idCol: String, seed: Long) =
+    pmod(xxhash64(lit(seed), col(idCol)), lit(1000000L)).cast("double") / 1000000.0
+
+  /** Seeded per-stratum Bernoulli sample by content hash (e.g.
+    * rebalance languages or sources to target rates). Row-local, no
+    * shuffle, linear scan at any scale. Strata missing from
+    * `fractions` are dropped (rate 0). */
   def stratifiedSample(
       df: DataFrame,
       strataCol: String,
+      idCol: String,
       fractions: Map[String, Double],
-      seed: Long): DataFrame =
-    df.stat.sampleBy(strataCol, fractions, seed)
+      seed: Long): DataFrame = {
+    val rate = fractions.foldLeft(lit(null).cast("double")) {
+      case (acc, (k, v)) => when(col(strataCol) === lit(k), lit(v)).otherwise(acc)
+    }
+    df.filter(hashUniform(idCol, seed) < rate)
+  }
 
   /** Weighted source mixing for a training corpus: down-sample each
-    * source at its rate and union. Rates > 1 are clamped to 1 (this
-    * mixes by subsampling, not duplication). Per-source seeds keep the
-    * draw deterministic and independent across sources. */
-  def mixSources(sources: Seq[(DataFrame, Double)], seed: Long): DataFrame =
+    * source at its rate and union. Rates >= 1 keep the source whole
+    * (this mixes by subsampling, not duplication). Per-source seed
+    * offsets keep the draws independent across sources. */
+  def mixSources(sources: Seq[(DataFrame, Double)], idCol: String, seed: Long): DataFrame = {
+    require(sources.nonEmpty, "mixSources needs at least one source")
     sources.zipWithIndex.map { case ((df, rate), i) =>
-      df.sample(withReplacement = false, math.min(rate, 1.0), seed + i)
+      if (rate >= 1.0) df
+      else df.filter(hashUniform(idCol, seed + i) < lit(rate))
     }.reduce(_ unionByName _)
+  }
 }

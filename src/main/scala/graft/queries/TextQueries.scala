@@ -238,7 +238,7 @@ object TextQueries extends QueryProvider {
     (s, d) => TextAnalysis.topTokens(Tables.documents(s, d), "text", 50),
     Some("""
       SELECT token, CAST(COUNT(1) AS BIGINT) AS n
-      FROM (SELECT unnest(string_split_regex(text, '\s+')) AS token
+      FROM (SELECT unnest(string_split_regex(text, '[\t\n\f\r ]+')) AS token
             FROM documents)
       WHERE token <> ''
       GROUP BY token ORDER BY n DESC, token LIMIT 50"""))
@@ -248,7 +248,7 @@ object TextQueries extends QueryProvider {
   private val qStratSample = Q(
     "q_stratified_sample",
     (s, d) => graft.pipeline.TrainingData.stratifiedSample(
-        Tables.documents(s, d), "lang",
+        Tables.documents(s, d), "lang", "doc_id",
         Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0, "zh" -> 1.0),
         seed = 42L)
       .select(col("doc_id"), col("lang"), col("source")),

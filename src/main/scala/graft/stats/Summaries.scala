@@ -112,8 +112,11 @@ object Summaries {
     val pass = flagCols.map(c => !flagged(c))
       .reduceOption(_ && _).getOrElse(lit(true))
     val exprCols = df.columns.filter(_.matches("(Intensity|Ratio).*")).toSeq
+    // try_cast: expression columns may arrive string-typed from a loose
+    // TSV read — ANSI mode would throw on a bare numeric compare
+    // (CLAUDE.md invariant 5)
     val quantified = exprCols
-      .map(c => coalesce(col(c) =!= 0, lit(false)))
+      .map(c => coalesce(col(c).try_cast("double") =!= 0, lit(false)))
       .reduceOption(_ || _).getOrElse(lit(false))
     val flagAggs = flagCols.map(c =>
       sum(when(flagged(c), 1L).otherwise(0L)).as(s"n_$c"))
@@ -125,17 +128,21 @@ object Summaries {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Bucket index for a fixed-width histogram: under/overflow clamped
+    * to the edge bins. */
+  private def bucketOf(valueCol: String, bins: Int, lo: Double, hi: Double) =
+    least(greatest(
+      width_bucket(col(valueCol), lit(lo), lit(hi), lit(bins)),
+      lit(1)), lit(bins)).as("bucket")
+
   /** Fixed-width histogram of a value column (`comparedist` /
     * `compareimputed` / `_areadist` core, ref visualize.py:1374-1491):
-    * width_bucket + count, nulls excluded, under/overflow clamped to
-    * the edge bins. */
+    * width_bucket + count, nulls excluded. */
   def histogram(
       df: DataFrame, valueCol: String,
       bins: Int, lo: Double, hi: Double): DataFrame =
     df.filter(col(valueCol).isNotNull)
-      .groupBy(least(greatest(
-          width_bucket(col(valueCol), lit(lo), lit(hi), lit(bins)),
-          lit(1)), lit(bins)).as("bucket"))
+      .groupBy(bucketOf(valueCol, bins, lo, hi))
       .agg(count(lit(1)).as("n"))
 
   /** `comparedist`/`compareimputed` (ref visualize.py:1387-1491): the
@@ -143,15 +150,12 @@ object Summaries {
     * comparison (original vs imputed, group 1 vs group 2). */
   def compareDist(
       a: DataFrame, b: DataFrame, valueCol: String,
-      bins: Int = 100, lo: Double = 0.0, hi: Double = 1.0): DataFrame = {
-    val tagged = a.select(lit("a").as("side"), col(valueCol))
+      bins: Int = 100, lo: Double = 0.0, hi: Double = 1.0): DataFrame =
+    a.select(lit("a").as("side"), col(valueCol))
       .unionByName(b.select(lit("b").as("side"), col(valueCol)))
-    tagged.filter(col(valueCol).isNotNull)
-      .groupBy(col("side"), least(greatest(
-          width_bucket(col(valueCol), lit(lo), lit(hi), lit(bins)),
-          lit(1)), lit(bins)).as("bucket"))
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col("side"), bucketOf(valueCol, bins, lo, hi))
       .agg(count(lit(1)).as("n"))
-  }
 
   /** `rankintensity` data (ref visualize.py:1075-1274): positive
     * intensities ranked ascending on log10 with the bucketed

@@ -114,9 +114,13 @@ object TextAnalysis {
   /** Corpus vocabulary top-k: the k most frequent whitespace tokens
     * with a deterministic tie-break on the token itself. The
     * orderBy+limit plans as TakeOrderedAndProject — per-partition
-    * top-k then a k-row driver merge, never a global sort. */
+    * top-k then a k-row driver merge, never a global sort.
+    *
+    * The delimiter class is spelled out rather than `\s` because Java
+    * regex `\s` includes `\x0B` while RE2 (the DuckDB oracle) does not
+    * — an explicit class is identical in both engines. */
   def topTokens(docs: DataFrame, textCol: String, k: Int): DataFrame =
-    docs.select(explode(split(col(textCol), "\\s+")).as("token"))
+    docs.select(explode(split(col(textCol), "[\\t\\n\\f\\r ]+")).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))

@@ -92,9 +92,12 @@ class PlanSpec extends SparkSpec {
   test("distributed ntile has no unpartitioned data-plane window") {
     val df = Registry.queries("q_ntile_chunks")(spark, sf)
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
-    // the per-bucket row_number window is keyed by _rb; the only
-    // orderBy-without-partition window runs over the numBuckets-row
-    // offsets summary
-    assert(p.contains("partitionBy=[_rb]") || p.contains("_rb"), p)
+    // every window spec must involve the bucket column — either
+    // partitioned by it (per-bucket row_number) or ordered by it (the
+    // numBuckets-row offsets summary). A regression to a global
+    // Window.orderBy(s_acctbal) would produce a spec without _rb.
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toList
+    assert(specs.nonEmpty, p)
+    specs.foreach(s => assert(s.contains("_rb"), s))
   }
 }

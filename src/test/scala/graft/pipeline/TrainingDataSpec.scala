@@ -40,16 +40,17 @@ class TrainingDataSpec extends SparkSpec {
     assert(r.getOrElse("low_quality", 0L) >= 2L)
   }
 
-  test("stratifiedSample is a deterministic per-stratum subset at the target rate") {
+  test("stratifiedSample: content-hash subset at the target rate, partitioning-independent") {
     val rng = new scala.util.Random(7)
     val df = (1 to 4000).map { i =>
       (i.toLong, if (rng.nextBoolean()) "en" else "de")
     }.toDF("doc_id", "lang")
     val fr = Map("en" -> 0.25, "de" -> 1.0)
-    val s1 = TrainingData.stratifiedSample(df, "lang", fr, seed = 11L)
-    val s2 = TrainingData.stratifiedSample(df, "lang", fr, seed = 11L)
+    val s1 = TrainingData.stratifiedSample(df.repartition(7), "lang", "doc_id", fr, seed = 11L)
+    val s2 = TrainingData.stratifiedSample(df.repartition(3), "lang", "doc_id", fr, seed = 11L)
     val ids1 = s1.select("doc_id").as[Long].collect().toSet
-    assert(ids1 == s2.select("doc_id").as[Long].collect().toSet, "not deterministic")
+    // accept set depends only on (seed, id) — NOT on partitioning
+    assert(ids1 == s2.select("doc_id").as[Long].collect().toSet)
     val byLang = s1.groupBy($"lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val nDe = df.filter($"lang" === "de").count()
@@ -57,18 +58,26 @@ class TrainingDataSpec extends SparkSpec {
     assert(byLang("de") == nDe, "rate-1.0 stratum must be kept whole")
     assert(math.abs(byLang("en").toDouble / nEn - 0.25) < 0.05)
     assert(ids1.subsetOf((1 to 4000).map(_.toLong).toSet))
+    // absent stratum -> dropped
+    val dropped = TrainingData.stratifiedSample(df, "lang", "doc_id",
+      Map("en" -> 1.0), seed = 11L)
+    assert(dropped.filter($"lang" === "de").count() == 0)
   }
 
   test("mixSources unions deterministic per-source subsamples") {
     val a = (1 to 1000).map(i => (i.toLong, "a")).toDF("doc_id", "src")
     val b = (1001 to 2000).map(i => (i.toLong, "b")).toDF("doc_id", "src")
-    val mixed = TrainingData.mixSources(Seq(a -> 0.3, b -> 1.5), seed = 5L)
+    val mixed = TrainingData.mixSources(Seq(a -> 0.3, b -> 1.5), "doc_id", seed = 5L)
     val bySrc = mixed.groupBy($"src").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(bySrc("b") == 1000L, "rate >= 1 clamps to keep-all, no duplication")
+    assert(bySrc("b") == 1000L, "rate >= 1 keeps the source whole, no duplication")
     assert(math.abs(bySrc("a").toDouble / 1000 - 0.3) < 0.08)
-    val again = TrainingData.mixSources(Seq(a -> 0.3, b -> 1.5), seed = 5L)
+    val again = TrainingData.mixSources(
+      Seq(a.repartition(5) -> 0.3, b -> 1.5), "doc_id", seed = 5L)
     assert(mixed.select("doc_id").as[Long].collect().toSet ==
       again.select("doc_id").as[Long].collect().toSet)
+    intercept[IllegalArgumentException] {
+      TrainingData.mixSources(Seq.empty, "doc_id", seed = 1L)
+    }
   }
 }
