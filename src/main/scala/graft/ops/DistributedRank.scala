@@ -56,6 +56,27 @@ object DistributedRank {
       .drop("_rb", "_lrn", "_off")
   }
 
+  /** Per-key top-k: row_number over a window PARTITIONED by the key
+    * (scales — state per task is one key-group, unlike a global
+    * orderBy) then filter rank <= k. The grouped complement of the
+    * global `orderBy.limit` top-k. */
+  def topKPerKey(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      ascending: Boolean,
+      tieCols: Seq[String],
+      k: Int,
+      outCol: String = "rn"): DataFrame = {
+    val ordered: Seq[Column] = {
+      val v = if (ascending) col(orderCol).asc else col(orderCol).desc
+      v +: tieCols.map(col(_).asc)
+    }
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ordered: _*)
+    df.withColumn(outCol, row_number().over(w).cast("long"))
+      .filter(col(outCol) <= k)
+  }
+
   /** Exact SQL `NTILE(num)` semantics without a single-partition
     * window: global rank via the bucketed pattern above, then the
     * closed-form rank→bucket map (first `n mod num` buckets carry the

@@ -115,15 +115,27 @@ object TrainingData {
     df.filter(hashUniform(idCol, seed) < rate)
   }
 
-  /** Weighted source mixing for a training corpus: down-sample each
-    * source at its rate and union. Rates >= 1 keep the source whole
-    * (this mixes by subsampling, not duplication). Per-source seed
-    * offsets keep the draws independent across sources. */
+  /** Weighted source mixing for a training corpus: sample each source
+    * at its rate and union. Rates < 1 subsample; rates > 1 OVERSAMPLE
+    * — every row appears floor(rate) times plus one more with
+    * probability frac(rate) (epoch-style duplication). All draws are
+    * content-hash deterministic; per-source seed offsets keep them
+    * independent across sources. */
   def mixSources(sources: Seq[(DataFrame, Double)], idCol: String, seed: Long): DataFrame = {
     require(sources.nonEmpty, "mixSources needs at least one source")
     sources.zipWithIndex.map { case ((df, rate), i) =>
-      if (rate >= 1.0) df
-      else df.filter(hashUniform(idCol, seed + i) < lit(rate))
+      require(rate >= 0, s"negative mix rate $rate")
+      val whole = math.floor(rate).toLong
+      val frac = rate - whole
+      if (frac == 0.0 && whole == 1L) df // exact rate 1: pass through
+      else {
+        val copies = lit(whole) +
+          when(hashUniform(idCol, seed + i) < lit(frac), 1L).otherwise(0L)
+        df.withColumn("_copies", copies)
+          .filter(col("_copies") > 0)
+          .withColumn("_dup", explode(sequence(lit(1L), col("_copies"))))
+          .drop("_copies", "_dup")
+      }
     }.reduce(_ unionByName _)
   }
 }

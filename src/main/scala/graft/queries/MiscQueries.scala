@@ -76,6 +76,23 @@ object MiscQueries extends QueryProvider {
         CAST(NTILE(10) OVER (ORDER BY s_acctbal, s_suppkey) AS INT) AS chunk
       FROM supplier"""))
 
+  // ---- per-key top-k (grouped top-k, keyed window — scales unlike a
+  //      global sort): each customer's 3 priciest orders ----
+  private val qTopKPerGroup = Q(
+    "q_topk_per_group",
+    (s, d) => DistributedRank.topKPerKey(
+      Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+      keyCols = Seq("o_custkey"), orderCol = "o_totalprice",
+      ascending = false, tieCols = Seq("o_orderkey"), k = 3),
+    Some("""
+      SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          CAST(ROW_NUMBER() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        FROM orders) t
+      WHERE rn <= 3"""))
+
   // ---- build_index_from_labels: regex capture over labels ----
   private val qLabelExtract = Q(
     "q_label_extract",
@@ -100,5 +117,6 @@ object MiscQueries extends QueryProvider {
       FROM lineitem"""))
 
   def all: Seq[Q] = Seq(
-    qHistogram, qHistogramCompare, qQcCounts, qRank, qNtile, qLabelExtract, qCombine)
+    qHistogram, qHistogramCompare, qQcCounts, qRank, qNtile, qTopKPerGroup,
+    qLabelExtract, qCombine)
 }

@@ -64,18 +64,24 @@ class TrainingDataSpec extends SparkSpec {
     assert(dropped.filter($"lang" === "de").count() == 0)
   }
 
-  test("mixSources unions deterministic per-source subsamples") {
+  test("mixSources: subsample below 1, oversample above 1, all content-deterministic") {
     val a = (1 to 1000).map(i => (i.toLong, "a")).toDF("doc_id", "src")
     val b = (1001 to 2000).map(i => (i.toLong, "b")).toDF("doc_id", "src")
     val mixed = TrainingData.mixSources(Seq(a -> 0.3, b -> 1.5), "doc_id", seed = 5L)
     val bySrc = mixed.groupBy($"src").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(bySrc("b") == 1000L, "rate >= 1 keeps the source whole, no duplication")
+    // rate 1.5: every row once + ~half twice
+    assert(bySrc("b") >= 1400L && bySrc("b") <= 1600L, bySrc("b").toString)
+    assert(mixed.filter($"src" === "b").select("doc_id").distinct().count() == 1000L)
     assert(math.abs(bySrc("a").toDouble / 1000 - 0.3) < 0.08)
+    // content-hash draw: identical multiset regardless of partitioning
     val again = TrainingData.mixSources(
-      Seq(a.repartition(5) -> 0.3, b -> 1.5), "doc_id", seed = 5L)
-    assert(mixed.select("doc_id").as[Long].collect().toSet ==
-      again.select("doc_id").as[Long].collect().toSet)
+      Seq(a.repartition(5) -> 0.3, b.repartition(3) -> 1.5), "doc_id", seed = 5L)
+    val m1 = mixed.groupBy($"doc_id").count().as[(Long, Long)].collect().toMap
+    val m2 = again.groupBy($"doc_id").count().as[(Long, Long)].collect().toMap
+    assert(m1 == m2)
+    // exact rate 1 passes the source through untouched
+    assert(TrainingData.mixSources(Seq(a -> 1.0), "doc_id", seed = 5L).count() == 1000L)
     intercept[IllegalArgumentException] {
       TrainingData.mixSources(Seq.empty, "doc_id", seed = 1L)
     }
