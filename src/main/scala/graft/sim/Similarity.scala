@@ -160,11 +160,15 @@ object Similarity {
     // from three array folds to one (~3× fewer flops where the time
     // actually goes — the O(pairs) verify stage).
     val v = asDouble(col(vecCol))
+    // persist: both sides of the self-join read this frame — without it
+    // the scan+normalize+bucket pass runs twice (persist policy: README
+    // scale rule 7)
     val unit = embeddings
       .select(col(idCol), v.as("_v"), norm(v).as("_n"),
         signLshBucket(v, dim, numPlanes).as("_bucket"))
       .select(col(idCol), col("_bucket"),
         transform(col("_v"), x => try_divide(x, col("_n"))).as("_unit"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = unit.select(col("_bucket"), col(idCol).as("id_a"), col("_unit").as("_va"))
     val r = unit.select(col("_bucket"), col(idCol).as("id_b"), col("_unit").as("_vb"))
     l.join(r, Seq("_bucket"))
