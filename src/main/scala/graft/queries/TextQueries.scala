@@ -231,6 +231,18 @@ object TextQueries extends QueryProvider {
     },
     None)
 
+  // ---- benchmark decontamination: shared-n-gram counts vs a small
+  //      probe set (rows-only: xxhash shingles not in SQL). The probe
+  //      is the first 5 documents, so at minimum those 5 self-match. ----
+  private val qContamination = Q(
+    "q_contamination_scores",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationScores(
+        docs, docs.filter(col("doc_id") < 5), "doc_id", "text", n = 3)
+    },
+    None)
+
   // ---- corpus vocabulary top-k: distributed top-k, never a global
   //      sort (TakeOrderedAndProject) ----
   private val qTokenTopK = Q(
@@ -257,5 +269,5 @@ object TextQueries extends QueryProvider {
   def all: Seq[Q] = Seq(
     qDedupExact, qFingerprint, qTokens, qQuality, qLangId, qJaccard, qAnn, qAnnLsh,
     qAnnIvf, qMinhash, qSimhash, qSimhashPairs, qWinnow, qLshPairs, qCurate,
-    qTokenTopK, qStratSample)
+    qTokenTopK, qStratSample, qContamination)
 }

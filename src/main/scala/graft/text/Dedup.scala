@@ -139,6 +139,27 @@ object Dedup {
       .distinct()
   }
 
+  /** Benchmark decontamination: per corpus document, the number of
+    * distinct word n-grams shared with ANY probe (benchmark/test-set)
+    * document. The probe side is small — its distinct shingle hashes
+    * BROADCAST, so corpus text never shuffles: row-local shingling →
+    * broadcast hash join → groupBy over only the matching (id, hash)
+    * pairs. Filter `n_shared_ngrams >= k` downstream to drop
+    * contaminated training documents. */
+  def contaminationScores(
+      corpus: DataFrame, probe: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val probeGrams = probe
+      .select(explode(wordShingles(col(textCol), n)).as("_g"))
+      .select(xxhash64(col("_g")).as("_gh")).distinct()
+    corpus
+      .select(col(idCol), explode(wordShingles(col(textCol), n)).as("_g"))
+      .select(col(idCol), xxhash64(col("_g")).as("_gh"))
+      .join(broadcast(probeGrams), Seq("_gh"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("_gh")).as("n_shared_ngrams"))
+  }
+
   /** Exact word-set Jaccard for given candidate pairs (verification
     * stage after blocking): explode distinct words once, self-join on
     * word within pairs. `pairs` must be pre-blocked (LSH/banding) —

@@ -58,6 +58,21 @@ class DedupSpec extends SparkSpec {
     assert(ham(out(1L), out(2L)) < ham(out(1L), out(3L)))
   }
 
+  test("contaminationScores counts shared n-grams vs the probe set only") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // contains the probe run
+      (2L, "totally unrelated words nothing shared here at all"),
+      (3L, "prefix alpha beta gamma suffix") // partial overlap
+    ).toDF("doc_id", "text")
+    val probe = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val out = Dedup.contaminationScores(corpus, probe, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // probe 3-grams: {alpha beta gamma, beta gamma delta}
+    assert(out(1L) == 2L)
+    assert(out(3L) == 1L) // shares only "alpha beta gamma"
+    assert(!out.contains(2L)) // zero overlap -> absent (inner join)
+  }
+
   test("simHashNearDupPairs: block join finds exact/near pairs, excludes far pairs") {
     val sims = Dedup.simHash(docs, "doc_id", "text")
     val hams = sims.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
