@@ -239,7 +239,7 @@ object TextQueries extends QueryProvider {
     (s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.contaminationScores(
-        docs, docs.filter(col("doc_id") < 5), "doc_id", "text", n = 3)
+        docs, docs.filter(col("doc_id") < 5), "doc_id", "text", n = 5)
     },
     None)
 
