@@ -25,13 +25,26 @@ object DistributedRank {
       ascending: Boolean,
       tieCols: Seq[String],
       outCol: String = "rank",
-      numBuckets: Int = 1024): DataFrame = {
+      numBuckets: Int = 1024): DataFrame =
+    rowNumberCounted(df, valueCol, ascending, tieCols, outCol, numBuckets)._1
+
+  /** rowNumber plus the ranked (non-null) row count, read from the SAME
+    * min/max aggregation job — callers that need n (ntile) get it
+    * without a second pass over the input. */
+  def rowNumberCounted(
+      df: DataFrame,
+      valueCol: String,
+      ascending: Boolean,
+      tieCols: Seq[String],
+      outCol: String = "rank",
+      numBuckets: Int = 1024): (DataFrame, Long) = {
     val data = df.filter(col(valueCol).isNotNull)
     val mm = data.agg(
       min(col(valueCol)).cast("double").as("mn"),
-      max(col(valueCol)).cast("double").as("mx")).head()
+      max(col(valueCol)).cast("double").as("mx"),
+      count(lit(1)).as("n")).head()
     if (mm.isNullAt(0)) // empty input: rank column, no rows
-      return data.withColumn(outCol, lit(null).cast("long")).limit(0)
+      return (data.withColumn(outCol, lit(null).cast("long")).limit(0), 0L)
     val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
     val span = if (mx > mn) mx - mn else 1.0
     val raw = least(
@@ -51,9 +64,9 @@ object DistributedRank {
       .withColumn("_off",
         coalesce(sum(col("_bn")).over(wAll.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("_rb"), col("_off"))
-    local.join(broadcast(offsets), Seq("_rb"))
+    (local.join(broadcast(offsets), Seq("_rb"))
       .withColumn(outCol, col("_off") + col("_lrn"))
-      .drop("_rb", "_lrn", "_off")
+      .drop("_rb", "_lrn", "_off"), mm.getLong(2))
   }
 
   /** Per-key top-k: row_number over a window PARTITIONED by the key
@@ -81,6 +94,11 @@ object DistributedRank {
     * window: global rank via the bucketed pattern above, then the
     * closed-form rank→bucket map (first `n mod num` buckets carry the
     * extra row, matching NTILE). Ref `chunks`, utils.py:259-279.
+    *
+    * Like rowNumber (and unlike a plain NTILE window, which ranks
+    * nulls first), rows with a null `valueCol` are DROPPED — they have
+    * no rank, so they belong to no chunk. Oracled columns are non-null;
+    * callers with nullable order keys must filter or fill first.
     */
   def ntile(
       df: DataFrame,
@@ -89,10 +107,11 @@ object DistributedRank {
       num: Int,
       outCol: String = "chunk",
       numBuckets: Int = 1024): DataFrame = {
-    val n = df.filter(col(valueCol).isNotNull).count() // match rowNumber's row set
+    // n comes from rowNumberCounted's own aggregation — ntile is two
+    // jobs total (summary agg + main), not three (no separate count()).
+    val (ranked, n) = rowNumberCounted(df, valueCol, ascending = true, tieCols, "_ntr", numBuckets)
     val q = n / num // min bucket size
     val r = n % num // first r buckets have q+1 rows
-    val ranked = rowNumber(df, valueCol, ascending = true, tieCols, "_ntr", numBuckets)
     val bucket =
       if (q == 0L) col("_ntr") // fewer rows than buckets: one row each
       else when(col("_ntr") <= lit(r * (q + 1)),

@@ -41,12 +41,21 @@ object MediaQueries extends QueryProvider {
              CAST(unnest(generate_series(0, n_frames - 1)) * 64 AS INT) AS frame_offset
       FROM m"""))
 
-  // stubbed decode → feature vectors (rows-only: stub hash not in SQL)
+  // stubbed decode → feature vectors (rows-only: stub hash not in SQL).
+  // The driver's checker sorts every output column, so the feature
+  // vector is emitted as fixed-width SCALAR columns f0..f7 (rounded
+  // 9dp) — an array column is unhashable/unsortable on the pandas side.
   private val qDecode = Q(
     "q_multimodal_decode",
-    (s, d) => Multimodal.decodeFeatures(s,
-      Multimodal.repartitionBySize(
-        Multimodal.attachBinary(Tables.documents(s, d), "doc_id", "text"), 8)).toDF(),
+    (s, d) => {
+      val decoded = Multimodal.decodeFeatures(s,
+        Multimodal.repartitionBySize(
+          Multimodal.attachBinary(Tables.documents(s, d), "doc_id", "text"), 8)).toDF()
+      val featCols = (0 until 8).map(i =>
+        round(col("features").getItem(i), 9).as(s"f$i"))
+      decoded.select(
+        (Seq(col("media_id"), col("n_bytes"), col("content_hash")) ++ featCols): _*)
+    },
     None)
 
   def all: Seq[Q] = Seq(qMeta, qFrames, qDecode)

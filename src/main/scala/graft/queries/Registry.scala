@@ -6,10 +6,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * driver testdata plus (when SQL-expressible) a DuckDB oracle that
   * must hash-match it (BASELINE.md t2 gate).
   */
+/** `oracle` is a static SQL string; `oracleGen` is evaluated lazily at
+  * dump time (AFTER Verify has run every query) — for oracles that
+  * embed a driver-computed scalar (e.g. Storey pi0) as a literal. */
 final case class Q(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    oracleGen: Option[() => Option[String]] = None)
 
 trait QueryProvider {
   def all: Seq[Q]
@@ -32,6 +36,9 @@ object Registry {
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
 
-  lazy val oracleSql: Map[String, String] =
-    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+  // def, not lazy val: oracleGen entries must re-evaluate at dump time
+  // (Verify runs queries first, then dumps — generated oracles see the
+  // scalars those runs computed)
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracleGen.flatMap(g => g()).orElse(q.oracle).map(q.name -> _)).toMap
 }

@@ -207,8 +207,9 @@ object StatQueries extends QueryProvider {
                THEN 1 ELSE 0 END AS gap
         FROM events)
       SELECT event_id, user_id,
-        SUM(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        CAST(SUM(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS session_id
       FROM g"""))
 
   // ---- full volcano with p + s0 classification (rows-only: t CDF
@@ -276,16 +277,39 @@ object StatQueries extends QueryProvider {
       SELECT event_type, ${MS.sumExact("value")} AS sum_value
       FROM events WHERE value > 0 GROUP BY event_type"""))
 
-  // ---- §2.6 qvalues with Storey spline pi0 (driver-side spline →
-  //      rows-only; BH variant above is the oracle) ----
+  // ---- §2.6 qvalues with Storey spline pi0. pi0 is a driver-side
+  //      scalar (90-knot spline): the query run computes it ONCE and
+  //      records it; the oracle is then the exact BH SQL with the same
+  //      pi0 injected as a literal — the whole chain hash-checks.
+  //      (Double.toString round-trips, so DuckDB parses the identical
+  //      IEEE double.) ----
+  private val lastStoreyPi0 = new java.util.concurrent.atomic.AtomicReference[java.lang.Double]()
+
   private val qQvaluesStorey = Q(
     "q_qvalues_storey",
     (s, d) => {
       val p = Tables.supplier(s, d)
         .select(col("s_suppkey"), ((col("s_acctbal") + 1000.0) / 11000.0).as("p"))
-      QValues.qvalues(p, "p", qCol = "q", pi0 = QValues.storeyPi0(p, "p"))
+      val pi0 = QValues.storeyPi0(p, "p")
+      lastStoreyPi0.set(pi0)
+      QValues.qvalues(p, "p", qCol = "q", pi0 = pi0)
     },
-    None)
+    None,
+    oracleGen = Some(() => Option(lastStoreyPi0.get()).map { pi0 =>
+      s"""
+      WITH t AS (
+        SELECT s_suppkey, (s_acctbal + 1000.0) / 11000.0 AS p FROM supplier),
+      r AS (
+        SELECT s_suppkey, p,
+          ROW_NUMBER() OVER (ORDER BY p) AS rnk,
+          COUNT(*) OVER () AS m
+        FROM t)
+      SELECT s_suppkey, p,
+        LEAST(MIN($pi0 * CAST(m AS DOUBLE) * p / CAST(rnk AS DOUBLE))
+                OVER (ORDER BY p ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+              1.0) AS q
+      FROM r"""
+    }))
 
   def all: Seq[Q] = Seq(qTtest, anovaBuild, qCorr, qQvalues, qQvaluesStorey,
     qTtest1, qMedianCollapse, qNonZeroSum, qEventsWindow, qSessionize, qVolcano)

@@ -111,7 +111,10 @@ object Summaries {
     def flagged(c: String) = coalesce(col(c).cast("string") === "+", lit(false))
     val pass = flagCols.map(c => !flagged(c))
       .reduceOption(_ && _).getOrElse(lit(true))
-    val exprCols = df.columns.filter(_.matches("(Intensity|Ratio).*")).toSeq
+    // unanchored, like the reference's df.filter(regex=...) (re.search):
+    // 'iBAQ Intensity 1' counts toward Quantified too, not only prefixed
+    // 'Intensity .*' columns
+    val exprCols = df.columns.filter(_.matches(".*(Intensity|Ratio).*")).toSeq
     // try_cast: expression columns may arrive string-typed from a loose
     // TSV read — ANSI mode would throw on a bare numeric compare
     // (CLAUDE.md invariant 5)
