@@ -141,6 +141,10 @@ object Padua {
     Volcano.twoSample(df, idCols, groupCol, valueCol, control, comparison,
       minValidN, s0, minRatio, minP)
   def venn(a: DataFrame, b: DataFrame): Long = a.intersect(b).count()
+  /** 3-frame form (ref visualize.py:979-1033, `df3` + `venn3`): the
+    * reference returns the triple intersection. */
+  def venn(a: DataFrame, b: DataFrame, c: DataFrame): Long =
+    a.intersect(b).intersect(c).count()
   def hierarchical(spark: SparkSession, df: DataFrame, idCol: String, sampleCol: String,
       valueCol: String, nClusters: Int): DataFrame =
     Ward.clusterSamples(spark, df, idCol, sampleCol, valueCol, nClusters)

@@ -25,7 +25,15 @@ object Pls {
       yMean: Double)
 
   /** Fit PLS1 on long form + per-sample response. `y` maps sample →
-    * response (e.g. class 0/1 for PLS-DA, ref analysis.py:116-123). */
+    * response (e.g. class 0/1 for PLS-DA, ref analysis.py:116-123).
+    *
+    * The model is FIT on the labeled samples only but APPLIED to every
+    * sample present in `df` (ref analysis.py:133-137: `x_scores =
+    * plsr.transform(df.values.T)` projects non-selected samples into
+    * the same latent space): weights, loadings, centering means and
+    * y-regression all come from `y.keys`; scores cover all samples via
+    * the same sequential deflation (equivalent to sklearn's
+    * W(PᵀW)⁻¹ rotation). */
   def fit(
       spark: SparkSession,
       df: DataFrame,
@@ -34,45 +42,51 @@ object Pls {
       sampleCol: String,
       valueCol: String,
       nComponents: Int = 2): PlsModel = {
-    val samples = y.keys.toSeq.sorted
+    val labeled = y.keys.toSeq.sorted
+    val allSamples = df.select(col(sampleCol)).distinct()
+      .collect().map(_.get(0).toString).sorted
     var yc = center(y) // centered response
-    // center X per feature over samples (sklearn PLSRegression centers
-    // both X and y; without it scores carry a constant offset and the
-    // regression equation ŷ = ȳ + Σ q·t is biased)
+    // center X per feature over the FITTED (labeled) samples (sklearn
+    // PLSRegression centers the fit matrix; transform applies the same
+    // means to held-out samples)
     val raw = df.select(col(idCol), col(sampleCol), coalesce(col(valueCol), lit(0.0)).as("_x"))
-    val featureMeans = raw.groupBy(col(idCol)).agg(avg(col("_x")).as("_fmu"))
+    val featureMeans = raw.filter(col(sampleCol).isin(labeled: _*))
+      .groupBy(col(idCol)).agg(avg(col("_x")).as("_fmu"))
     var x = raw.join(featureMeans, idCol)
       .select(col(idCol), col(sampleCol), (col("_x") - col("_fmu")).as("_x"))
       .localCheckpoint()
 
     val comps = (0 until nComponents).map { _ =>
       val yMap = typedLit(yc)
-      // w = X y / ||X y||  (distributed over features)
+      // w = X_fit y / ||X_fit y||  (distributed over features; the
+      // null element_at for unlabeled samples drops them from the sum)
       val w0 = x.groupBy(col(idCol))
         .agg(sum(col("_x") * element_at(yMap, col(sampleCol))).as("_w"))
       val wNorm = math.sqrt(
         w0.agg(sum(col("_w") * col("_w"))).head().getDouble(0))
       val w = w0.select(col(idCol), (col("_w") / wNorm).as("w")).localCheckpoint()
-      // t = X^T w  (per sample, tiny)
+      // t = X^T w  (per sample, tiny — covers ALL samples)
       val tRows = x.join(w, idCol)
         .groupBy(col(sampleCol)).agg(sum(col("_x") * col("w")).as("t"))
         .collect().map(r => r.get(0).toString -> r.getDouble(1)).toMap
-      val tt = tRows.values.map(v => v * v).sum
+      // fit-side scalars use labeled scores only
+      val tt = labeled.map { s => val t = tRows.getOrElse(s, 0.0); t * t }.sum
       // q = y^T t / t^T t  (scalar)
-      val q = samples.map(s => yc.getOrElse(s, 0.0) * tRows.getOrElse(s, 0.0)).sum / tt
-      // p = X t / t^T t  (distributed over features)
-      val tMap = typedLit(tRows)
+      val q = labeled.map(s => yc.getOrElse(s, 0.0) * tRows.getOrElse(s, 0.0)).sum / tt
+      // p = X_fit t / t^T t  (distributed over features; labeled-only map)
+      val tMapFit = typedLit(tRows.view.filterKeys(y.contains).toMap)
       val p = x.groupBy(col(idCol))
-        .agg((sum(col("_x") * element_at(tMap, col(sampleCol))) / tt).as("p"))
-      // deflate: X ← X - t p^T ; y ← y - q t
+        .agg((sum(col("_x") * element_at(tMapFit, col(sampleCol))) / tt).as("p"))
+      // deflate EVERY sample: X ← X - t p^T ; y ← y - q t
+      val tMapAll = typedLit(tRows)
       x = x.join(p, idCol)
         .select(col(idCol), col(sampleCol),
-          (col("_x") - element_at(tMap, col(sampleCol)) * col("p")).as("_x"))
+          (col("_x") - element_at(tMapAll, col(sampleCol)) * col("p")).as("_x"))
         .localCheckpoint()
       yc = yc.map { case (s, v) => s -> (v - q * tRows.getOrElse(s, 0.0)) }
       (w, tRows, q)
     }
-    PlsModel(samples, comps, y.values.sum / y.size)
+    PlsModel(allSamples, comps, y.values.sum / y.size)
   }
 
   /** Training-sample predictions: ŷ(s) = ȳ + Σ_c q_c·t_c(s) (the

@@ -2,8 +2,9 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ml.Ward
 import graft.ops.{Design, Filters, Normalize, Reshape}
-import graft.stats.{StatTests, Summaries, Volcano}
+import graft.stats.{Moments, StatTests, Summaries, Volcano}
 
 /** The reference's canonical end-to-end workflows (SURVEY §3) as
   * composable lazy stages. One Catalyst lineage end-to-end: scan →
@@ -71,5 +72,57 @@ object Pipelines {
       annotated, Seq("id", "Group"), Seq("Group"), "value", minValid)
     Volcano.oneSample(valid, Seq("id", "Group"), "value",
       minValidN = minValid.toInt, s0 = 0.5, minRatio = 0.5, minP = 0.05)
+  }
+
+  /** S-1 finale: `hierarchical_timecourse` (ref visualize.py:1872-1959)
+    * data contract. Collapse replicate observations to one value per
+    * (entity, timepoint), z-score each entity's profile over its
+    * timepoints (ref `z_score=0`), Ward-cluster the entities on those
+    * z-profiles, and return (assignments, per-cluster mean timecourse)
+    * — the table the reference's density plot consumes (`dfh` sliced by
+    * cluster edges; `mv = dfhf.mean(axis=1)`).
+    *
+    * Scale contract: the CLUSTER axis must be driver-bounded — the
+    * reference clusters the filtered significant-site set (O(10²–10³)),
+    * the same bound as Ward.clusterSamples' s×s driver matrix. The
+    * table-scale passes (profile collapse, z-score, cluster means) are
+    * keyed aggregations over exact-decimal moments, so the whole chain
+    * is oracle-checkable given the assignment map.
+    *
+    * The z frame is persisted for the two consuming actions (Ward's
+    * distance collect, the means aggregation) and unpersisted by
+    * `cleanup()` on the returned handle once the caller has
+    * materialized `means`.
+    */
+  final case class Timecourse(assignments: DataFrame, means: DataFrame, cleanup: () => Unit)
+
+  def hierarchicalTimecourse(
+      spark: SparkSession,
+      long: DataFrame,
+      idCol: String,
+      timeCol: String,
+      valueCol: String,
+      k: Int): Timecourse = {
+    val prof = long.groupBy(col(idCol), col(timeCol))
+      .agg(Moments.meanOf(Moments.sumExact(col(valueCol)), count(col(valueCol))).as("_v"))
+    val m = prof.groupBy(col(idCol))
+      .agg(
+        Moments.sumExact(col("_v")).as("_s1"),
+        Moments.sumSqExact(col("_v")).as("_s2"),
+        count(col("_v")).as("_n"))
+      .select(col(idCol),
+        Moments.meanOf(col("_s1"), col("_n")).as("_mu"),
+        sqrt(Moments.varOf(col("_s1"), col("_s2"), col("_n"))).as("_sd"))
+    val z = prof.join(broadcast(m), Seq(idCol))
+      .select(col(idCol), col(timeCol),
+        Moments.div(col("_v") - col("_mu"), col("_sd")).as("z"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assign = Ward.clusterSamples(spark, z, timeCol, idCol, "z", k)
+    val means = z.join(broadcast(assign), Seq(idCol))
+      .groupBy(col("cluster"), col(timeCol))
+      .agg(
+        Moments.meanOf(Moments.sumExact(col("z")), count(col("z"))).as("mean_z"),
+        count(col("z")).cast("bigint").as("n_sites"))
+    Timecourse(assign, means, () => { z.unpersist(); () })
   }
 }

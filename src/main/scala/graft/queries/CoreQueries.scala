@@ -230,6 +230,47 @@ object CoreQueries extends QueryProvider {
            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
            INTERSECT SELECT o_custkey FROM orders)) AS n_ab"""))
 
+  // ---- §2.7 venn, 3-set form (ref visualize.py:979-1033 supports
+  //      df3): same one-pass membership agg, seven region counts.
+  //      Sets: A = BUILDING customers, B = customers with orders,
+  //      C = customers with positive balance. Each table scanned once;
+  //      ONE shuffle on the key; the 7 counts are a single-row agg. ----
+  private val qVenn3 = Q(
+    "q_venn3",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+      val a = cust.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), lit(1).as("in_a"), lit(0).as("in_b"), lit(0).as("in_c"))
+      val b = Tables.orders(s, d)
+        .select(col("o_custkey").as("c_custkey"), lit(0).as("in_a"), lit(1).as("in_b"), lit(0).as("in_c"))
+      val c = cust.filter(col("c_acctbal") > 0)
+        .select(col("c_custkey"), lit(0).as("in_a"), lit(0).as("in_b"), lit(1).as("in_c"))
+      a.unionByName(b).unionByName(c)
+        .groupBy(col("c_custkey"))
+        .agg(max(col("in_a")).as("ia"), max(col("in_b")).as("ib"), max(col("in_c")).as("ic"))
+        .agg(
+          sum(col("ia")).cast("bigint").as("n_a"),
+          sum(col("ib")).cast("bigint").as("n_b"),
+          sum(col("ic")).cast("bigint").as("n_c"),
+          sum(col("ia") * col("ib")).cast("bigint").as("n_ab"),
+          sum(col("ia") * col("ic")).cast("bigint").as("n_ac"),
+          sum(col("ib") * col("ic")).cast("bigint").as("n_bc"),
+          sum(col("ia") * col("ib") * col("ic")).cast("bigint").as("n_abc"))
+    },
+    Some("""
+      WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+      b AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders),
+      c AS (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+      SELECT
+        (SELECT CAST(COUNT(1) AS BIGINT) FROM a) AS n_a,
+        (SELECT CAST(COUNT(1) AS BIGINT) FROM b) AS n_b,
+        (SELECT CAST(COUNT(1) AS BIGINT) FROM c) AS n_c,
+        (SELECT CAST(COUNT(1) AS BIGINT) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_ab,
+        (SELECT CAST(COUNT(1) AS BIGINT) FROM (SELECT * FROM a INTERSECT SELECT * FROM c)) AS n_ac,
+        (SELECT CAST(COUNT(1) AS BIGINT) FROM (SELECT * FROM b INTERSECT SELECT * FROM c)) AS n_bc,
+        (SELECT CAST(COUNT(1) AS BIGINT) FROM (
+           SELECT * FROM a INTERSECT SELECT * FROM b INTERSECT SELECT * FROM c)) AS n_abc"""))
+
   // ---- §2.9 get_protein_id family: split-string scalar funcs ----
   private val qSplitIds = Q(
     "q_split_ids",
@@ -307,5 +348,5 @@ object CoreQueries extends QueryProvider {
   def all: Seq[Q] = Seq(
     q1Agg, qRemoveMatching, qRemoveContaining, qThreshold, qSearch, qMinValid,
     qDesignJoin, qUnpivot, qPivot, qMedianCenter, qValueCounts, qDistinctCounts,
-    qTopK, qNearest, qVenn, qSplitIds, qZscore, qLog2, qEnrichment)
+    qTopK, qNearest, qVenn, qVenn3, qSplitIds, qZscore, qLog2, qEnrichment)
 }

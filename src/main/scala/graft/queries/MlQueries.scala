@@ -4,6 +4,8 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.{Impute, Reshape}
 import graft.ml.{Pca, Pls, Ward}
+import graft.pipeline.Pipelines
+import graft.stats.Moments.{Sql => MS}
 
 /** PCA / PLS / Ward clustering / imputation (SURVEY §2.10). These are
   * eigen/iterative algorithms with no SQL-expressible oracle →
@@ -48,6 +50,51 @@ object MlQueries extends QueryProvider {
     (s, d) => Ward.clusterSamples(s, embLong(s, d), "vec_id", "sample", "value", k = 3),
     None)
 
+  // ---- hierarchical_timecourse contract (ref visualize.py:1872-1959):
+  //      z-scored site profiles → Ward clusters → per-cluster mean
+  //      timecourse. The cluster ASSIGNMENTS are driver-side (Ward);
+  //      the run records them and the oracle injects the map as a
+  //      VALUES literal — everything else (collapse, z-score, means)
+  //      is exact-decimal SQL, so the chain hash-checks end-to-end. ----
+  private val lastTcAssign =
+    new java.util.concurrent.atomic.AtomicReference[Seq[(String, Int)]]()
+
+  private val qTimecourse = Q(
+    "q_cluster_timecourse",
+    (s, d) => {
+      val long = Tables.lineitem(s, d).select(
+        (col("l_suppkey") % 40).cast("string").as("site"),
+        col("l_linenumber").as("timepoint"),
+        col("l_quantity").as("value"))
+      val tc = Pipelines.hierarchicalTimecourse(s, long, "site", "timepoint", "value", k = 4)
+      // assignments are a driver-local toDF — this collect is free
+      lastTcAssign.set(tc.assignments.collect().map(r => (r.getString(0), r.getInt(1))).toSeq)
+      tc.means
+    },
+    None,
+    oracleGen = Some(() => Option(lastTcAssign.get()).map { as =>
+      val values = as.map { case (site, c) => s"('$site', $c)" }.mkString(", ")
+      s"""
+      WITH prof AS (
+        SELECT CAST(l_suppkey % 40 AS VARCHAR) AS site, l_linenumber AS timepoint,
+               ${MS.meanOf(MS.sumExact("l_quantity"), "COUNT(l_quantity)")} AS v
+        FROM lineitem GROUP BY 1, 2),
+      m AS (
+        SELECT site,
+          ${MS.meanOf(MS.sumExact("v"), "COUNT(v)")} AS mu,
+          SQRT(${MS.varOf(MS.sumExact("v"), MS.sumSqExact("v"), "COUNT(v)")}) AS sd
+        FROM prof GROUP BY site),
+      z AS (
+        SELECT p.site, p.timepoint, (p.v - m.mu) / m.sd AS z
+        FROM prof p JOIN m ON m.site = p.site),
+      assign(site, cluster) AS (SELECT * FROM (VALUES $values) v(site, cluster))
+      SELECT a.cluster, z.timepoint,
+        ${MS.meanOf(MS.sumExact("z.z"), "COUNT(z.z)")} AS mean_z,
+        CAST(COUNT(z.z) AS BIGINT) AS n_sites
+      FROM z JOIN assign a ON a.site = z.site
+      GROUP BY 1, 2"""
+    }))
+
   private val qImpute = Q(
     "q_impute_gaussian",
     (s, d) => {
@@ -63,5 +110,5 @@ object MlQueries extends QueryProvider {
     },
     None)
 
-  def all: Seq[Q] = Seq(qPca, qPls, qWard, qImpute)
+  def all: Seq[Q] = Seq(qPca, qPls, qWard, qTimecourse, qImpute)
 }

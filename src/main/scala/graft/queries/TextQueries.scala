@@ -207,6 +207,10 @@ object TextQueries extends QueryProvider {
     },
     None)
 
+  // Oracled: the hyperplanes are pure driver-side constants (SplitMix64
+  // of (table, plane, i)), so the exact bucket filter + cosine rank is
+  // SQL — the plane arrays are inlined once as literals in a CTE and
+  // every dot product mirrors the Spark left-to-right fold.
   private val qAnnLsh = Q(
     "q_ann_lsh_topk",
     (s, d) => {
@@ -214,9 +218,34 @@ object TextQueries extends QueryProvider {
       val q = emb.filter(col("vec_id") === 0)
         .select(transform(col("embedding"), _.cast("double")).as("q"))
         .head().getSeq[Double](0).toArray
-      Similarity.lshTopK(emb, "vec_id", "embedding", q, k = 20, dim = q.length)
+      Similarity.lshTopK(emb, "vec_id", "embedding", q, k = 20, dim = q.length,
+        numPlanes = 8, numTables = 4)
     },
-    None)
+    Some {
+      val (numPlanes, numTables, dim) = (8, 4, 64)
+      val planes = for (t <- 0 until numTables; p <- 0 until numPlanes)
+        yield Similarity.planeCoefs(t, p, dim).mkString("[", ", ", "]")
+      def dotSql(x: String, idx: Int) =
+        s"list_reduce(list_transform(list_zip($x, c[$idx]), p -> p[1] * p[2]), (a, b) -> a + b)"
+      def bucketSql(x: String, t: Int) = (0 until numPlanes).map { p =>
+        s"CASE WHEN ${dotSql(x, t * numPlanes + p + 1)} > 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+      val pred = (0 until numTables)
+        .map(t => s"${bucketSql("v", t)} = ${bucketSql("qv", t)}").mkString(" OR ")
+      def dotVec(a: String, b: String) =
+        s"list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), (a, b) -> a + b)"
+      s"""
+      WITH cs AS (SELECT ${planes.mkString("[", ",\n", "]")} AS c),
+      q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT vec_id,
+        ${dotVec("v", "qv")}
+          / (SQRT(${dotVec("v", "v")}) * SQRT(${dotVec("qv", "qv")})) AS cosine
+      FROM e, q, cs
+      WHERE $pred
+      ORDER BY cosine DESC, vec_id
+      LIMIT 20"""
+    })
 
   // ---- the full curation pipeline (annotate -> gate -> exact dedup ->
   //      minhash near-dup dedup) as one lazy plan; rows-only ----

@@ -55,7 +55,10 @@ object Similarity {
     z ^ (z >>> 31)
   }
 
-  private def planeCoefs(table: Int, plane: Int, dim: Int): Array[Double] =
+  /** Public so an oracle can inline the identical plane constants as
+    * SQL literals (they are pure functions of (table, plane, dim) —
+    * no data dependence). */
+  def planeCoefs(table: Int, plane: Int, dim: Int): Array[Double] =
     Array.tabulate(dim) { i =>
       val h = splitMix64(table.toLong * 1000003L + plane.toLong * 7919L + i)
       (h.toDouble / Long.MaxValue.toDouble) / 2.0 // [-0.5, 0.5]

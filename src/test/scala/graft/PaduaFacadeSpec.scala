@@ -88,4 +88,12 @@ class PaduaFacadeSpec extends SparkSpec {
     val uniq = Padua.get_unique_indices(df, Seq("Reverse"))
     assert(uniq("Reverse").toSet == Set("", "+"))
   }
+
+  test("venn: 2- and 3-frame intersection (ref visualize.py:979-1033)") {
+    val a = Seq(1, 2, 3, 4).toDF("k")
+    val b = Seq(3, 4, 5).toDF("k")
+    val c = Seq(4, 5, 6).toDF("k")
+    assert(Padua.venn(a, b) == 2L)
+    assert(Padua.venn(a, b, c) == 1L) // {4}
+  }
 }

@@ -79,6 +79,31 @@ class MlSpec extends SparkSpec {
     assert(pred("s3") > 0.5 && pred("s4") > 0.5)
   }
 
+  test("Pls projects unlabeled samples into the fitted space (golden)") {
+    // ref analysis.py:133-137: the model is fit on groups a/b but
+    // transform() projects EVERY sample. Golden from a NIPALS hand
+    // computation (fit on s1-s4, s5 held out).
+    val long = Seq(
+      ("f1", "s1", 1.0), ("f1", "s2", 1.1), ("f1", "s3", 5.0), ("f1", "s4", 5.2), ("f1", "s5", 3.0),
+      ("f2", "s1", 3.0), ("f2", "s2", 2.9), ("f2", "s3", 1.0), ("f2", "s4", 0.8), ("f2", "s5", 2.0)
+    ).toDF("id", "sample", "value")
+    val y = Map("s1" -> 0.0, "s2" -> 0.0, "s3" -> 1.0, "s4" -> 1.0)
+    val model = Pls.fit(spark, long, y, "id", "sample", "value", nComponents = 2)
+    val scores = Pls.scores(spark, model).collect()
+      .map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    val golden = Map(
+      "s1" -> (-2.336827909988815, 0.020354897388264077),
+      "s2" -> (-2.2024451595675867, -0.023608693878526554),
+      "s3" -> (2.1352537843569723, 0.045590489511921614),
+      "s4" -> (2.404019285199429, -0.042336693021659336),
+      "s5" -> (-0.1007870628159212, 0.03297269345009284))
+    assert(scores.keySet == golden.keySet) // all five samples scored
+    golden.foreach { case (s, (g1, g2)) =>
+      assert(math.abs(scores(s)._1 - g1) < 1e-9, s"$s lv1")
+      assert(math.abs(scores(s)._2 - g2) < 1e-9, s"$s lv2")
+    }
+  }
+
   test("gaussian imputation: observed preserved, imputed deterministic + downshifted") {
     val rng = new scala.util.Random(5)
     val rows = (1 to 400).map { i =>

@@ -123,6 +123,36 @@ class PipelineSpec extends SparkSpec {
     assert(stripped.columns.contains("A1___1"))
   }
 
+  test("hierarchicalTimecourse: rising/falling sites split into clusters with mean curves") {
+    // S-1 finale contract (ref visualize.py:1872+): 4 rising + 4
+    // falling sites over 3 timepoints, two observations each (the
+    // replicate collapse averages them), k=2.
+    val rows = for {
+      s <- 0 until 8
+      t <- 1 to 3
+      rep <- 0 until 2
+    } yield {
+      val base = if (s < 4) t.toDouble else 4.0 - t // rising vs falling
+      (s"site$s", t, base + s * 0.01 + rep * 0.001)
+    }
+    val long = rows.toDF("site", "timepoint", "value")
+    val tc = Pipelines.hierarchicalTimecourse(spark, long, "site", "timepoint", "value", k = 2)
+    val assign = tc.assignments.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val means = tc.means.collect()
+      .map(r => (r.getInt(1), r.getInt(0)) -> (r.getDouble(2), r.getLong(3))).toMap
+    tc.cleanup()
+    // the two shapes separate
+    assert((0 until 4).map(i => assign(s"site$i")).distinct.size == 1)
+    assert((4 until 8).map(i => assign(s"site$i")).distinct.size == 1)
+    assert(assign("site0") != assign("site4"))
+    // k x T mean rows, each pooling 4 sites
+    assert(means.size == 6 && means.values.forall(_._2 == 4L))
+    // the rising cluster's mean z increases over time, the falling one decreases
+    val rising = assign("site0"); val falling = assign("site4")
+    assert(means((1, rising))._1 < means((3, rising))._1)
+    assert(means((1, falling))._1 > means((3, falling))._1)
+  }
+
   test("proteinIdList and hierarchicalMatch") {
     val df = Seq(("P1;P2 x", ""), ("P2_y", "")).toDF("Proteins", "pad")
     val ids = ScalarFuncs.proteinIdList(df, "Proteins")
