@@ -28,8 +28,11 @@ object TrainingData {
       // The annotated frame feeds the dedup semi-join (which reads it
       // twice), the signature build, the final anti-join, AND the
       // reasons breakdown — ~5 evaluations of the regex-heavy
-      // annotation pass unless persisted. At warehouse scale swap the
-      // persist for a materialized stage table (ops.Storage).
+      // annotation pass unless persisted. The caches live for the
+      // session (MEMORY_AND_DISK blocks are LRU-evictable; callers
+      // owning a bounded session can unpersist after materializing).
+      // At warehouse scale swap the persist for a materialized stage
+      // table (ops.Storage).
       persistStages: Boolean = true)
 
   /** Row-local annotation: quality, language, token counts,

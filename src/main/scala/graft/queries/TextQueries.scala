@@ -170,7 +170,10 @@ object TextQueries extends QueryProvider {
     (s, d) => {
       // persist: the block self-join reads the signature frame twice,
       // and the 63-bit sign-sum is the expensive part (id + hash is
-      // ~16 B/doc — same policy as the curate pipeline)
+      // ~16 B/doc — same policy as the curate pipeline). The cache
+      // lives for the session (~16 B/doc; LRU-evictable MEMORY_AND_DISK
+      // blocks) — a registry query has no post-materialization hook to
+      // unpersist from.
       val sims = Dedup.simHash(Tables.documents(s, d), "doc_id", "text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Dedup.simHashNearDupPairs(sims, "doc_id", "simhash", maxHamming = 3, blocks = 4)
@@ -187,10 +190,12 @@ object TextQueries extends QueryProvider {
   private val qLshPairs = Q(
     "q_embedding_neardup_pairs",
     // threshold low enough that the synthetic corpus yields pairs;
-    // exercises bucketing + verify-join. rows-only (LSH hash not in SQL).
+    // exercises multi-table bucketing + dedup + verify-join. rows-only
+    // (LSH hash not in SQL). numPlanes=8 → 256 buckets/table (the
+    // operator's scale floor); two tables recoup per-table recall.
     (s, d) => Similarity.cosineNearDupPairs(
       Tables.embeddings(s, d), "vec_id", "embedding", dim = 64,
-      threshold = 0.2, numPlanes = 4),
+      threshold = 0.2, numPlanes = 8, numTables = 2),
     None)
 
   // ---- ANN scale path: sign-LSH bucket-pruned top-k (rows-only:

@@ -151,31 +151,81 @@ object Similarity {
       .limit(k)
   }
 
-  /** All-pairs near-neighbor join within LSH buckets (for near-dup
-    * detection over embeddings): bucket both sides, equi-join on
-    * bucket, verify with exact cosine ≥ threshold. Shuffles only
-    * (bucket, id, vec) — never the cross product. */
+  /** Near-dup pair detection over embeddings via multi-table sign-LSH
+    * (mirrors `Dedup.minHashCandidatePairs`' banded shape): bucket
+    * every vector in `numTables` independent hyperplane tables,
+    * self-join ids on (table, bucket), dedup the candidate id pairs,
+    * then fetch vectors and verify with exact cosine ≥ threshold.
+    *
+    * Recall math (random hyperplanes): two vectors at angle θ share a
+    * bucket in one table with p = (1 - θ/π)^numPlanes; over T
+    * independent tables P(candidate) = 1 - (1-p)^T. More planes cut
+    * verify cost (≈½ the candidate pairs per extra plane) but lower
+    * per-table recall; add tables to buy recall back. Candidates found
+    * by T tables are a SUPERSET of those found by T-1 — recall is
+    * monotone in numTables.
+    *
+    * Scale design: the self-join shuffles only (table, bucket, id)
+    * triples — vectors are joined back AFTER the distinct, so the wide
+    * embedding column never rides through the quadratic stage. Verify
+    * cost is O(Σ_bucket n_b²): numPlanes is the scale lever — keep
+    * 2^numPlanes ≫ N/targetBucketRows. Two guards enforce that:
+    *  - `numPlanes >= minPlanes` (default 8 → ≥256 buckets/table):
+    *    rejects configs whose bucket join degenerates toward all-pairs.
+    *    Tests may pass a lower `minPlanes` EXPLICITLY.
+    *  - `maxBucketRows`: (table, bucket) groups above the cap are
+    *    dropped from candidate generation — a degenerate pile-up
+    *    bucket would otherwise pin one task with n_b² work. A pair is
+    *    lost only if EVERY table bucketed it into an oversized group;
+    *    with ≥2 tables that chance is the product of per-table odds.
+    *
+    * Persist policy: the unit-vector frame is read three times
+    * (banding pass + two vector fetches); it is persisted for the
+    * lifetime of the returned plan's session (README scale rule 7 —
+    * callers owning a bounded session may `unpersist` via the frame's
+    * lineage after materializing).
+    */
   def cosineNearDupPairs(
       embeddings: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double, numPlanes: Int = 10): DataFrame = {
-    // Pre-normalize each vector ONCE before the join: cosine of two
-    // unit vectors is just the dot product, so the per-pair work drops
-    // from three array folds to one (~3× fewer flops where the time
-    // actually goes — the O(pairs) verify stage).
+      dim: Int, threshold: Double,
+      numPlanes: Int = 10, numTables: Int = 2,
+      maxBucketRows: Long = 100000L,
+      minPlanes: Int = 8): DataFrame = {
+    require(numPlanes >= minPlanes,
+      s"numPlanes=$numPlanes gives only ${1 << numPlanes} buckets/table — " +
+        s"below the 2^$minPlanes scale floor; the bucket self-join would " +
+        "degenerate toward all-pairs. Raise numPlanes (recoup recall with " +
+        "numTables) or pass minPlanes explicitly for small-data tests.")
+    require(numTables >= 1, "need at least one hash table")
+    // Pre-normalize ONCE: cosine of unit vectors is one dot product, so
+    // the O(pairs) verify stage does one array fold instead of three.
     val v = asDouble(col(vecCol))
-    // persist: both sides of the self-join read this frame — without it
-    // the scan+normalize+bucket pass runs twice (persist policy: README
-    // scale rule 7)
-    val unit = embeddings
-      .select(col(idCol), v.as("_v"), norm(v).as("_n"),
-        signLshBucket(v, dim, numPlanes).as("_bucket"))
-      .select(col(idCol), col("_bucket"),
-        transform(col("_v"), x => try_divide(x, col("_n"))).as("_unit"))
+    val unitVecs = embeddings
+      .select(col(idCol), v.as("_v"), norm(v).as("_n"))
+      .select(col(idCol), transform(col("_v"), x => try_divide(x, col("_n"))).as("_unit"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = unit.select(col("_bucket"), col(idCol).as("id_a"), col("_unit").as("_va"))
-    val r = unit.select(col("_bucket"), col(idCol).as("id_b"), col("_unit").as("_vb"))
-    l.join(r, Seq("_bucket"))
+    // (table, bucket, id) triples — narrow; signs are scale-invariant
+    // so bucketing the unit vector equals bucketing the raw vector
+    val tableBuckets = (0 until numTables).map { t =>
+      struct(lit(t).as("t"), signLshTableBucket(col("_unit"), dim, numPlanes, t).as("b"))
+    }
+    val banded = unitVecs
+      .select(col(idCol), explode(array(tableBuckets: _*)).as("_tb"))
+      .select(col(idCol), col("_tb.t").as("_t"), col("_tb.b").as("_b"))
+    // hot-bucket guard: cap group size before the quadratic join
+    val okBuckets = banded.groupBy(col("_t"), col("_b"))
+      .agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") <= maxBucketRows)
+      .select(col("_t"), col("_b"))
+    val pruned = banded.join(okBuckets, Seq("_t", "_b"), "left_semi")
+    val candidates = pruned.select(col("_t"), col("_b"), col(idCol).as("id_a"))
+      .join(pruned.select(col("_t"), col("_b"), col(idCol).as("id_b")), Seq("_t", "_b"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct() // a pair colliding in several tables verifies once
+    candidates
+      .join(unitVecs.select(col(idCol).as("id_a"), col("_unit").as("_va")), "id_a")
+      .join(unitVecs.select(col(idCol).as("id_b"), col("_unit").as("_vb")), "id_b")
       .withColumn("cosine", dot(col("_va"), col("_vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))

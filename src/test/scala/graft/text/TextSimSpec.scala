@@ -81,9 +81,61 @@ class TextSimSpec extends SparkSpec {
       (3L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f))
     ).toDF("vec_id", "embedding")
     val out = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
-        dim = 8, threshold = 0.99, numPlanes = 4)
+        dim = 8, threshold = 0.99, numPlanes = 4, minPlanes = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out.contains((1L, 2L)))
+  }
+
+  test("cosineNearDupPairs rejects sub-floor bucket counts unless overridden") {
+    val vecs = Seq((1L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    // < 2^8 buckets without an explicit override must throw — the
+    // registry query site relies on this guard staying on by default
+    intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
+        dim = 8, threshold = 0.9, numPlanes = 4)
+    }
+  }
+
+  test("cosineNearDupPairs recall at two configs; tables monotonically add recall") {
+    // 40 true near-dup pairs (small deterministic perturbations, cos≈0.99+)
+    // among 80 deterministic decoys. Planes are seed-fixed → recall is
+    // deterministic; the bound catches banding/dedup regressions.
+    def base(i: Int) = Array.tabulate(16)(j => math.sin(i * 2.7 + j * 1.3))
+    val pairs = (0 until 40).flatMap { i =>
+      val b = base(i)
+      Seq((i * 2L, b.map(_.toFloat)),
+        (i * 2L + 1, b.zipWithIndex.map { case (x, j) => (x + 0.02 * math.cos(i + j)).toFloat }))
+    }
+    val decoys = (0 until 80).map(i => (1000L + i, base(i + 500).map(_.toFloat)))
+    val vecs = (pairs ++ decoys).toDF("vec_id", "embedding")
+    val truePairs = (0 until 40).map(i => (i * 2L, i * 2L + 1)).toSet
+    def recall(numPlanes: Int, numTables: Int): Double = {
+      val found = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
+          dim = 16, threshold = 0.98, numPlanes = numPlanes, numTables = numTables,
+          minPlanes = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      truePairs.count(found.contains).toDouble / truePairs.size
+    }
+    val r82 = recall(8, 2)
+    val r104 = recall(10, 4)
+    assert(r82 >= 0.5, s"recall(planes=8, tables=2) = $r82")
+    assert(r104 >= 0.5, s"recall(planes=10, tables=4) = $r104")
+    // same planes, more tables: candidate set is a superset
+    val r101 = recall(10, 1)
+    assert(r104 >= r101, s"tables=4 recall $r104 < tables=1 recall $r101")
+  }
+
+  test("cosineNearDupPairs hot-bucket cap drops oversized groups") {
+    // 30 identical vectors pile into one bucket per table; with the cap
+    // below the pile size no pair from that bucket survives
+    val vecs = (0L until 30L).map(i => (i, Array.fill(8)(0.7f))).toDF("vec_id", "embedding")
+    val capped = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
+      dim = 8, threshold = 0.9, numPlanes = 4, numTables = 2,
+      maxBucketRows = 10L, minPlanes = 2)
+    assert(capped.count() == 0L)
+    val uncapped = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
+      dim = 8, threshold = 0.9, numPlanes = 4, numTables = 2, minPlanes = 2)
+    assert(uncapped.count() == 30L * 29L / 2L)
   }
 
   test("ivfTopK recalls the identical vector through cell probing") {
