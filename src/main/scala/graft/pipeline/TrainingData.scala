@@ -47,9 +47,21 @@ object TrainingData {
 
   /** Full curation: returns the surviving documents with annotations
     * plus a `drop_reason` breakdown table (second element). */
+  final case class Curated(kept: DataFrame, reasons: DataFrame, nearDupRemoved: DataFrame)
+
   def curate(
       docs: DataFrame, idCol: String, textCol: String,
       cfg: CurationConfig = CurationConfig()): (DataFrame, DataFrame) = {
+    val c = curateFull(docs, idCol, textCol, cfg)
+    (c.kept, c.reasons)
+  }
+
+  /** `curate` plus the near-dup removal set — the one stage whose ids
+    * are not SQL-derivable (minhash); exposing them lets a harness
+    * oracle the REST of the chain with the set injected as a literal. */
+  def curateFull(
+      docs: DataFrame, idCol: String, textCol: String,
+      cfg: CurationConfig = CurationConfig()): Curated = {
     val ann0 = annotate(docs, idCol, textCol)
     val ann =
       if (cfg.persistStages)
@@ -92,7 +104,7 @@ object TrainingData {
           .when(col("n_tokens") < cfg.minTokens, "too_short")
           .otherwise("kept_or_dedup"))
       .groupBy(col("drop_reason")).agg(count(lit(1)).as("n"))
-    (kept, reasons)
+    Curated(kept, reasons, nearDups)
   }
 
   /** Uniform-in-[0,1) draw from (seed, id) — pure row content, so the

@@ -44,31 +44,59 @@ object TextQueries extends QueryProvider {
           'sum') AS BIGINT) AS n_tokens_bpe
       FROM documents"""))
 
-  // ---- quality scoring (length/punct/digit/word-shape heuristics) ----
-  private val qQuality = Q(
-    "q_quality_score",
-    (s, d) => Tables.documents(s, d).select(
-      col("doc_id"),
-      TextAnalysis.qualityScore(col("text")).as("quality")),
-    Some("""
-      WITH t AS (
+  // ---- shared oracle SQL fragments: the quality / lang-id / token
+  //      expression trees appear in BOTH their standalone queries and
+  //      the curate-pipeline oracle — one builder each keeps the trees
+  //      structurally identical everywhere (bitwise-parity rule) ----
+  private val qualitySqlCtes = """qt AS (
         SELECT doc_id,
           CAST(LENGTH(text) AS DOUBLE) AS len,
           CAST(CAST(CASE WHEN LENGTH(text) = 0 THEN 0
                 ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END AS BIGINT) AS DOUBLE) AS toks,
           CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS DOUBLE) AS punct,
           CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits
-        FROM documents)
-      SELECT doc_id,
-        (CASE WHEN len >= 50 AND len <= 10000 THEN 1.0
-              WHEN len < 50 THEN len / 50.0
-              ELSE 10000.0 / len END
-         * CASE WHEN (CASE WHEN toks > 0 THEN len / toks ELSE 0.0 END) >= 3.0
-                 AND (CASE WHEN toks > 0 THEN len / toks ELSE 0.0 END) <= 12.0
-                THEN 1.0 ELSE 0.5 END
-         * (1.0 - CASE WHEN len > 0 THEN punct / len ELSE 0.0 END)
-         * (1.0 - CASE WHEN len > 0 THEN digits / len ELSE 0.0 END)) AS quality
-      FROM t"""))
+        FROM documents),
+      qual AS (
+        SELECT doc_id,
+          (CASE WHEN len >= 50 AND len <= 10000 THEN 1.0
+                WHEN len < 50 THEN len / 50.0
+                ELSE 10000.0 / len END
+           * CASE WHEN (CASE WHEN toks > 0 THEN len / toks ELSE 0.0 END) >= 3.0
+                   AND (CASE WHEN toks > 0 THEN len / toks ELSE 0.0 END) <= 12.0
+                  THEN 1.0 ELSE 0.5 END
+           * (1.0 - CASE WHEN len > 0 THEN punct / len ELSE 0.0 END)
+           * (1.0 - CASE WHEN len > 0 THEN digits / len ELSE 0.0 END)) AS quality
+        FROM qt)"""
+
+  // per-language occurrence scores, alphabetical tie-break
+  private val langSqlCtes = {
+    def cnt(w: String): String = {
+      val esc = w.replace("'", "''")
+      s"CAST((LENGTH(p) - LENGTH(REPLACE(p, '$esc', ''))) / ${w.length} AS BIGINT)"
+    }
+    val langs = TextAnalysis.stopwords.toSeq.sortBy(_._1)
+    val scores = langs.map { case (l, ws) =>
+      ws.map(cnt).mkString(" + ") + s" AS s_$l"
+    }
+    val g = langs.map { case (l, _) => s"s_$l" }.mkString("GREATEST(", ", ", ")")
+    val cases = langs.map { case (l, _) => s"WHEN s_$l = g THEN '$l'" }.mkString(" ")
+    s"""p0 AS (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents),
+      sc AS (SELECT doc_id, lang, ${scores.mkString(", ")} FROM p0),
+      gg AS (SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh, $g AS g FROM sc),
+      langp AS (SELECT doc_id, lang, CASE WHEN g = 0 THEN 'und' $cases END AS predicted FROM gg)"""
+  }
+
+  private val tokensWsSqlExpr =
+    "CAST(CASE WHEN LENGTH(text) = 0 THEN 0 " +
+      "ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END AS BIGINT)"
+
+  // ---- quality scoring (length/punct/digit/word-shape heuristics) ----
+  private val qQuality = Q(
+    "q_quality_score",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality")),
+    Some(s"WITH $qualitySqlCtes SELECT doc_id, quality FROM qual"))
 
   // ---- language ID by stopword vote ----
   private val qLangId = Q(
@@ -76,25 +104,7 @@ object TextQueries extends QueryProvider {
     (s, d) => Tables.documents(s, d).select(
       col("doc_id"), col("lang"),
       TextAnalysis.langId(col("text")).as("predicted")),
-    Some {
-      // per-language occurrence scores, alphabetical tie-break
-      def cnt(w: String): String = {
-        val esc = w.replace("'", "''")
-        s"CAST((LENGTH(p) - LENGTH(REPLACE(p, '$esc', ''))) / ${w.length} AS BIGINT)"
-      }
-      val langs = TextAnalysis.stopwords.toSeq.sortBy(_._1)
-      val scores = langs.map { case (l, ws) =>
-        ws.map(cnt).mkString(" + ") + s" AS s_$l"
-      }
-      val g = langs.map { case (l, _) => s"s_$l" }.mkString("GREATEST(", ", ", ")")
-      val cases = langs.map { case (l, _) => s"WHEN s_$l = g THEN '$l'" }.mkString(" ")
-      s"""
-      WITH p0 AS (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents),
-      sc AS (SELECT doc_id, lang, ${scores.mkString(", ")} FROM p0),
-      gg AS (SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh, $g AS g FROM sc)
-      SELECT doc_id, lang, CASE WHEN g = 0 THEN 'und' $cases END AS predicted
-      FROM gg"""
-    })
+    Some(s"WITH $langSqlCtes SELECT doc_id, lang, predicted FROM langp"))
 
   // ---- exact word-set Jaccard on blocked pairs (consecutive ids) ----
   private val qJaccard = Q(
@@ -187,16 +197,52 @@ object TextQueries extends QueryProvider {
       size(TextAnalysis.winnowingFingerprints(col("text"))).as("n_fingerprints")),
     None)
 
+  // threshold low enough that the synthetic corpus yields pairs;
+  // exercises multi-table bucketing + dedup + verify-join. numPlanes=8
+  // → 256 buckets/table (the operator's scale floor); two tables
+  // recoup per-table recall. Oracled like q_ann_lsh_topk: hyperplanes
+  // are driver constants → SQL array literals; normalization, bucket
+  // signs, candidate dedup and the cosine verify all mirror the Spark
+  // fold order. (The hot-bucket cap never binds at oracle SF — no
+  // (table, bucket) group approaches 100k rows — so it is omitted
+  // from the SQL.)
   private val qLshPairs = Q(
     "q_embedding_neardup_pairs",
-    // threshold low enough that the synthetic corpus yields pairs;
-    // exercises multi-table bucketing + dedup + verify-join. rows-only
-    // (LSH hash not in SQL). numPlanes=8 → 256 buckets/table (the
-    // operator's scale floor); two tables recoup per-table recall.
     (s, d) => Similarity.cosineNearDupPairs(
       Tables.embeddings(s, d), "vec_id", "embedding", dim = 64,
       threshold = 0.2, numPlanes = 8, numTables = 2),
-    None)
+    Some {
+      val (numPlanes, numTables, dim) = (8, 2, 64)
+      val planes = for (t <- 0 until numTables; p <- 0 until numPlanes)
+        yield Similarity.planeCoefs(t, p, dim).mkString("[", ", ", "]")
+      def dotSql(x: String, idx: Int) =
+        s"list_reduce(list_transform(list_zip($x, c[$idx]), p -> p[1] * p[2]), (a, b) -> a + b)"
+      def bucketSql(x: String, t: Int) = (0 until numPlanes).map { p =>
+        s"CASE WHEN ${dotSql(x, t * numPlanes + p + 1)} > 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+      val bucketCols = (0 until numTables)
+        .map(t => s"${bucketSql("u", t)} AS b$t").mkString(", ")
+      val unions = (0 until numTables)
+        .map(t => s"SELECT $t AS t, b$t AS b, vec_id, u FROM eb").mkString("\nUNION ALL\n")
+      def dotVec(a: String, b: String) =
+        s"list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), (a, b) -> a + b)"
+      s"""
+      WITH cs AS (SELECT ${planes.mkString("[", ",\n", "]")} AS c),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      eu AS (SELECT vec_id,
+        list_transform(v, x -> x / SQRT(${dotVec("v", "v")})) AS u
+        FROM e),
+      eb AS (SELECT vec_id, u, $bucketCols FROM eu, cs),
+      banded AS ($unions),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM banded a JOIN banded b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id)
+      SELECT cand.id_a, cand.id_b, ${dotVec("ua.u", "ub.u")} AS cosine
+      FROM cand
+      JOIN eu ua ON ua.vec_id = cand.id_a
+      JOIN eu ub ON ub.vec_id = cand.id_b
+      WHERE ${dotVec("ua.u", "ub.u")} >= 0.2"""
+    })
 
   // ---- ANN scale path: sign-LSH bucket-pruned top-k (rows-only:
   //      xxhash-derived hyperplanes not in SQL) ----
@@ -253,21 +299,57 @@ object TextQueries extends QueryProvider {
     })
 
   // ---- the full curation pipeline (annotate -> gate -> exact dedup ->
-  //      minhash near-dup dedup) as one lazy plan; rows-only ----
+  //      minhash near-dup dedup) as one lazy plan. Oracled: every stage
+  //      except the minhash near-dup removal is SQL (quality/lang/token
+  //      trees shared with their standalone oracles; exact dedup is
+  //      MIN(doc_id) per fingerprint); the near-dup removal set — the
+  //      one non-SQL stage — is recorded by the run and injected as a
+  //      literal id list, so the gates and dedup logic hash-check. ----
+  private val lastCurateNearDups =
+    new java.util.concurrent.atomic.AtomicReference[Seq[Long]]()
+
   private val qCurate = Q(
     "q_curate_pipeline",
     (s, d) => {
-      val (kept, _) = graft.pipeline.TrainingData.curate(
+      val c = graft.pipeline.TrainingData.curateFull(
         Tables.documents(s, d), "doc_id", "text",
         graft.pipeline.TrainingData.CurationConfig(
           minQuality = 0.1, langs = Set("en", "de", "fr", "es", "zh"), minTokens = 3))
-      kept.select(col("doc_id"), col("quality"), col("lang_pred"), col("n_tokens"))
+      // tiny (removed ids only); the persisted signature stage makes
+      // this collect and the kept-frame materialization share work
+      lastCurateNearDups.set(c.nearDupRemoved.collect().map(_.getLong(0)).sorted.toSeq)
+      c.kept.select(col("doc_id"), col("quality"), col("lang_pred"), col("n_tokens"))
     },
-    None)
+    None,
+    oracleGen = Some(() => Option(lastCurateNearDups.get()).map { ids =>
+      val removePred =
+        if (ids.isEmpty) "TRUE" else s"g.doc_id NOT IN (${ids.mkString(", ")})"
+      s"""
+      WITH $langSqlCtes,
+      $qualitySqlCtes,
+      ann AS (
+        SELECT d.doc_id, qual.quality, langp.predicted AS lang_pred,
+               $tokensWsSqlExpr AS n_tokens,
+               substr(md5(d.text), 1, 16) AS fingerprint
+        FROM documents d
+        JOIN qual ON qual.doc_id = d.doc_id
+        JOIN langp ON langp.doc_id = d.doc_id),
+      gated AS (
+        SELECT * FROM ann
+        WHERE quality >= 0.1 AND lang_pred IN ('en', 'de', 'fr', 'es', 'zh')
+          AND n_tokens >= 3),
+      keep AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY fingerprint)
+      SELECT g.doc_id, g.quality, g.lang_pred, g.n_tokens
+      FROM gated g JOIN keep k ON k.doc_id = g.doc_id
+      WHERE $removePred"""
+    }))
 
   // ---- benchmark decontamination: shared-n-gram counts vs a small
-  //      probe set (rows-only: xxhash shingles not in SQL). The probe
-  //      is the first 5 documents, so at minimum those 5 self-match. ----
+  //      probe set. The probe is the first 5 documents, so at minimum
+  //      those 5 self-match. Oracled: Spark counts distinct shared
+  //      shingle HASHES, the oracle counts distinct shared shingles —
+  //      identical integers (xxhash64 is injective on this corpus; a
+  //      collision would need ~2^32 shingles). ----
   private val qContamination = Q(
     "q_contamination_scores",
     (s, d) => {
@@ -275,7 +357,16 @@ object TextQueries extends QueryProvider {
       Dedup.contaminationScores(
         docs, docs.filter(col("doc_id") < 5), "doc_id", "text", n = 5)
     },
-    None)
+    Some("""
+      WITH probe0 AS (SELECT string_split(text, ' ') AS words FROM documents WHERE doc_id < 5),
+      probe1 AS (SELECT words, unnest(generate_series(1, len(words) - 4)) AS i FROM probe0),
+      probe AS (SELECT DISTINCT array_to_string(words[i:i+4], ' ') AS g FROM probe1),
+      corp0 AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      corp1 AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 4)) AS i FROM corp0),
+      corp AS (SELECT doc_id, array_to_string(words[i:i+4], ' ') AS g FROM corp1)
+      SELECT c.doc_id, CAST(COUNT(DISTINCT c.g) AS BIGINT) AS n_shared_ngrams
+      FROM corp c JOIN probe p ON p.g = c.g
+      GROUP BY c.doc_id"""))
 
   // ---- corpus vocabulary top-k: distributed top-k, never a global
   //      sort (TakeOrderedAndProject) ----
