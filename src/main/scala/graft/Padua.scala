@@ -127,6 +127,9 @@ object Padua {
     ScalarFuncs.hierarchicalMatch(d, k, default)
   def calculate_s0_curve(absRatio: Column, s0: Double, minRatio: Double, minP: Double): Column =
     ScalarFuncs.s0CurveP(absRatio, s0, minRatio, minP)
+  /** Rows with a null `orderCol` are DROPPED (no rank → no chunk) —
+    * unlike a plain NTILE window, which ranks nulls first. See
+    * DistributedRank.ntile. */
   def chunks(df: DataFrame, orderCol: String, tieCol: String, num: Int): DataFrame =
     graft.ops.DistributedRank.ntile(df, orderCol, Seq(tieCol), num)
   def find_nearest_idx(df: DataFrame, valueColumn: String, keyCol: String, value: Double): DataFrame = {

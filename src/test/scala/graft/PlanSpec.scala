@@ -100,4 +100,30 @@ class PlanSpec extends SparkSpec {
     assert(specs.nonEmpty, p)
     specs.foreach(s => assert(s.contains("_rb"), s))
   }
+
+  test("3-set venn is one keyed shuffle + single-row agg — no INTERSECT joins") {
+    val p = plan("q_venn3")
+    // membership formulation: exactly one hash-partition exchange (on
+    // the key) feeds the membership agg; the 7 region counts come from
+    // the final single-partition agg, never from per-region joins
+    assert(!p.contains("Join"), p)
+    val keyedShuffles = "hashpartitioning\\(c_custkey".r.findAllIn(p).size
+    assert(keyedShuffles == 1, p)
+  }
+
+  test("embedding near-dup join is equi-only: no cartesian, candidates dedup before verify") {
+    val df = Registry.queries("q_embedding_neardup_pairs")(spark, sf)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    // the candidate-pair distinct (HashAggregate on id_a,id_b) sits
+    // between the bucket self-join and the vector fetch
+    assert(p.contains("Functions: []"), p) // group-only aggregate = the dedup
+  }
+
+  test("cluster timecourse joins broadcast the tiny stats/assignment sides") {
+    val df = Registry.queries("q_cluster_timecourse")(spark, sf)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
