@@ -106,4 +106,46 @@ class EdgeCaseSpec extends SparkSpec {
     val out = TemporalJoin.countInPrecedingRange(left, right, "k", "t", 5L, "n")
     assert(out.head().getAs[Long]("n") == 0L)
   }
+
+  test("hierarchicalTimecourse: constant-profile sites get null z and vanish from means") {
+    // site c has zero variance across timepoints → sd=0 → try_divide
+    // null z; the cluster means must simply skip those observations
+    val rows = Seq(
+      ("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 3.0),
+      ("b", 1, 1.1), ("b", 2, 2.1), ("b", 3, 3.1),
+      ("c", 1, 5.0), ("c", 2, 5.0), ("c", 3, 5.0))
+    val tc = graft.pipeline.Pipelines.hierarchicalTimecourse(
+      spark, rows.toDF("site", "timepoint", "value"), "site", "timepoint", "value", k = 2)
+    val means = tc.means.collect()
+    tc.cleanup()
+    // no row pools more than the 2 finite-z sites; the degenerate
+    // cluster (only the constant site) reports n_sites=0 with a null
+    // mean — mirroring pandas' NaN gap — and every populated row is
+    // non-null
+    assert(means.forall(r => r.getLong(3) <= 2L))
+    assert(means.forall(r => (r.getLong(3) == 0L) == r.isNullAt(2)))
+    assert(means.exists(r => r.getLong(3) > 0L))
+  }
+
+  test("curateFull near-dup frame is empty when no near-dups exist") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog near a river bank"),
+      (2L, "completely different content about numerical linear algebra methods today")
+    ).toDF("doc_id", "text")
+    val c = TrainingData.curateFull(docs, "doc_id", "text",
+      TrainingData.CurationConfig(minQuality = 0.0, minTokens = 1,
+        langs = Set("en", "und", "de", "fr", "es", "zh")))
+    assert(c.nearDupRemoved.count() == 0)
+    assert(c.kept.count() == 2)
+  }
+
+  test("Pls.fit with a y key absent from the frame does not blow up scoring") {
+    val long = Seq(
+      ("f1", "s1", 1.0), ("f1", "s2", 5.0),
+      ("f2", "s1", 2.0), ("f2", "s2", 1.0)).toDF("id", "sample", "value")
+    val y = Map("s1" -> 0.0, "s2" -> 1.0, "ghost" -> 1.0)
+    val model = graft.ml.Pls.fit(spark, long, y, "id", "sample", "value", nComponents = 1)
+    val scores = graft.ml.Pls.scores(spark, model).collect().map(_.getString(0)).toSet
+    assert(scores == Set("s1", "s2")) // only samples present in the frame are scored
+  }
 }
