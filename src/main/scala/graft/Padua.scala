@@ -109,6 +109,35 @@ object Padua {
       valueCol: String, modification: String): DataFrame =
     Summaries.enrichmentFromMsp(df, modificationsCol, sampleCol, valueCol, modification)
   def sitespeptidesproteins(df: DataFrame): DataFrame = Summaries.sitesPeptidesProteins(df)
+  /** `go_enrichment`'s data-plane tail (ref analysis.py:372-384): given
+    * the parsed PantherDB response rows (columns GO, Name, `Gene ID`,
+    * P, FDR), summarize per (GO, Name), gate on the FDR cut-off, sort
+    * by P ascending. The HTTP POST itself (analysis.py:355-369) is a
+    * driver-side client concern — zero-egress deployments inject the
+    * response frame. Means use exact-decimal sums (Moments) so the
+    * summary is deterministic at any partitioning. */
+  def go_enrichment_process(go: DataFrame, fdr: Double = 0.05,
+      summary: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count}
+    import graft.stats.Moments
+    val base =
+      if (summary)
+        go.groupBy(col("GO"), col("Name")).agg(
+          Moments.meanOf(Moments.sumExact(col("P")), count(col("P"))).as("P"),
+          Moments.meanOf(Moments.sumExact(col("FDR")), count(col("FDR"))).as("FDR"))
+      else go
+    val gated = if (fdr > 0) base.filter(col("P") < fdr) else base
+    gated.orderBy(col("P").asc)
+  }
+  /** `get_uniprot_id_mapping_pairs` application (ref utils.py:332-356):
+    * the service response is a (from_id, to_id) pair table; attaching
+    * it to a frame's protein ids is a broadcast equi-join (the mapping
+    * is driver-small). The HTTP POST is driver-side client work. */
+  def apply_id_mapping(df: DataFrame, mapping: DataFrame, idCol: String,
+      fromCol: String = "from_id"): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    df.join(broadcast(mapping), col(idCol) === col(fromCol), "left").drop(fromCol)
+  }
   def modifiedaminoacids(df: DataFrame): DataFrame =
     df.groupBy(org.apache.spark.sql.functions.col("Amino acid"))
       .agg(org.apache.spark.sql.functions.count(

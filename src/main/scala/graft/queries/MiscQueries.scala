@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.DistributedRank
+import graft.stats.Moments.{Sql => MS}
 
 /** Remaining reference-surface operators: histograms, QC count stacks,
   * distributed ranking, ntile chunks, regex label extraction, column
@@ -116,7 +117,47 @@ object MiscQueries extends QueryProvider {
       SELECT l_orderkey, l_linenumber, (l_tax + l_discount) / 2 AS tax_disc_mean
       FROM lineitem"""))
 
+  // ---- go_enrichment data-plane tail (§2.10): summary means + FDR
+  //      gate + sort over a synthetic "service response" built from
+  //      part (GO=brand, Name=type, P/FDR from retailprice) ----
+  private val qGoEnrichment = Q(
+    "q_go_enrichment",
+    (s, d) => {
+      val go = Tables.part(s, d).select(
+        col("p_brand").as("GO"), col("p_type").as("Name"),
+        col("p_partkey").cast("string").as("Gene ID"),
+        (col("p_retailprice") / 100000.0).as("P"),
+        (col("p_retailprice") / 50000.0).as("FDR"))
+      graft.Padua.go_enrichment_process(go, fdr = 0.016)
+    },
+    Some(s"""
+      WITH go AS (
+        SELECT p_brand AS "GO", p_type AS "Name",
+               (p_retailprice / 100000.0) AS p,
+               (p_retailprice / 50000.0) AS f
+        FROM part),
+      s AS (
+        SELECT "GO", "Name",
+          ${MS.meanOf(MS.sumExact("p"), "COUNT(p)")} AS "P",
+          ${MS.meanOf(MS.sumExact("f"), "COUNT(f)")} AS "FDR"
+        FROM go GROUP BY 1, 2)
+      SELECT * FROM s WHERE "P" < 0.016"""))
+
+  // ---- id-mapping application (§2.4 uniprot tail): broadcast join of
+  //      a small (from, to) pair table onto the fact side ----
+  private val qIdMapping = Q(
+    "q_id_mapping",
+    (s, d) => graft.Padua.apply_id_mapping(
+      Tables.supplier(s, d).select(
+        col("s_suppkey"), col("s_nationkey").cast("string").as("pid")),
+      Tables.nation(s, d).select(
+        col("n_nationkey").cast("string").as("from_id"), col("n_name").as("to_id")),
+      "pid"),
+    Some("""
+      SELECT s_suppkey, CAST(s_nationkey AS VARCHAR) AS pid, n_name AS to_id
+      FROM supplier LEFT JOIN nation ON CAST(n_nationkey AS VARCHAR) = CAST(s_nationkey AS VARCHAR)"""))
+
   def all: Seq[Q] = Seq(
     qHistogram, qHistogramCompare, qQcCounts, qRank, qNtile, qTopKPerGroup,
-    qLabelExtract, qCombine)
+    qLabelExtract, qCombine, qGoEnrichment, qIdMapping)
 }

@@ -89,6 +89,27 @@ class PaduaFacadeSpec extends SparkSpec {
     assert(uniq("Reverse").toSet == Set("", "+"))
   }
 
+  test("go_enrichment_process: per-term mean, FDR gate, P-sorted (ref analysis.py:372-384)") {
+    val go = Seq(
+      ("GO:1", "apoptosis", "P1", 0.01, 0.02),
+      ("GO:1", "apoptosis", "P2", 0.03, 0.04), // mean P = 0.02
+      ("GO:2", "transport", "P3", 0.30, 0.40), // gated out by fdr
+      ("GO:3", "binding", "P4", 0.001, 0.002)
+    ).toDF("GO", "Name", "Gene ID", "P", "FDR")
+    val out = Padua.go_enrichment_process(go, fdr = 0.05).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("GO:3", "GO:1")) // sorted by P asc
+    assert(math.abs(out(1).getDouble(2) - 0.02) < 1e-12)
+    assert(!out.head.schema.fieldNames.contains("Gene ID")) // summary drops it
+  }
+
+  test("apply_id_mapping: broadcast pair-table join, unmapped ids keep null") {
+    val df = Seq(("A", 1), ("B", 2), ("C", 3)).toDF("pid", "v")
+    val mapping = Seq(("A", "kegg:a"), ("B", "kegg:b")).toDF("from_id", "to_id")
+    val out = Padua.apply_id_mapping(df, mapping, "pid").collect()
+      .map(r => r.getString(0) -> Option(r.getString(2))).toMap
+    assert(out("A").contains("kegg:a") && out("B").contains("kegg:b") && out("C").isEmpty)
+  }
+
   test("venn: 2- and 3-frame intersection (ref visualize.py:979-1033)") {
     val a = Seq(1, 2, 3, 4).toDF("k")
     val b = Seq(3, 4, 5).toDF("k")
