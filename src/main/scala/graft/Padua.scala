@@ -80,6 +80,12 @@ object Padua {
   def gaussian(df: DataFrame, sampleCol: String = "sample", valueCol: String = "value",
       width: Double = 0.3, downshift: Double = -1.8, seed: Long = 42L): DataFrame =
     Impute.gaussian(df, sampleCol, valueCol, width, downshift, seed)
+  /** `imputation.pls` (ref imputation.py:66-113 — dead code there via
+    * `.ix`; intent reconstructed as kernel PLS, see Impute.pls). */
+  def pls_impute(spark: SparkSession, df: DataFrame, idCol: String = "id",
+      sampleCol: String = "sample", valueCol: String = "value",
+      nComponents: Int = 2): DataFrame =
+    Impute.pls(spark, df, idCol, sampleCol, valueCol, nComponents)
 
   // ---- analysis (padua/analysis.py) ----
   def correlation(df: DataFrame, idCols: Seq[String], sampleCol: String,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Missing-value imputation (ref `padua/imputation.py`). */
@@ -34,5 +34,131 @@ object Impute {
           .otherwise(randn(seed) * (lit(width) * col("_sd")) +
             (col("_mu") + lit(downshift) * col("_sd"))))
       .drop("_mu", "_sd")
+  }
+
+  /** PLS-based imputation (ref imputation.py:66-113 `pls` — dead code
+    * on modern pandas via `.ix`; semantics reconstructed from its
+    * intent): features with NO missing values form the predictor
+    * block; each feature WITH missing values gets a `nComponents`-
+    * component PLS1 regression of its row-median-filled profile on the
+    * complete block, and its missing slots take the in-sample
+    * predictions (the reference predicts `plsr.predict(dfo.iloc[:,ix])`
+    * — exactly the in-sample score of sample ix).
+    *
+    * Spark-first re-expression — the reference loops one sklearn fit
+    * per missing row on the driver: every per-feature model depends on
+    * the complete block ONLY through the s×s centered sample Gram
+    * matrix (kernel PLS: t_c = K_c y_c / √(y_cᵀK_c y_c), K deflated by
+    * the score projector each component). So ONE distributed pass
+    * builds the Gram (s ≤ 10³ ⇒ driver-tiny, README scale rule 4) and
+    * each incomplete feature is an O(s²·k) kernel solve, distributed
+    * over features via mapGroups — no driver loop, no per-feature scan.
+    *
+    * Output: (idCol, sampleCol, valueCol, was_imputed) with id/sample
+    * cast to string; incomplete features emit one row per sample
+    * (missing slots materialized), complete features pass through.
+    * Features with zero observed values stay null (nothing to fit). */
+  def pls(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String = "id",
+      sampleCol: String = "sample",
+      valueCol: String = "value",
+      nComponents: Int = 2): DataFrame = {
+    import spark.implicits._
+    val base = df.select(
+      col(idCol).cast("string").as("_id"),
+      col(sampleCol).cast("string").as("_s"),
+      col(valueCol).cast("double").as("_v"))
+    val samples = base.select(col("_s")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val sIdx = samples.zipWithIndex.toMap
+    val nS = samples.length
+
+    // completeness: a feature is a predictor iff it has all s values
+    val counts = base.groupBy(col("_id"))
+      .agg(count(col("_v")).as("_n"))
+    val completeIds = counts.filter(col("_n") === nS).select(col("_id"))
+    val complete = base.join(completeIds, Seq("_id"), "left_semi")
+    val incomplete = base.join(completeIds, Seq("_id"), "left_anti")
+
+    // centered s×s Gram of the complete block: center per feature,
+    // in-row pair expansion (one shuffle), tiny collect
+    val mu = complete.groupBy(col("_id")).agg(avg(col("_v")).as("_mu"))
+    val centered = complete.join(mu, Seq("_id"))
+      .select(col("_id"), col("_s"), (col("_v") - col("_mu")).as("_v"))
+    val gram = Array.ofDim[Double](nS, nS)
+    graft.stats.StatTests.pairObservations(centered, Seq("_id"), "_s", "_v")
+      .groupBy(col("s1"), col("s2")).agg(sum(col("x") * col("y")).as("k"))
+      .collect().foreach { r =>
+        val a = sIdx(r.getString(0)); val b = sIdx(r.getString(1))
+        val v = r.getDouble(2)
+        gram(a)(b) = v; gram(b)(a) = v
+      }
+    val bcGram = spark.sparkContext.broadcast(gram)
+    val bcSamples = spark.sparkContext.broadcast(samples)
+
+    // per incomplete feature: kernel-PLS solve, distributed over features
+    val imputed = incomplete
+      .select(col("_id"), col("_s"), col("_v"))
+      .as[(String, String, Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (fid, rows) =>
+        val smp = bcSamples.value
+        val n = smp.length
+        val obs = rows.map(r => r._2 -> r._3).toMap
+        val y = smp.map(s => obs.get(s).flatten)
+        val observed = y.flatten
+        if (observed.isEmpty) {
+          // nothing to fit: keep slots that existed, all null
+          smp.filter(obs.contains).toSeq.map(s => (fid, s, Option.empty[Double], false))
+        } else {
+          val med = {
+            val v = observed.sorted
+            if (v.length % 2 == 1) v(v.length / 2)
+            else (v(v.length / 2 - 1) + v(v.length / 2)) / 2.0
+          }
+          val yFilled = y.map(_.getOrElse(med))
+          val yMean = yFilled.sum / n
+          var yc = yFilled.map(_ - yMean)
+          // K deflates per component: K ← P K P, P = I - t tᵀ/tᵀt
+          var k = Array.tabulate(n, n)((i, j) => bcGram.value(i)(j))
+          val yhat = Array.fill(n)(yMean)
+          var c = 0
+          var degenerate = false
+          while (c < nComponents && !degenerate) {
+            val ky = Array.tabulate(n)(i => (0 until n).map(j => k(i)(j) * yc(j)).sum)
+            val wNorm2 = (0 until n).map(i => yc(i) * ky(i)).sum
+            if (wNorm2 <= 1e-12) degenerate = true
+            else {
+              val wNorm = math.sqrt(wNorm2)
+              val t = ky.map(_ / wNorm)
+              val tt = t.map(v => v * v).sum
+              val q = (0 until n).map(i => yc(i) * t(i)).sum / tt
+              var i = 0
+              while (i < n) { yhat(i) += q * t(i); i += 1 }
+              // deflate K and y by the score projector
+              val kt = Array.tabulate(n)(i => (0 until n).map(j => k(i)(j) * t(j)).sum)
+              val tkt = (0 until n).map(i => t(i) * kt(i)).sum
+              k = Array.tabulate(n, n)((i, j) =>
+                k(i)(j) - t(i) * kt(j) / tt - kt(i) * t(j) / tt +
+                  t(i) * t(j) * tkt / (tt * tt))
+              yc = Array.tabulate(n)(i => yc(i) - q * t(i))
+              c += 1
+            }
+          }
+          smp.indices.toSeq.map { i =>
+            y(i) match {
+              case Some(v) => (fid, smp(i), Some(v), false)
+              case None => (fid, smp(i), Some(yhat(i)), true)
+            }
+          }
+        }
+      }
+      .toDF("_id", "_s", "_v", "was_imputed")
+
+    complete.withColumn("was_imputed", lit(false))
+      .unionByName(imputed)
+      .withColumnsRenamed(Map("_id" -> idCol, "_s" -> sampleCol, "_v" -> valueCol))
   }
 }

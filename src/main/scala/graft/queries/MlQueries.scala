@@ -110,5 +110,24 @@ object MlQueries extends QueryProvider {
     },
     None)
 
-  def all: Seq[Q] = Seq(qPca, qPls, qWard, qTimecourse, qImpute)
+  // ---- PLS imputation (ref imputation.py:66-113, reconstructed as
+  //      kernel PLS): profile matrix from lineitem (features =
+  //      suppliers, samples = return flags), synthetic missingness on
+  //      every 10th supplier's 'N' cell. rows-only: the kernel solve
+  //      (deflated Gram iterations) is not SQL-expressible; MlSpec
+  //      carries the primal-NIPALS golden. ----
+  private val qImputePls = Q(
+    "q_impute_pls",
+    (s, d) => {
+      val prof = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey").as("id"), col("l_returnflag").as("sample"))
+        .agg(avg(col("l_quantity")).as("value"))
+        .withColumn("value",
+          when(col("id") % 10 === 0 && col("sample") === "N", lit(null))
+            .otherwise(col("value")))
+      Impute.pls(s, prof, "id", "sample", "value")
+    },
+    None)
+
+  def all: Seq[Q] = Seq(qPca, qPls, qWard, qTimecourse, qImpute, qImputePls)
 }

@@ -104,6 +104,38 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("Pls imputation: kernel solve matches the primal NIPALS golden") {
+    // 4 complete features over 4 samples; g1 missing at s3. Golden
+    // imputed value from a primal NIPALS hand computation (the kernel
+    // formulation is algebraically identical: t = K yc / sqrt(ycᵀK yc))
+    val complete = for {
+      (f, vs) <- Seq(
+        "f1" -> Seq(1.0, 2.0, 3.0, 4.0),
+        "f2" -> Seq(2.0, 1.0, 4.0, 3.0),
+        "f3" -> Seq(0.5, 1.5, 2.5, 3.5),
+        "f4" -> Seq(4.0, 3.0, 2.0, 1.0))
+      (v, i) <- vs.zipWithIndex
+    } yield (f, s"s${i + 1}", Option(v))
+    val rows = complete ++ Seq(
+      ("g1", "s1", Some(10.0)), ("g1", "s2", Some(20.0)),
+      ("g1", "s3", None), ("g1", "s4", Some(40.0)))
+    val out = graft.ops.Impute.pls(spark,
+        rows.toDF("id", "sample", "value"), "id", "sample", "value")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (Option(r.getAs[java.lang.Double]("value")).map(_.toDouble), r.getBoolean(3))).toMap
+    // observed slots untouched, not flagged
+    assert(out(("g1", "s1")) == (Some(10.0), false))
+    assert(out(("f1", "s2")) == (Some(2.0), false))
+    // the missing slot gets the in-sample PLS prediction
+    val (imp, flag) = out(("g1", "s3"))
+    assert(flag && math.abs(imp.get - 22.5) < 1e-9, s"imputed $imp")
+    // a feature with zero observations stays null
+    val rows2 = complete ++ Seq(("h1", "s1", Option.empty[Double]))
+    val h = graft.ops.Impute.pls(spark, rows2.toDF("id", "sample", "value"))
+      .collect().filter(_.getString(0) == "h1")
+    assert(h.length == 1 && h.head.isNullAt(2) && !h.head.getBoolean(3))
+  }
+
   test("gaussian imputation: observed preserved, imputed deterministic + downshifted") {
     val rng = new scala.util.Random(5)
     val rows = (1 to 400).map { i =>
