@@ -87,4 +87,66 @@ class PropertySpec extends SparkSpec {
       assert(outTriples.sorted.toSeq == observed.sorted.toSeq)
     }
   }
+
+  test("property: PLS imputation preserves observed cells; imputed slots all fill") {
+    samples(rowGen, 3).foreach { rows =>
+      // dedupe (id, sample) — the long form assumes unique cells
+      val cells = rows.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val df = cells.toDF("id", "sample", "value")
+      val out = Impute.pls(spark, df, "id", "sample", "value").collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (Option(r.getAs[java.lang.Double]("value")).map(_.toDouble), r.getBoolean(3)))
+        .toMap
+      cells.foreach { case (id, s, v) =>
+        val (ov, flag) = out((id.toString, s))
+        v match {
+          case Some(x) => assert(ov.contains(x) && !flag) // observed exact
+          case None => // missing: imputed (flag) unless the feature had no observations
+            assert(flag == ov.nonEmpty)
+        }
+      }
+    }
+  }
+
+  test("property: ntile chunk sizes differ by at most one and cover all non-null rows") {
+    samples(rowGen, 3).foreach { rows =>
+      val df = rows.toDF("id", "flag", "value")
+      val nonNull = rows.count(_._3.nonEmpty)
+      val out = graft.ops.DistributedRank.ntile(df, "value", Seq("id"), 4)
+        .groupBy(col("chunk")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(out.values.sum == nonNull)
+      if (nonNull >= 4) {
+        assert(out.values.max - out.values.min <= 1)
+        assert(out.keySet == (1 to 4).toSet)
+      }
+    }
+  }
+
+  test("property: venn3-style membership counts obey inclusion bounds") {
+    // the one-pass membership formulation must satisfy set algebra:
+    // |A∩B| <= min(|A|,|B|), |A∩B∩C| <= every pairwise intersection
+    samples(rowGen, 3).foreach { rows =>
+      val keys = rows.map(_._1)
+      val a = keys.filter(_ % 2 == 0).toDF("k").select(col("k"), lit(1).as("in_a"), lit(0).as("in_b"), lit(0).as("in_c"))
+      val b = keys.filter(_ % 3 == 0).toDF("k").select(col("k"), lit(0).as("in_a"), lit(1).as("in_b"), lit(0).as("in_c"))
+      val c = keys.filter(_ > 3).toDF("k").select(col("k"), lit(0).as("in_a"), lit(0).as("in_b"), lit(1).as("in_c"))
+      val r = a.unionByName(b).unionByName(c)
+        .groupBy(col("k"))
+        .agg(max(col("in_a")).as("ia"), max(col("in_b")).as("ib"), max(col("in_c")).as("ic"))
+        .agg(sum(col("ia")).as("na"), sum(col("ib")).as("nb"), sum(col("ic")).as("nc"),
+          sum(col("ia") * col("ib")).as("nab"), sum(col("ia") * col("ic")).as("nac"),
+          sum(col("ib") * col("ic")).as("nbc"),
+          sum(col("ia") * col("ib") * col("ic")).as("nabc"))
+        .head()
+      def g(i: Int) = r.getLong(i)
+      assert(g(3) <= math.min(g(0), g(1))) // |A∩B| <= min
+      assert(g(6) <= math.min(g(3), math.min(g(4), g(5)))) // triple <= every pair
+      // ground truth
+      val sa = keys.filter(_ % 2 == 0).toSet
+      val sb = keys.filter(_ % 3 == 0).toSet
+      val sc = keys.filter(_ > 3).toSet
+      assert(g(0) == sa.size && g(3) == (sa & sb).size && g(6) == (sa & sb & sc).size)
+    }
+  }
 }
