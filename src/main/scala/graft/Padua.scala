@@ -183,6 +183,10 @@ object Padua {
     * reference returns the triple intersection. */
   def venn(a: DataFrame, b: DataFrame, c: DataFrame): Long =
     a.intersect(b).intersect(c).count()
+  /** `venn(..., return_intersection=True)` (ref visualize.py:1027-1033):
+    * the intersected key set itself, as a frame. */
+  def venn_intersection(a: DataFrame, b: DataFrame, c: Option[DataFrame] = None): DataFrame =
+    c.fold(a.intersect(b))(cc => a.intersect(b).intersect(cc))
   def hierarchical(spark: SparkSession, df: DataFrame, idCol: String, sampleCol: String,
       valueCol: String, nClusters: Int): DataFrame =
     Ward.clusterSamples(spark, df, idCol, sampleCol, valueCol, nClusters)

@@ -116,5 +116,8 @@ class PaduaFacadeSpec extends SparkSpec {
     val c = Seq(4, 5, 6).toDF("k")
     assert(Padua.venn(a, b) == 2L)
     assert(Padua.venn(a, b, c) == 1L) // {4}
+    // return_intersection=True form yields the ids themselves
+    assert(Padua.venn_intersection(a, b).collect().map(_.getInt(0)).sorted.toSeq == Seq(3, 4))
+    assert(Padua.venn_intersection(a, b, Some(c)).collect().map(_.getInt(0)).toSeq == Seq(4))
   }
 }
