@@ -49,6 +49,22 @@ object ParityDump {
     dump(centered.select(col("id"), col("sample"),
       format_number(col("value"), 9).as("value")), "after_median")
 
+    // stage 5: search (ref filters.py:132-152 runs against its fixed
+    // candidate column list; only Proteins exists in the fixture)
+    dump(Filters.search(raw, "P00012", Seq("Proteins")).select(col("id")),
+      "after_search")
+
+    // stage 6: transform_expression_columns (log2, ±inf→NaN) applied
+    // by the REFERENCE'S OWN function in the checker — values compared
+    // per (id, column) at 1e-9
+    val rawIntensity = raw.columns.filter(_.startsWith("Intensity ")).toSeq
+    dump(Reshape.transformExpressionColumns(raw, rawIntensity)
+      .select((col("id") +: rawIntensity.map(c => format_number(col(c), 9).as(c))): _*),
+      "after_log2")
+
+    // stage 7: strip_index_labels — column-name surgery only
+    dump(Filters.stripColumnLabels(raw, "Intensity ").limit(1), "after_strip")
+
     // timed single-pass run of the whole chain (session already warm)
     // for the pandas-vs-engine throughput comparison (tools/parity.py
     // bench mode): count() forces the full pipeline without the CSV

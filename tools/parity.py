@@ -166,6 +166,44 @@ def check(fixture, outdir):
     if bad4:
         failures.append("after_median")
 
+    # stage 5: search — the reference's own function
+    s5 = filters.search(df, "P00012")
+    got5 = sorted(read_spark_csv(f"{outdir}/after_search")["id"].tolist())
+    want5 = sorted(s5.index.tolist())
+    ok5 = got5 == want5
+    print(("ok  " if ok5 else "FAIL") + f" after_search: {len(got5)} rows")
+    if not ok5:
+        failures.append("after_search")
+
+    # stage 6: transform_expression_columns — the reference's own function
+    s6 = process.transform_expression_columns(df)
+    got6 = read_spark_csv(f"{outdir}/after_log2").set_index("id")
+    expr6 = [c for c in df.columns if c.startswith("Intensity ")]
+    bad6 = 0
+    for rid, row in got6.iterrows():
+        for c in expr6:
+            rv = s6.loc[rid, c]
+            gv = row[c]
+            gv = float(str(gv).replace(",", "")) if isinstance(gv, str) else gv
+            if isinstance(rv, float) and math.isnan(rv):
+                if not (isinstance(gv, float) and math.isnan(gv)):
+                    bad6 += 1
+            elif abs(rv - gv) > 1e-6:
+                bad6 += 1
+    print(("ok  " if bad6 == 0 else "FAIL") + f" after_log2 values ({bad6} diffs)")
+    if bad6:
+        failures.append("after_log2")
+
+    # stage 7: strip_index_labels — the reference's own function
+    s7 = process.strip_index_labels(df, "Intensity ")
+    got7 = read_spark_csv(f"{outdir}/after_strip")
+    want_cols = sorted(list(s7.columns) + ["id"])
+    ok7 = sorted(got7.columns.tolist()) == want_cols
+    print(("ok  " if ok7 else "FAIL") + " after_strip column labels")
+    if not ok7:
+        failures.append("after_strip")
+        print("   want:", want_cols, "got:", sorted(got7.columns.tolist()))
+
     print(f"\nparity: {'PASS' if not failures else 'FAIL ' + str(failures)}")
     return 1 if failures else 0
 
