@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Left-to-right dot product of two double arrays as a native Catalyst
+  * expression with doGenCode.
+  *
+  * Replaces the `aggregate(zip_with(a, b, *), 0.0, +)` higher-order
+  * form in the similarity hot path: HOF expressions are
+  * CodegenFallback — each row pays interpreted lambda evaluation and
+  * boxing inside an otherwise codegen'd stage. This emits a tight
+  * primitive loop instead (the ANN/near-dup verify stages are exactly
+  * per-row array folds, so this is where embedding-scan time goes).
+  *
+  * Semantics are IDENTICAL to the HOF form, bitwise (oracle rule,
+  * CLAUDE.md invariant 1): accumulate `0.0 + a(0)*b(0) + a(1)*b(1) + …`
+  * in index order; null array, length mismatch, or any null element →
+  * null (zip_with pads the shorter side with null, which nulls the
+  * aggregate). DuckDB `list_reduce(list_transform(list_zip(...)))`
+  * folds the same way.
+  */
+case class ArrayDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // length mismatch → null
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n) null
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        acc += a.getDouble(i) * b.getDouble(i)
+        i += 1
+      }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+      final int $n = $a.numElements();
+      if ($b.numElements() != $n) {
+        ${ev.isNull} = true;
+      } else {
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+          $acc += $a.getDouble($i) * $b.getDouble($i);
+        }
+        ${ev.value} = $acc;
+      }
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "array_dot_product"
+}
+
+object ArrayExpressions {
+  /** Dot product of two ArrayType(DoubleType) columns (codegen'd). */
+  def dot(a: Column, b: Column): Column =
+    Bridge.column(ArrayDotProduct(Bridge.expression(a), Bridge.expression(b)))
+}

@@ -13,11 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-order dot product of two double arrays (zip_with +
-    * aggregate): left-to-right accumulation — deterministic and
-    * identical to any single-node oracle that folds in index order. */
+  /** Sequential-order dot product of two double arrays: left-to-right
+    * accumulation — deterministic and identical to any single-node
+    * oracle that folds in index order. A native codegen'd Expression
+    * (graft.functions.ArrayDotProduct), NOT the
+    * `aggregate(zip_with(...))` higher-order form: HOFs are
+    * CodegenFallback and pay interpreted lambda evaluation per row in
+    * the embedding-scan hot path. Bitwise-identical semantics. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.ArrayExpressions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
