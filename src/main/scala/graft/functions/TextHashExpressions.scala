@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Static hashing kernels the generated code calls (same design as
+  * graft.stats.DistMath): plain static invocations keep the work
+  * codegen-resident with zero boxing beyond the input ArrayData. */
+object TextHash {
+  /** Per-slot seed chain, identical to the builtin `xxhash64(lit(i), s)`
+    * (XxHash64 folds children left-to-right from seed 42: the int
+    * literal hashes first, the string continues from that value). */
+  def slotSeeds(numHashes: Int): Array[Long] =
+    Array.tabulate(numHashes)(i => XxHash64Function.hash(i, IntegerType, 42L))
+
+  /** All `numHashes` min-hashes in ONE pass over the shingle array —
+    * value-identical to `array_min(transform(sh, s => xxhash64(lit(i),
+    * s)))` per slot (null shingle elements contribute the slot seed,
+    * matching the builtin's skip-null fold; empty input → null, the
+    * builtin array_min of an empty array). */
+  def minHashes(shingles: ArrayData, seeds: Array[Long]): ArrayData = {
+    val n = shingles.numElements()
+    if (n == 0) return null
+    val k = seeds.length
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      if (shingles.isNullAt(j)) {
+        var i = 0
+        while (i < k) { if (seeds(i) < mins(i)) mins(i) = seeds(i); i += 1 }
+      } else {
+        val s = shingles.getUTF8String(j)
+        var i = 0
+        while (i < k) {
+          val h = XxHash64Function.hash(s, StringType, seeds(i))
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 63-bit SimHash in ONE pass over the token array — value-identical
+    * to the per-bit `aggregate(transform(tokens, xxhash64), …)` form
+    * (null token → the builtin's skip-null hash = seed 42; empty array
+    * → all bit sums 0 → packed 0). */
+  def simHash63(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val counts = new Array[Int](63)
+    var j = 0
+    while (j < n) {
+      val h =
+        if (tokens.isNullAt(j)) 42L
+        else XxHash64Function.hash(tokens.getUTF8String(j), StringType, 42L)
+      var b = 0
+      while (b < 63) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var packed = 0L
+    var b = 0
+    while (b < 63) {
+      if (counts(b) > 0) packed |= (1L << b)
+      b += 1
+    }
+    packed
+  }
+}
+
+/** One-pass minhash signature vector (array<long> of length
+  * `numHashes`) — replaces `numHashes` CodegenFallback higher-order
+  * chains (transform + array_min per slot, each materializing an
+  * intermediate array per row) with a single static-call loop. */
+case class MinHashArray(child: Expression, numHashes: Int)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  @transient private lazy val seeds = TextHash.slotSeeds(numHashes)
+
+  override def nullSafeEval(in: Any): Any =
+    TextHash.minHashes(in.asInstanceOf[ArrayData], seeds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedsRef = ctx.addReferenceObj("mhSeeds", seeds, "long[]")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = graft.functions.TextHash.minHashes($a, $seedsRef);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "minhash_array"
+}
+
+/** One-pass 63-bit SimHash over a token array — replaces 63
+  * CodegenFallback aggregate() chains per row. */
+case class SimHash63(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(in: Any): Any =
+    TextHash.simHash63(in.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextHash.simHash63($a);")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "simhash63"
+}
+
+object TextHashExpressions {
+  /** Minhash signature vector over a shingle array column. */
+  def minHashArray(shingles: Column, numHashes: Int): Column =
+    Bridge.column(MinHashArray(Bridge.expression(shingles), numHashes))
+
+  /** 63-bit simhash over a token array column. */
+  def simHash63(tokens: Column): Column =
+    Bridge.column(SimHash63(Bridge.expression(tokens)))
+}

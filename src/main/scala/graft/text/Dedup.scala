@@ -30,20 +30,24 @@ object Dedup {
   }
 
   /** MinHash signature: k independent min-hashes over the shingle set.
-    * hash_i(s) = xxhash64(i, s) — deterministic, seedable, codegen'd.
+    * hash_i(s) = xxhash64(i, s) — deterministic, seedable.
     *
     * Entirely ROW-LOCAL: the shingle array is materialized once per
-    * document and each signature slot is an array_min over a
-    * transform — zero shuffles, embarrassingly parallel at any scale
-    * (an explode + groupBy formulation would shuffle every shingle). */
+    * document and all k minima come from ONE pass over it via the
+    * codegen'd MinHashArray expression (the equivalent per-slot
+    * `array_min(transform(...))` higher-order chains are
+    * CodegenFallback and materialize k intermediate arrays per row) —
+    * zero shuffles, embarrassingly parallel at any scale (an explode +
+    * groupBy formulation would shuffle every shingle). Hash values are
+    * bit-identical to the builtin `xxhash64(lit(i), shingle)`. */
   def minHashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, shingleSize: Int = 3): DataFrame = {
-    val withShingles = df.select(
-      col(idCol), wordShingles(col(textCol), shingleSize).as("_shingles"))
-    val mins = (0 until numHashes).map(i =>
-      array_min(transform(col("_shingles"), s => xxhash64(lit(i), s))).as(s"mh_$i"))
-    withShingles.select((col(idCol) +: mins): _*)
+    val sig = graft.functions.TextHashExpressions.minHashArray(
+      wordShingles(col(textCol), shingleSize), numHashes)
+    df.select(col(idCol), sig.as("_sig"))
+      .select((col(idCol) +:
+        (0 until numHashes).map(i => col("_sig").getItem(i).as(s"mh_$i"))): _*)
   }
 
   /** LSH banding over minhash signatures → candidate near-dup pairs.
@@ -92,19 +96,14 @@ object Dedup {
     * into a non-negative long (bit 63 left clear — avoids sign/overflow
     * divergence between engines).
     *
-    * ROW-LOCAL like minHashSignatures: token hashes are one array per
-    * document, each bit's sign-sum an aggregate() over that array —
-    * zero shuffles. */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashes = transform(split(col(textCol), " "), t => xxhash64(t))
-    val withHashes = df.select(col(idCol), hashes.as("_h"))
-    val packed = (0 until 63).map { b =>
-      val bitSum = aggregate(col("_h"), lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(bitSum > 0, shiftleft(lit(1L), b)).otherwise(0L)
-    }.reduce(_ + _)
-    withHashes.select(col(idCol), packed.as("simhash"))
-  }
+    * ROW-LOCAL like minHashSignatures, and like it a single codegen'd
+    * pass (graft.functions.SimHash63) — the per-bit aggregate() chains
+    * it replaces were 63 CodegenFallback evaluations per row. Values
+    * are bit-identical to the HOF form. Zero shuffles. */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.TextHashExpressions.simHash63(split(col(textCol), " "))
+        .as("simhash"))
 
   /** SimHash near-dup candidate pairs by the pigeonhole block join:
     * split each hash into `blocks` bit-blocks — two hashes within

@@ -89,4 +89,34 @@ class DedupSpec extends SparkSpec {
     // each surviving pair appears exactly once despite multi-block matches
     assert(pairs.keySet.size == pairs.size)
   }
+
+  test("one-pass MinHashArray / SimHash63 are bit-identical to the HOF formulation") {
+    // the codegen'd expressions replaced per-slot array_min(transform)
+    // and per-bit aggregate() chains; signature VALUES must not move
+    // (they determine LSH bands, jaccard estimates, block joins)
+    val mixed = docs.unionByName(Seq((9L, ""), (10L, "one two")).toDF("doc_id", "text"))
+    val k = 8
+    val sigsNew = Dedup.minHashSignatures(mixed, "doc_id", "text", numHashes = k, shingleSize = 3)
+      .collect().map(r => r.getLong(0) ->
+        (1 to k).map(i => Option(r.get(i)).map(_.asInstanceOf[Long]))).toMap
+    val shingles = Dedup.wordShingles($"text", 3)
+    val hofCols = (0 until k).map(i =>
+      array_min(transform(shingles, s => xxhash64(lit(i), s))).as(s"mh_$i"))
+    val sigsHof = mixed.select(($"doc_id" +: hofCols): _*)
+      .collect().map(r => r.getLong(0) ->
+        (1 to k).map(i => Option(r.get(i)).map(_.asInstanceOf[Long]))).toMap
+    assert(sigsNew == sigsHof)
+
+    val simNew = Dedup.simHash(mixed, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hashes = transform(split($"text", " "), t => xxhash64(t))
+    val packed = (0 until 63).map { b =>
+      val bitSum = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(bitSum > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce(_ + _)
+    val simHof = mixed.select($"doc_id", packed.as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(simNew == simHof)
+  }
 }
