@@ -47,6 +47,40 @@ object TextHash {
     new GenericArrayData(mins)
   }
 
+  /** Distinct word n-gram shingles in ONE pass — value-identical to
+    * `array_distinct(filter(transform(words, i => concat_ws(" ",
+    * slice(words, i+1, n))), s => size(split(s, " ")) === n))` over
+    * `split(text, " ")`: the window join recovers exactly the sliced
+    * elements (split products contain no spaces), so the size filter
+    * is equivalent to "window fully inside the array", and
+    * array_distinct keeps first occurrences. The HOF chain copies
+    * O(words·n) elements per row through interpreted lambdas; this
+    * builds each shingle once. */
+  def wordShingles(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val words = text.toString.split(" ", -1) // Spark split(col, " ") = regex, limit -1
+    val out = new java.util.LinkedHashSet[String]
+    var i = 0
+    while (i + n <= words.length) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out.add(sb.toString)
+      i += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) {
+      arr(k) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      k += 1
+    }
+    new GenericArrayData(arr)
+  }
+
   /** 63-bit SimHash in ONE pass over the token array — value-identical
     * to the per-bit `aggregate(transform(tokens, xxhash64), …)` form
     * (null token → the builtin's skip-null hash = seed 42; empty array
@@ -101,6 +135,23 @@ case class MinHashArray(child: Expression, numHashes: Int)
   override def prettyName: String = "minhash_array"
 }
 
+/** One-pass distinct word-shingling over a text column (n >= 2). */
+case class WordShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with Serializable {
+  require(n >= 2, "use array_distinct(split(...)) for 1-grams")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(in: Any): Any =
+    TextHash.wordShingles(in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextHash.wordShingles($a, $n);")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "word_shingles"
+}
+
 /** One-pass 63-bit SimHash over a token array — replaces 63
   * CodegenFallback aggregate() chains per row. */
 case class SimHash63(child: Expression)
@@ -122,6 +173,10 @@ object TextHashExpressions {
   /** Minhash signature vector over a shingle array column. */
   def minHashArray(shingles: Column, numHashes: Int): Column =
     Bridge.column(MinHashArray(Bridge.expression(shingles), numHashes))
+
+  /** Distinct word n-gram shingles over a text column (codegen'd). */
+  def wordShingles(text: Column, n: Int): Column =
+    Bridge.column(WordShinglesExpr(Bridge.expression(text), n))
 
   /** 63-bit simhash over a token array column. */
   def simHash63(tokens: Column): Column =

@@ -19,15 +19,14 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingles as an array column (distinct). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val words = split(text, " ")
-    if (n == 1) array_distinct(words)
-    else array_distinct(
-      filter(
-        transform(words, (_, i) => concat_ws(" ", slice(words, i + 1, lit(n)))),
-        s => size(split(s, " ")) === n))
-  }
+  /** Word n-gram shingles as an array column (distinct). For n >= 2
+    * this is the codegen'd one-pass WordShinglesExpr — the equivalent
+    * HOF chain (transform + slice + concat_ws + filter + distinct)
+    * copies O(words·n) elements per row through interpreted lambdas.
+    * Values are identical (spec-asserted). */
+  def wordShingles(text: Column, n: Int): Column =
+    if (n == 1) array_distinct(split(text, " "))
+    else graft.functions.TextHashExpressions.wordShingles(text, n)
 
   /** MinHash signature: k independent min-hashes over the shingle set.
     * hash_i(s) = xxhash64(i, s) — deterministic, seedable.

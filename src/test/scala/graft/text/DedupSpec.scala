@@ -90,6 +90,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs.keySet.size == pairs.size)
   }
 
+  test("one-pass WordShingles matches the HOF formulation on edge strings") {
+    val edge = Seq(
+      (1L, "a b c d"), (2L, ""), (3L, "one"), (4L, "x  y z"), // double space
+      (5L, " lead"), (6L, "trail "), (7L, "a b a b a b") // repeats → distinct
+    ).toDF("doc_id", "text")
+    for (n <- Seq(2, 3, 5)) {
+      val neu = edge.select($"doc_id", Dedup.wordShingles($"text", n).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val words = split($"text", " ")
+      val hof = edge.select($"doc_id", array_distinct(
+          filter(
+            transform(words, (_, i) => concat_ws(" ", slice(words, i + 1, lit(n)))),
+            s => size(split(s, " ")) === n)).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(neu == hof, s"n=$n")
+    }
+  }
+
   test("one-pass MinHashArray / SimHash63 are bit-identical to the HOF formulation") {
     // the codegen'd expressions replaced per-slot array_min(transform)
     // and per-bit aggregate() chains; signature VALUES must not move
