@@ -66,10 +66,17 @@ object Impute {
       valueCol: String = "value",
       nComponents: Int = 2): DataFrame = {
     import spark.implicits._
+    // persist: the profile frame feeds five consumers across three
+    // separate actions (samples collect, Gram collect, final output) —
+    // unpersisted, each action re-derives the input lineage. The frame
+    // is the algorithm's working set (3 narrow columns, one row per
+    // matrix cell); cache lives for the session (MEMORY_AND_DISK
+    // blocks are LRU-evictable).
     val base = df.select(
       col(idCol).cast("string").as("_id"),
       col(sampleCol).cast("string").as("_s"),
       col(valueCol).cast("double").as("_v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val samples = base.select(col("_s")).distinct()
       .collect().map(_.getString(0)).sorted
     val sIdx = samples.zipWithIndex.toMap
