@@ -81,6 +81,58 @@ object TextHash {
     new GenericArrayData(arr)
   }
 
+  /** Non-overlapping left-to-right occurrence count of a literal
+    * substring — value-identical to the portable
+    * `(length(t) - length(replace(t, sub, ''))) / length(sub)` form
+    * (replace removes exactly the occurrences this loop finds) without
+    * materializing the replaced copy. */
+  def substringCount(text: org.apache.spark.unsafe.types.UTF8String, sub: String): Long = {
+    val s = text.toString
+    val l = sub.length
+    var from = 0
+    var c = 0L
+    var i = s.indexOf(sub, from)
+    while (i >= 0) {
+      c += 1
+      from = i + l
+      i = s.indexOf(sub, from)
+    }
+    c
+  }
+
+  /** Count of ASCII characters from `set` (boolean[128]) — equals
+    * `length(t) - length(regexp_replace(t, '[class]', ''))` for an
+    * ASCII character class (ASCII bytes never occur inside UTF-8
+    * multi-byte sequences, so a byte scan is exact). */
+  def charClassCount(text: org.apache.spark.unsafe.types.UTF8String, set: Array[Boolean]): Long = {
+    val bytes = text.getBytes
+    var i = 0
+    var c = 0L
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b >= 0 && set(b)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** BPE-ish token count in one pass — value-identical to
+    * `aggregate(split(t, " "), 0L, (acc, w) =>
+    * acc + greatest(ceil(length(w)/4.0), 1))`: per word
+    * max(ceil(chars/4), 1) = max((chars+3)/4, 1) in integer math. */
+  def bpeIshCount(text: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val words = text.toString.split(" ", -1)
+    var acc = 0L
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      val cp = w.codePointCount(0, w.length) // Spark length() counts code points
+      acc += math.max((cp + 3) / 4, 1)
+      i += 1
+    }
+    acc
+  }
+
   /** 63-bit SimHash in ONE pass over the token array — value-identical
     * to the per-bit `aggregate(transform(tokens, xxhash64), …)` form
     * (null token → the builtin's skip-null hash = seed 42; empty array
@@ -169,10 +221,72 @@ case class SimHash63(child: Expression)
   override def prettyName: String = "simhash63"
 }
 
+/** Codegen'd literal-substring occurrence count. */
+case class SubstringCountExpr(child: Expression, sub: String)
+    extends UnaryExpression with Serializable {
+  require(sub.nonEmpty, "empty search pattern")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(in: Any): Any =
+    TextHash.substringCount(in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], sub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val subRef = ctx.addReferenceObj("sub", sub, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextHash.substringCount($a, $subRef);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "substring_count"
+}
+
+/** Codegen'd ASCII character-class count. */
+case class CharClassCountExpr(child: Expression, chars: String)
+    extends UnaryExpression with Serializable {
+  require(chars.forall(_ < 128), "ASCII classes only (byte-scan exactness)")
+  override def dataType: DataType = LongType
+  @transient private lazy val set: Array[Boolean] = {
+    val s = new Array[Boolean](128)
+    chars.foreach(c => s(c) = true)
+    s
+  }
+  override def nullSafeEval(in: Any): Any =
+    TextHash.charClassCount(in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], set)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("charSet", set, "boolean[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextHash.charClassCount($a, $setRef);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "char_class_count"
+}
+
+/** Codegen'd one-pass BPE-ish token count. */
+case class BpeIshCountExpr(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(in: Any): Any =
+    TextHash.bpeIshCount(in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextHash.bpeIshCount($a);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "bpeish_count"
+}
+
 object TextHashExpressions {
   /** Minhash signature vector over a shingle array column. */
   def minHashArray(shingles: Column, numHashes: Int): Column =
     Bridge.column(MinHashArray(Bridge.expression(shingles), numHashes))
+
+  /** Literal-substring occurrence count (codegen'd). */
+  def substringCount(text: Column, sub: String): Column =
+    Bridge.column(SubstringCountExpr(Bridge.expression(text), sub))
+
+  /** ASCII character-class count (codegen'd). */
+  def charClassCount(text: Column, chars: String): Column =
+    Bridge.column(CharClassCountExpr(Bridge.expression(text), chars))
+
+  /** One-pass BPE-ish token count (codegen'd). */
+  def bpeIshCount(text: Column): Column =
+    Bridge.column(BpeIshCountExpr(Bridge.expression(text)))
 
   /** Distinct word n-gram shingles over a text column (codegen'd). */
   def wordShingles(text: Column, n: Int): Column =

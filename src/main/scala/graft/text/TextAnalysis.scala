@@ -9,31 +9,32 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token count via length arithmetic (engine-portable:
-    * identical in Spark and any SQL oracle):
-    * tokens = 1 + (#spaces) for non-empty text. */
+  import graft.functions.TextHashExpressions
+
+  /** Whitespace token count (engine-portable: equals the SQL oracle's
+    * `1 + len - len(replace(t, ' ', ''))` for non-empty text — the
+    * codegen'd char count avoids the replaced-copy allocation). */
   def tokenCountWhitespace(text: Column): Column =
     when(length(text) === 0, 0L)
-      .otherwise(length(text) - length(regexp_replace(text, " ", "")) + lit(1))
+      .otherwise(TextHashExpressions.charClassCount(text, " ") + lit(1))
       .cast("long")
 
   /** BPE-ish subword count heuristic: words plus extra tokens for every
     * 4 chars beyond the first 4 of each word (public rule of thumb:
-    * ~4 chars/token). ceil(len/4) summed over words, computed with
-    * aggregate() over the split array. */
+    * ~4 chars/token). ceil(len/4) summed over words, as ONE codegen'd
+    * pass (value-identical to the aggregate() over split — see
+    * TextHash.bpeIshCount). */
   def tokenCountBpeIsh(text: Column): Column =
-    aggregate(
-      split(text, " "),
-      lit(0L),
-      (acc, w) => acc + greatest(ceil(length(w).cast("double") / 4.0).cast("long"), lit(1L)))
+    TextHashExpressions.bpeIshCount(text)
 
-  /** Character classes for quality scoring. */
+  /** Character classes for quality scoring (codegen'd ASCII byte
+    * scans; each equals `len - len(regexp_replace(t, class, ''))`). */
   def punctCount(text: Column): Column =
-    length(text) - length(regexp_replace(text, "[\\.,;:!\\?]", ""))
+    TextHashExpressions.charClassCount(text, ".,;:!?")
   def digitCount(text: Column): Column =
-    length(text) - length(regexp_replace(text, "[0-9]", ""))
+    TextHashExpressions.charClassCount(text, "0123456789")
   def upperCount(text: Column): Column =
-    length(text) - length(regexp_replace(text, "[A-Z]", ""))
+    TextHashExpressions.charClassCount(text, ('A' to 'Z').mkString)
 
   /** Heuristic quality score in [0,1]: penalize extreme length, high
     * punct/digit density, low word diversity. Weights are fixed
@@ -60,10 +61,11 @@ object TextAnalysis {
     "es" -> Seq(" el ", " los ", " las ", " una ", " y "),
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
-  /** Count occurrences of a literal substring (portable: length
-    * difference after replace, divided by pattern length). */
+  /** Count occurrences of a literal substring — codegen'd scan,
+    * value-identical to the portable length-difference-after-replace
+    * form the SQL oracles use (non-overlapping left-to-right). */
   def substrCount(text: Column, sub: String): Column =
-    ((length(text) - length(replace(text, lit(sub), lit("")))) / sub.length).cast("long")
+    TextHashExpressions.substringCount(text, sub)
 
   /** Language-ID by stopword vote: score each language by summed
     * stopword occurrences in the padded text; argmax with

@@ -20,6 +20,35 @@ class TextSimSpec extends SparkSpec {
     assert(out(1)._2 == 6)
   }
 
+  test("codegen'd counting expressions match the replace-based formulas") {
+    val df = Seq(
+      (1L, "the cat and the dog sat in the house of the cards"),
+      (2L, ""), (3L, "a"), (4L, "x  y"), (5L, "1.2, 3; four! five? 6:7"),
+      (6L, "的是了的是 在我 的"), (7L, "aaa aaaa aaaaa b"), (8L, "ab.ab.ab.ab")
+    ).toDF("id", "t")
+    val old = df.select($"id",
+      when(length($"t") === 0, 0L)
+        .otherwise(length($"t") - length(regexp_replace($"t", " ", "")) + lit(1))
+        .cast("long").as("ws"),
+      aggregate(split($"t", " "), lit(0L),
+        (acc, w) => acc + greatest(ceil(length(w).cast("double") / 4.0).cast("long"), lit(1L)))
+        .as("bpe"),
+      (length($"t") - length(regexp_replace($"t", "[\\.,;:!\\?]", ""))).cast("long").as("punct"),
+      (length($"t") - length(regexp_replace($"t", "[0-9]", ""))).cast("long").as("digit"),
+      ((length($"t") - length(replace($"t", lit(" the "), lit("")))) / 5).cast("long").as("sthe"),
+      ((length($"t") - length(replace($"t", lit("的"), lit("")))) / 1).cast("long").as("szh"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val neu = df.select($"id",
+      TextAnalysis.tokenCountWhitespace($"t").as("ws"),
+      TextAnalysis.tokenCountBpeIsh($"t").as("bpe"),
+      TextAnalysis.punctCount($"t").as("punct"),
+      TextAnalysis.digitCount($"t").as("digit"),
+      TextAnalysis.substrCount($"t", " the ").as("sthe"),
+      TextAnalysis.substrCount($"t", "的").as("szh"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(neu == old)
+  }
+
   test("langId votes stopwords with deterministic tie-break") {
     val df = Seq(
       (1, "the cat and the dog sat in the house of cards"),
