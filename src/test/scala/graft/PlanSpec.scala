@@ -120,6 +120,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Functions: []"), p) // group-only aggregate = the dedup
   }
 
+  test("text hot paths use the codegen'd expressions, not HOF/replace chains") {
+    // a regression back to aggregate()/transform()/replace-chains would
+    // reintroduce CodegenFallback lambdas and per-pattern string copies
+    val langPlan = plan("q_lang_id")
+    assert(langPlan.contains("substring_count"), langPlan)
+    assert(!langPlan.contains("lambdafunction"), langPlan)
+    val mhPlan = plan("q_minhash_signatures")
+    assert(mhPlan.contains("minhash_array") && mhPlan.contains("word_shingles"), mhPlan)
+    assert(!mhPlan.contains("lambdafunction"), mhPlan)
+    val shPlan = plan("q_simhash")
+    assert(shPlan.contains("simhash63") && !shPlan.contains("lambdafunction"), shPlan)
+  }
+
   test("cluster timecourse joins broadcast the tiny stats/assignment sides") {
     val df = Registry.queries("q_cluster_timecourse")(spark, sf)
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
