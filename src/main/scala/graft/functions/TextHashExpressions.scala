@@ -133,6 +133,39 @@ object TextHash {
     acc
   }
 
+  /** Winnowing fingerprints (MOSS) in ONE pass — value-identical to
+    * the HOF form: gram hashes xxhash64(substr(text, i, k)) for
+    * i = 1..max(len-k+1, 1) (substr clamps at the end, so a short text
+    * yields one whole-text gram), window minima over w consecutive
+    * gram hashes (the final window set clamps to whatever remains),
+    * distinct in first-occurrence order. */
+  def winnowing(text: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int): ArrayData = {
+    val len = text.numChars()
+    val nGrams = math.max(len - (k - 1), 1)
+    val grams = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      grams(i) = XxHash64Function.hash(text.substringSQL(i + 1, k), StringType, 42L)
+      i += 1
+    }
+    val lastStart = math.max(nGrams - w, 0)
+    val out = new java.util.LinkedHashSet[java.lang.Long]
+    i = 0
+    while (i <= lastStart) {
+      var m = grams(i)
+      var j = i + 1
+      val end = math.min(i + w, nGrams)
+      while (j < end) { if (grams(j) < m) m = grams(j); j += 1 }
+      out.add(m)
+      i += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var p = 0
+    while (it.hasNext) { arr(p) = it.next().longValue(); p += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** 63-bit SimHash in ONE pass over the token array — value-identical
     * to the per-bit `aggregate(transform(tokens, xxhash64), …)` form
     * (null token → the builtin's skip-null hash = seed 42; empty array
@@ -221,6 +254,19 @@ case class SimHash63(child: Expression)
   override def prettyName: String = "simhash63"
 }
 
+/** One-pass winnowing fingerprint set over a text column. */
+case class WinnowingExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(in: Any): Any =
+    TextHash.winnowing(in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextHash.winnowing($a, $k, $w);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "winnowing_fingerprints"
+}
+
 /** Codegen'd literal-substring occurrence count. */
 case class SubstringCountExpr(child: Expression, sub: String)
     extends UnaryExpression with Serializable {
@@ -287,6 +333,10 @@ object TextHashExpressions {
   /** One-pass BPE-ish token count (codegen'd). */
   def bpeIshCount(text: Column): Column =
     Bridge.column(BpeIshCountExpr(Bridge.expression(text)))
+
+  /** One-pass winnowing fingerprint set (codegen'd). */
+  def winnowing(text: Column, k: Int, w: Int): Column =
+    Bridge.column(WinnowingExpr(Bridge.expression(text), k, w))
 
   /** Distinct word n-gram shingles over a text column (codegen'd). */
   def wordShingles(text: Column, n: Int): Column =

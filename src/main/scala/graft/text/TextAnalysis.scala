@@ -99,19 +99,13 @@ object TextAnalysis {
     * minima are the document's fingerprint set. Guarantees any shared
     * substring of length >= w+k-1 yields a shared fingerprint.
     *
-    * Entirely row-local (sequence/transform/slice/array_min) — no
-    * explode, no shuffle; pair-matching on fingerprints is then an
-    * equi-join on the exploded fingerprint set. */
-  def winnowingFingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
-    val n = length(text)
-    val grams = transform(
-      sequence(lit(1), greatest(n - (k - 1), lit(1))),
-      i => xxhash64(text.substr(i, lit(k))))
-    val windows = transform(
-      sequence(lit(0), greatest(size(grams) - w, lit(0))),
-      i => array_min(slice(grams, i + 1, lit(w))))
-    array_distinct(windows)
-  }
+    * Entirely row-local and ONE codegen'd pass (WinnowingExpr) — no
+    * explode, no shuffle, no interpreted HOF chain; pair-matching on
+    * fingerprints is then an equi-join on the exploded fingerprint
+    * set. Values are bit-identical to the
+    * sequence/transform/slice/array_min formulation (spec-asserted). */
+  def winnowingFingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
+    TextHashExpressions.winnowing(text, k, w)
 
   /** Corpus vocabulary top-k: the k most frequent whitespace tokens
     * with a deterministic tie-break on the token itself. The

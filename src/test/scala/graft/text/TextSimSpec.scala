@@ -49,6 +49,27 @@ class TextSimSpec extends SparkSpec {
     assert(neu == old)
   }
 
+  test("one-pass winnowing matches the HOF formulation bit-for-bit") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, ""), (3L, "abc"), (4L, "abcdefghij"), (5L, "aaaaaaaaaaaaaaa")
+    ).toDF("id", "t")
+    for ((k, w) <- Seq((5, 4), (3, 2))) {
+      val neu = df.select($"id", TextAnalysis.winnowingFingerprints($"t", k, w).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val n = length($"t")
+      val grams = transform(
+        sequence(lit(1), greatest(n - (k - 1), lit(1))),
+        i => xxhash64($"t".substr(i, lit(k))))
+      val windows = transform(
+        sequence(lit(0), greatest(size(grams) - w, lit(0))),
+        i => array_min(slice(grams, i + 1, lit(w))))
+      val hof = df.select($"id", array_distinct(windows).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(neu == hof, s"k=$k w=$w")
+    }
+  }
+
   test("langId votes stopwords with deterministic tie-break") {
     val df = Seq(
       (1, "the cat and the dog sat in the house of cards"),
