@@ -38,12 +38,17 @@ object TrainingData {
   /** Row-local annotation: quality, language, token counts,
     * fingerprints. */
   def annotate(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
-      col(idCol), col(textCol),
-      TextAnalysis.qualityScore(col(textCol)).as("quality"),
-      TextAnalysis.langId(col(textCol)).as("lang_pred"),
-      TextAnalysis.tokenCountWhitespace(col(textCol)).as("n_tokens"),
-      TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+    annotateKeeping(docs.select(col(idCol), col(textCol)), textCol)
+
+  /** annotate, preserving EVERY input column — streaming frames carry
+    * their event-time column through the gates (graft.streaming
+    * .DocStream). */
+  def annotateKeeping(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
+      .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
+      .withColumn("n_tokens", TextAnalysis.tokenCountWhitespace(col(textCol)))
+      .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
 
   /** Full curation: returns the surviving documents with annotations
     * plus a `drop_reason` breakdown table (second element). */

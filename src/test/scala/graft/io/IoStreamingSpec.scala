@@ -160,6 +160,42 @@ class IoStreamingSpec extends SparkSpec {
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
 
+  test("streaming curation gates+dedup equal the batch stages on the same docs") {
+    // stage a small documents slice as a streaming source dir
+    val dir = Files.createTempDirectory("docs_stream")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    docs.write.mode("overwrite").parquet(dir.toString)
+    val cfg = graft.pipeline.TrainingData.CurationConfig(
+      minQuality = 0.1, langs = Set("en", "de", "fr", "es", "zh"), minTokens = 3)
+    // ingest time must sit ABOVE the stream's watermark —
+    // dropDuplicatesWithinWatermark treats at-or-below-watermark rows
+    // as late and drops them (epoch-0 timestamps emit nothing)
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .parquet(dir.toString)
+      .withColumn("ingest_ts", current_timestamp())
+    val q = EventStream.runToMemory(
+      graft.streaming.DocStream.curateStream(stream, "doc_id", "text", "ingest_ts", cfg),
+      "doc_curate", outputMode = "append")
+    q.stop()
+    val got = spark.table("doc_curate").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // batch reference: annotate -> gates -> exact dedup (lowest id per
+    // fingerprint). Streaming keeps the FIRST seen per fingerprint,
+    // which within one micro-batch is nondeterministic — compare the
+    // kept fingerprint SET, which must be identical.
+    val ann = graft.pipeline.TrainingData.annotate(docs, "doc_id", "text")
+      .filter(col("quality") >= cfg.minQuality &&
+        col("lang_pred").isin(cfg.langs.toSeq: _*) && col("n_tokens") >= cfg.minTokens)
+    val batchFps = ann.select("fingerprint").distinct()
+      .collect().map(_.getString(0)).toSet
+    val gotFps = spark.table("doc_curate").select("fingerprint")
+      .collect().map(_.getString(0)).toSet
+    assert(got.nonEmpty)
+    assert(gotFps == batchFps) // one survivor per gated fingerprint
+    assert(spark.table("doc_curate").count() == batchFps.size)
+  }
+
   test("multimodal decode is deterministic and batched") {
     val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
     val media = Multimodal.attachBinary(docs, "doc_id", "text")
