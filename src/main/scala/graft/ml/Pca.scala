@@ -114,6 +114,6 @@ object Pca {
         .flatMap { case (sm, w) => Seq(lit(sm), lit(w)) }: _*)
       sum(col("_c") * element_at(compMap, col(sampleCol))).as(s"w_$c")
     }
-    centered.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    centered.groupBy(col(idCol)).agg(aggs.head, aggs.toIndexedSeq.tail: _*)
   }
 }

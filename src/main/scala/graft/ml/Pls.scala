@@ -86,7 +86,7 @@ object Pls {
       yc = yc.map { case (s, v) => s -> (v - q * tRows.getOrElse(s, 0.0)) }
       (w, tRows, q)
     }
-    PlsModel(allSamples, comps, y.values.sum / y.size)
+    PlsModel(allSamples.toIndexedSeq, comps, y.values.sum / y.size)
   }
 
   /** Training-sample predictions: ŷ(s) = ȳ + Σ_c q_c·t_c(s) (the

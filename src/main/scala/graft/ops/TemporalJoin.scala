@@ -91,7 +91,7 @@ object TemporalJoin {
         col(key) === col("_rk") &&
           col("_rt") >= col(time) - lit(range) && col("_rt") < col(time),
         "left")
-      .groupBy(left.columns.map(col): _*)
+      .groupBy(left.columns.toIndexedSeq.map(col): _*)
       .agg(count(col("_rt")).as(outCol))
   }
 }

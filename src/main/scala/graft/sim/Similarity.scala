@@ -38,7 +38,7 @@ object Similarity {
   def bruteForceTopK(
       embeddings: DataFrame, idCol: String, vecCol: String,
       query: Array[Double], k: Int): DataFrame = {
-    val q = array(query.map(lit): _*)
+    val q = array(query.toIndexedSeq.map(lit): _*)
     val qNorm = math.sqrt(query.foldLeft(0.0)((acc, x) => acc + x * x))
     val v = asDouble(col(vecCol))
     embeddings
@@ -83,7 +83,7 @@ object Similarity {
       embeddings: DataFrame, idCol: String, vecCol: String,
       query: Array[Double], k: Int, dim: Int,
       numPlanes: Int = 8, numTables: Int = 4): DataFrame = {
-    val qCol = array(query.map(lit): _*)
+    val qCol = array(query.toIndexedSeq.map(lit): _*)
     val tables = (0 until numTables).map { t =>
       // the query's bucket is a driver-side constant — the per-row
       // predicate is bucket-expression === literal
@@ -145,7 +145,7 @@ object Similarity {
       c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
     val probeCells = centroids.zipWithIndex.sortBy(p => dist2(p._1))
       .take(nProbe).map(_._2)
-    val qCol = array(query.map(lit): _*)
+    val qCol = array(query.toIndexedSeq.map(lit): _*)
     val qNorm = math.sqrt(query.foldLeft(0.0)((acc, x) => acc + x * x))
     val v = asDouble(col(vecCol))
     assigned
