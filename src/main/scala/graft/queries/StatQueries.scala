@@ -281,8 +281,11 @@ object StatQueries extends QueryProvider {
   //      scalar (90-knot spline): the query run computes it ONCE and
   //      records it; the oracle is then the exact BH SQL with the same
   //      pi0 injected as a literal — the whole chain hash-checks.
-  //      (Double.toString round-trips, so DuckDB parses the identical
-  //      IEEE double.) ----
+  //      The literal is injected as CAST('<repr>' AS DOUBLE): a BARE
+  //      decimal literal parses as DECIMAL(p,s) in DuckDB and the
+  //      mixed decimal×double product is off by an ulp from the IEEE
+  //      double chain; the string cast is strtod (Double.toString
+  //      round-trips). ----
   private val lastStoreyPi0 = new java.util.concurrent.atomic.AtomicReference[java.lang.Double]()
 
   private val qQvaluesStorey = Q(
@@ -305,7 +308,7 @@ object StatQueries extends QueryProvider {
           COUNT(*) OVER () AS m
         FROM t)
       SELECT s_suppkey, p,
-        LEAST(MIN($pi0 * CAST(m AS DOUBLE) * p / CAST(rnk AS DOUBLE))
+        LEAST(MIN(CAST('$pi0' AS DOUBLE) * CAST(m AS DOUBLE) * p / CAST(rnk AS DOUBLE))
                 OVER (ORDER BY p ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
               1.0) AS q
       FROM r"""

@@ -213,8 +213,11 @@ object TextQueries extends QueryProvider {
       threshold = 0.2, numPlanes = 8, numTables = 2),
     Some {
       val (numPlanes, numTables, dim) = (8, 2, 64)
+      // CAST(... AS DOUBLE[]): see q_ann_lsh_topk — pin the plane
+      // coefficients to IEEE doubles, never DECIMAL literals
       val planes = for (t <- 0 until numTables; p <- 0 until numPlanes)
-        yield Similarity.planeCoefs(t, p, dim).mkString("[", ", ", "]")
+        yield Similarity.planeCoefs(t, p, dim)
+          .mkString("CAST([", ", ", "] AS DOUBLE[])")
       def dotSql(x: String, idx: Int) =
         s"list_reduce(list_transform(list_zip($x, c[$idx]), p -> p[1] * p[2]), (a, b) -> a + b)"
       def bucketSql(x: String, t: Int) = (0 until numPlanes).map { p =>
@@ -274,8 +277,12 @@ object TextQueries extends QueryProvider {
     },
     Some {
       val (numPlanes, numTables, dim) = (8, 4, 64)
+      // CAST(... AS DOUBLE[]): bare decimal literals type as DECIMAL in
+      // DuckDB and the mixed-arithmetic fold drifts by ulps; the cast
+      // pins every coefficient to the IEEE double the Spark side uses
       val planes = for (t <- 0 until numTables; p <- 0 until numPlanes)
-        yield Similarity.planeCoefs(t, p, dim).mkString("[", ", ", "]")
+        yield Similarity.planeCoefs(t, p, dim)
+          .mkString("CAST([", ", ", "] AS DOUBLE[])")
       def dotSql(x: String, idx: Int) =
         s"list_reduce(list_transform(list_zip($x, c[$idx]), p -> p[1] * p[2]), (a, b) -> a + b)"
       def bucketSql(x: String, t: Int) = (0 until numPlanes).map { p =>
