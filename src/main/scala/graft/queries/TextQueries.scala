@@ -375,6 +375,39 @@ object TextQueries extends QueryProvider {
       FROM corp c JOIN probe p ON p.g = c.g
       GROUP BY c.doc_id"""))
 
+  // ---- Gopher-style repetition signals: duplicate word / 3-gram /
+  //      line fractions (row-local; the 3-gram windows reuse the
+  //      contamination oracle's list-slicing SQL) ----
+  private val qRepetition = Q(
+    "q_repetition_scores",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.duplicateNgramFraction(col("text"), 1).as("dup_word_frac"),
+      TextAnalysis.duplicateNgramFraction(col("text"), 3).as("dup_3gram_frac"),
+      TextAnalysis.duplicateLineFraction(col("text")).as("dup_line_frac")),
+    Some("""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words,
+               string_split(text, chr(10)) AS lines
+        FROM documents),
+      g3 AS (
+        SELECT doc_id, CAST(COUNT(DISTINCT g) AS BIGINT) AS d3 FROM (
+          SELECT doc_id, array_to_string(words[i:i+2], ' ') AS g
+          FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 2)) AS i FROM w))
+        GROUP BY doc_id)
+      SELECT w.doc_id,
+        CASE WHEN len(words) > 0
+             THEN 1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / CAST(len(words) AS DOUBLE)
+             ELSE 0.0 END AS dup_word_frac,
+        CASE WHEN GREATEST(len(words) - 2, 0) > 0
+             THEN 1.0 - CAST(COALESCE(g3.d3, 0) AS DOUBLE)
+                    / CAST(GREATEST(len(words) - 2, 0) AS DOUBLE)
+             ELSE 0.0 END AS dup_3gram_frac,
+        CASE WHEN len(lines) > 0
+             THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / CAST(len(lines) AS DOUBLE)
+             ELSE 0.0 END AS dup_line_frac
+      FROM w LEFT JOIN g3 ON g3.doc_id = w.doc_id"""))
+
   // ---- corpus vocabulary top-k: distributed top-k, never a global
   //      sort (TakeOrderedAndProject) ----
   private val qTokenTopK = Q(
@@ -401,5 +434,5 @@ object TextQueries extends QueryProvider {
   def all: Seq[Q] = Seq(
     qDedupExact, qFingerprint, qTokens, qQuality, qLangId, qJaccard, qAnn, qAnnLsh,
     qAnnIvf, qMinhash, qSimhash, qSimhashPairs, qWinnow, qLshPairs, qCurate,
-    qTokenTopK, qStratSample, qContamination)
+    qTokenTopK, qStratSample, qContamination, qRepetition)
 }

@@ -87,6 +87,28 @@ object TextAnalysis {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Gopher-style repetition signal (public quality-filter heuristic,
+    * Rae et al. 2021 appendix A1.1): the fraction of word n-gram
+    * windows that are duplicates of an earlier window — high values
+    * flag boilerplate/spam. n=1 gives 1 − type/token ratio. 0.0 when
+    * the text has no full window. */
+  def duplicateNgramFraction(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    val total = greatest(size(words) - (n - 1), lit(0))
+    val distinctN = size(Dedup.wordShingles(text, n))
+    when(total > 0,
+      lit(1.0) - distinctN.cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Duplicate-line fraction (same family): 1 − distinct/total lines. */
+  def duplicateLineFraction(text: Column): Column = {
+    val lines = split(text, "\n")
+    when(size(lines) > 0,
+      lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** Document fingerprint: first 16 hex chars of md5 (content-stable,
     * engine-portable). For a rolling/locality-sensitive fingerprint see
     * Dedup.simHash and winnowingFingerprints. */

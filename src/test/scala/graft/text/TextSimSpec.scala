@@ -85,6 +85,27 @@ class TextSimSpec extends SparkSpec {
     assert(out(4) == "und")
   }
 
+  test("repetition signals flag duplicated content, zero on clean/short text") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),            // one distinct word
+      (2L, "every word here is completely distinct"),   // no repetition
+      (3L, "a b"),                                      // too short for 3-grams
+      (4L, "line one\nline one\nline two"),             // duplicate line
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+      TextAnalysis.duplicateNgramFraction($"text", 1).as("w"),
+      TextAnalysis.duplicateNgramFraction($"text", 3).as("g"),
+      TextAnalysis.duplicateLineFraction($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L)._1 == 1.0 - 1.0 / 6.0) // 1 distinct of 6 words
+    assert(out(1L)._2 == 1.0 - 1.0 / 4.0) // 1 distinct of 4 windows
+    assert(out(2L)._1 == 0.0 && out(2L)._2 == 0.0)
+    assert(out(3L)._2 == 0.0) // no full 3-gram window
+    assert(out(4L)._3 == 1.0 - 2.0 / 3.0) // 2 distinct of 3 lines
+    assert(out(5L)._1 == 0.0 && out(5L)._3 == 0.0) // "" splits to one (empty) token
+  }
+
   test("qualityScore in [0,1], penalizes junk") {
     val df = Seq(
       (1, "this is a perfectly reasonable sentence with normal words and structure"),
