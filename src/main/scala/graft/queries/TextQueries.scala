@@ -408,6 +408,35 @@ object TextQueries extends QueryProvider {
              ELSE 0.0 END AS dup_line_frac
       FROM w LEFT JOIN g3 ON g3.doc_id = w.doc_id"""))
 
+  // ---- stopword fraction + PII-ish pattern counts (curation gates;
+  //      regex patterns simple enough for Java/RE2 dialect parity) ----
+  private val qCurationSignals = Q(
+    "q_curation_signals",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.stopwordFraction(col("text")).as("stopword_frac"),
+      TextAnalysis.emailCount(col("text")).as("n_emails"),
+      TextAnalysis.urlCount(col("text")).as("n_urls")),
+    Some {
+      val hits = TextAnalysis.stopwords("en").map { w =>
+        val esc = w.replace("'", "''")
+        s"CAST((LENGTH(p) - LENGTH(REPLACE(p, '$esc', ''))) / ${w.length} AS BIGINT)"
+      }.mkString(" + ")
+      s"""
+      WITH t AS (
+        SELECT doc_id, ' ' || text || ' ' AS p,
+          CAST(CASE WHEN LENGTH(text) = 0 THEN 0
+               ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END AS BIGINT) AS toks,
+          CAST(len(regexp_extract_all(text, '${TextAnalysis.emailPattern}')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(text, '${TextAnalysis.urlPattern}')) AS BIGINT) AS n_urls
+        FROM documents)
+      SELECT doc_id,
+        CASE WHEN toks > 0 THEN CAST($hits AS DOUBLE) / CAST(toks AS DOUBLE)
+             ELSE 0.0 END AS stopword_frac,
+        n_emails, n_urls
+      FROM t"""
+    })
+
   // ---- corpus vocabulary top-k: distributed top-k, never a global
   //      sort (TakeOrderedAndProject) ----
   private val qTokenTopK = Q(
@@ -434,5 +463,5 @@ object TextQueries extends QueryProvider {
   def all: Seq[Q] = Seq(
     qDedupExact, qFingerprint, qTokens, qQuality, qLangId, qJaccard, qAnn, qAnnLsh,
     qAnnIvf, qMinhash, qSimhash, qSimhashPairs, qWinnow, qLshPairs, qCurate,
-    qTokenTopK, qStratSample, qContamination, qRepetition)
+    qTokenTopK, qStratSample, qContamination, qRepetition, qCurationSignals)
 }

@@ -109,6 +109,24 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** Stopword fraction (Gopher rule: require a minimum number of
+    * common function words): summed stopword occurrences over the
+    * word count. Uses the codegen'd substring counter. */
+  def stopwordFraction(text: Column, lang: String = "en"): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val hits = stopwords(lang).map(w => substrCount(padded, w)).reduce(_ + _)
+    val toks = tokenCountWhitespace(text)
+    when(toks > 0, hits.cast("double") / toks.cast("double")).otherwise(lit(0.0))
+  }
+
+  /** PII-ish pattern counts (curation/redaction gating): emails and
+    * URLs per document. The patterns are deliberately simple enough to
+    * behave identically in Java regex and RE2-style engines. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlPattern = "https?://[^ ]+"
+  def emailCount(text: Column): Column = regexp_count(text, lit(emailPattern)).cast("long")
+  def urlCount(text: Column): Column = regexp_count(text, lit(urlPattern)).cast("long")
+
   /** Document fingerprint: first 16 hex chars of md5 (content-stable,
     * engine-portable). For a rolling/locality-sensitive fingerprint see
     * Dedup.simHash and winnowingFingerprints. */

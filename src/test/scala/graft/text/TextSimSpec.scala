@@ -106,6 +106,22 @@ class TextSimSpec extends SparkSpec {
     assert(out(5L)._1 == 0.0 && out(5L)._3 == 0.0) // "" splits to one (empty) token
   }
 
+  test("stopword fraction and PII counts gate curation candidates") {
+    val df = Seq(
+      (1L, "the cat and the dog in the house of cards"),
+      (2L, "zzz qqq www eee rrr"),
+      (3L, "mail me at a.user+x@example.org or see https://example.org/x and http://b.co")
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+      TextAnalysis.stopwordFraction($"text").as("sw"),
+      TextAnalysis.emailCount($"text").as("em"),
+      TextAnalysis.urlCount($"text").as("url"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L)._1 > 0.3) // function-word heavy
+    assert(out(2L)._1 == 0.0)
+    assert(out(3L)._2 == 1L && out(3L)._3 == 2L)
+  }
+
   test("qualityScore in [0,1], penalizes junk") {
     val df = Seq(
       (1, "this is a perfectly reasonable sentence with normal words and structure"),
