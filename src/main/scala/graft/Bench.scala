@@ -26,10 +26,24 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query map for humans/the repo; the stdout line keeps the
+    // slowest 40 + an "_other" rollup so the whole JSON object fits well
+    // inside the driver's 2000-char output tail (rounds 1-2 overflowed
+    // it and the driver recorded parsed=null).
+    val full = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
+      .mkString("{", ",", "}")
+    try {
+      val p = java.nio.file.Paths.get("BENCH_FULL.json")
+      java.nio.file.Files.write(p, java.util.Arrays.asList(
+        s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$full,"sf":"$sfDir"}"""))
+    } catch { case _: Throwable => }
+    val top = results.sortBy(-_._2).take(40).sortBy(_._1)
+    val other = total - top.map(_._2).sum
+    val qs = (top.map { case (k, v) => s"\"" + k + "\":" + f(v) } :+
+      (s"\"_other\":" + f(other))).mkString("{", ",", "}")
     spark.stop()
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

@@ -43,7 +43,11 @@ object Impute {
     * component PLS1 regression of its row-median-filled profile on the
     * complete block, and its missing slots take the in-sample
     * predictions (the reference predicts `plsr.predict(dfo.iloc[:,ix])`
-    * — exactly the in-sample score of sample ix).
+    * — the in-sample score of sample ix; note the kernel
+    * reconstruction here is center-only, whereas sklearn's
+    * PLSRegression default `scale=True` also standardizes X and y, so
+    * numeric parity with the (dead-code) reference path is up to that
+    * scaling choice).
     *
     * Spark-first re-expression — the reference loops one sklearn fit
     * per missing row on the driver: every per-feature model depends on
@@ -64,7 +68,22 @@ object Impute {
       idCol: String = "id",
       sampleCol: String = "sample",
       valueCol: String = "value",
-      nComponents: Int = 2): DataFrame = {
+      nComponents: Int = 2): DataFrame =
+    plsWithCleanup(spark, df, idCol, sampleCol, valueCol, nComponents)._1
+
+  /** `pls` plus a cleanup handle that unpersists the working-set cache
+    * and destroys the Gram/sample broadcasts (same contract as
+    * Pipelines.hierarchicalTimecourse): call it ONLY after the returned
+    * frame is materialized — the plan references both broadcasts at
+    * execution time. Without it the cache/broadcast blocks live until
+    * the session's ContextCleaner collects them. */
+  def plsWithCleanup(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String = "id",
+      sampleCol: String = "sample",
+      valueCol: String = "value",
+      nComponents: Int = 2): (DataFrame, () => Unit) = {
     import spark.implicits._
     // persist: the profile frame feeds five consumers across three
     // separate actions (samples collect, Gram collect, final output) —
@@ -95,8 +114,12 @@ object Impute {
     val centered = complete.join(mu, Seq("_id"))
       .select(col("_id"), col("_s"), (col("_v") - col("_mu")).as("_v"))
     val gram = Array.ofDim[Double](nS, nS)
+    // exact-DECIMAL product sum (Moments convention): gram entries —
+    // and every imputed value downstream — must not depend on
+    // partition accumulation order
     graft.stats.StatTests.pairObservations(centered, Seq("_id"), "_s", "_v")
-      .groupBy(col("s1"), col("s2")).agg(sum(col("x") * col("y")).as("k"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(graft.stats.Moments.sumProdExact(col("x"), col("y")).as("k"))
       .collect().foreach { r =>
         val a = sIdx(r.getString(0)); val b = sIdx(r.getString(1))
         val v = r.getDouble(2)
@@ -164,8 +187,9 @@ object Impute {
       }
       .toDF("_id", "_s", "_v", "was_imputed")
 
-    complete.withColumn("was_imputed", lit(false))
+    val out = complete.withColumn("was_imputed", lit(false))
       .unionByName(imputed)
       .withColumnsRenamed(Map("_id" -> idCol, "_s" -> sampleCol, "_v" -> valueCol))
+    (out, () => { base.unpersist(); bcGram.destroy(); bcSamples.destroy() })
   }
 }

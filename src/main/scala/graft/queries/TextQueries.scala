@@ -203,14 +203,17 @@ object TextQueries extends QueryProvider {
   // recoup per-table recall. Oracled like q_ann_lsh_topk: hyperplanes
   // are driver constants → SQL array literals; normalization, bucket
   // signs, candidate dedup and the cosine verify all mirror the Spark
-  // fold order. (The hot-bucket cap never binds at oracle SF — no
-  // (table, bucket) group approaches 100k rows — so it is omitted
-  // from the SQL.)
+  // fold order. (The SQL has no hot-bucket cap, so the query site
+  // passes maxBucketRows = Long.MaxValue — the no-cap assumption is
+  // ENFORCED, not assumed: if a default-cap change or corpus growth
+  // ever made the cap bind, Spark and the oracle would have silently
+  // diverged at the hash gate.)
   private val qLshPairs = Q(
     "q_embedding_neardup_pairs",
     (s, d) => Similarity.cosineNearDupPairs(
       Tables.embeddings(s, d), "vec_id", "embedding", dim = 64,
-      threshold = 0.2, numPlanes = 8, numTables = 2),
+      threshold = 0.2, numPlanes = 8, numTables = 2,
+      maxBucketRows = Long.MaxValue),
     Some {
       val (numPlanes, numTables, dim) = (8, 2, 64)
       // CAST(... AS DOUBLE[]): see q_ann_lsh_topk — pin the plane
