@@ -44,7 +44,7 @@ object Pca {
       .collect().map(_.get(0).toString).sorted
     val sIdx = samples.zipWithIndex.toMap
 
-    val sums = df.groupBy(col(sampleCol)).agg(sum(v).as("s")).collect()
+    val sums = df.groupBy(col(sampleCol)).agg(graft.stats.Moments.sumExactFine(v).as("s")).collect()
       .map(r => r.get(0).toString -> r.getDouble(1)).toMap
     val mean = samples.map(s => sums.getOrElse(s, 0.0) / nFeatures).toArray
 
@@ -53,9 +53,12 @@ object Pca {
     // Cross-products via one groupBy(feature) + in-row pair expansion
     // (zero-filled cells contribute 0 to every product, so skipping
     // nulls is exact). Upper triangle mirrored driver-side.
+    // exact-decimal cross sums: the model (and every score downstream)
+    // is partition-order-independent, so oracle literals recorded from
+    // one run stay valid for any partitioning
     val cross = StatTests.pairObservations(df, Seq(idCol), sampleCol, valueCol)
       .groupBy(col("s1"), col("s2"))
-      .agg(sum(col("x") * col("y")).as("sxy"))
+      .agg(graft.stats.Moments.sumProdExact(col("x"), col("y")).as("sxy"))
       .collect()
     val s = samples.length
     val g = Array.ofDim[Double](s, s)
@@ -92,7 +95,7 @@ object Pca {
       .flatMap { case (sm, mu) => Seq(lit(sm), lit(mu)) }: _*)
     val centered = df.withColumn("_c", v - element_at(meanMap, col(sampleCol)))
     val aggs = model.eigenvalues.zipWithIndex.map { case (lam, c) =>
-      (sum(col("_c") * col(s"w_$c")) / math.sqrt(lam)).as(s"pc_$c")
+      (graft.stats.Moments.sumProdExact(col("_c"), col(s"w_$c")) / math.sqrt(lam)).as(s"pc_$c")
     }.toIndexedSeq
     centered.join(weights, idCol)
       .groupBy(col(sampleCol))
@@ -112,7 +115,7 @@ object Pca {
     val aggs = model.components.zipWithIndex.map { case (comp, c) =>
       val compMap = map(model.sampleOrder.zip(comp)
         .flatMap { case (sm, w) => Seq(lit(sm), lit(w)) }: _*)
-      sum(col("_c") * element_at(compMap, col(sampleCol))).as(s"w_$c")
+      graft.stats.Moments.sumProdExact(col("_c"), element_at(compMap, col(sampleCol))).as(s"w_$c")
     }
     centered.groupBy(col(idCol)).agg(aggs.head, aggs.toIndexedSeq.tail: _*)
   }

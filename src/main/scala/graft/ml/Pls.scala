@@ -18,10 +18,22 @@ import org.apache.spark.sql.functions._
   */
 object Pls {
 
+  /** One NIPALS component. Besides the feature-weight frame and the
+    * sample scores/loading the driver scalars of the iteration are
+    * kept (wNorm, tt) plus the centered response it consumed (yc): an
+    * oracle can then replay the distributed chain in SQL with ONLY
+    * these tiny driver values injected as literals. */
+  final case class PlsComponent(
+      w: DataFrame,
+      t: Map[String, Double],
+      q: Double,
+      wNorm: Double,
+      tt: Double,
+      yc: Map[String, Double])
+
   final case class PlsModel(
       sampleOrder: Seq[String],
-      // per component: (featureWeights DF (id, w), sampleScores map, loadingQ)
-      components: Seq[(DataFrame, Map[String, Double], Double)],
+      components: Seq[PlsComponent],
       yMean: Double)
 
   /** Fit PLS1 on long form + per-sample response. `y` maps sample →
@@ -49,25 +61,31 @@ object Pls {
     // center X per feature over the FITTED (labeled) samples (sklearn
     // PLSRegression centers the fit matrix; transform applies the same
     // means to held-out samples)
+    // exact-decimal aggregations throughout the fit (Moments
+    // convention): the model — and the scores the registry query
+    // hash-checks against DuckDB — must not depend on partition
+    // accumulation order
+    import graft.stats.Moments.{meanOf, sumExactFine, sumProdExact}
     val raw = df.select(col(idCol), col(sampleCol), coalesce(col(valueCol), lit(0.0)).as("_x"))
     val featureMeans = raw.filter(col(sampleCol).isin(labeled: _*))
-      .groupBy(col(idCol)).agg(avg(col("_x")).as("_fmu"))
+      .groupBy(col(idCol)).agg(meanOf(sumExactFine(col("_x")), count(col("_x"))).as("_fmu"))
     var x = raw.join(featureMeans, idCol)
       .select(col(idCol), col(sampleCol), (col("_x") - col("_fmu")).as("_x"))
       .localCheckpoint()
 
     val comps = (0 until nComponents).map { _ =>
+      val ycThis = yc
       val yMap = typedLit(yc)
       // w = X_fit y / ||X_fit y||  (distributed over features; the
       // null element_at for unlabeled samples drops them from the sum)
       val w0 = x.groupBy(col(idCol))
-        .agg(sum(col("_x") * element_at(yMap, col(sampleCol))).as("_w"))
+        .agg(sumProdExact(col("_x"), element_at(yMap, col(sampleCol))).as("_w"))
       val wNorm = math.sqrt(
-        w0.agg(sum(col("_w") * col("_w"))).head().getDouble(0))
+        w0.agg(sumProdExact(col("_w"), col("_w"))).head().getDouble(0))
       val w = w0.select(col(idCol), (col("_w") / wNorm).as("w")).localCheckpoint()
       // t = X^T w  (per sample, tiny — covers ALL samples)
       val tRows = x.join(w, idCol)
-        .groupBy(col(sampleCol)).agg(sum(col("_x") * col("w")).as("t"))
+        .groupBy(col(sampleCol)).agg(sumProdExact(col("_x"), col("w")).as("t"))
         .collect().map(r => r.get(0).toString -> r.getDouble(1)).toMap
       // fit-side scalars use labeled scores only
       val tt = labeled.map { s => val t = tRows.getOrElse(s, 0.0); t * t }.sum
@@ -76,7 +94,7 @@ object Pls {
       // p = X_fit t / t^T t  (distributed over features; labeled-only map)
       val tMapFit = typedLit(tRows.view.filterKeys(y.contains).toMap)
       val p = x.groupBy(col(idCol))
-        .agg((sum(col("_x") * element_at(tMapFit, col(sampleCol))) / tt).as("p"))
+        .agg((sumProdExact(col("_x"), element_at(tMapFit, col(sampleCol))) / tt).as("p"))
       // deflate EVERY sample: X ← X - t p^T ; y ← y - q t
       val tMapAll = typedLit(tRows)
       x = x.join(p, idCol)
@@ -84,7 +102,7 @@ object Pls {
           (col("_x") - element_at(tMapAll, col(sampleCol)) * col("p")).as("_x"))
         .localCheckpoint()
       yc = yc.map { case (s, v) => s -> (v - q * tRows.getOrElse(s, 0.0)) }
-      (w, tRows, q)
+      PlsComponent(w, tRows, q, wNorm, tt, ycThis)
     }
     PlsModel(allSamples.toIndexedSeq, comps, y.values.sum / y.size)
   }
@@ -96,7 +114,7 @@ object Pls {
     import spark.implicits._
     model.sampleOrder.map { s =>
       val yhat = model.yMean +
-        model.components.map { case (_, t, q) => q * t.getOrElse(s, 0.0) }.sum
+        model.components.map(c => c.q * c.t.getOrElse(s, 0.0)).sum
       (s, yhat)
     }.toDF("sample", "predicted")
   }
@@ -105,7 +123,7 @@ object Pls {
   def scores(spark: SparkSession, model: PlsModel): DataFrame = {
     import spark.implicits._
     model.sampleOrder.map { s =>
-      (s, model.components.map(_._2.getOrElse(s, 0.0)))
+      (s, model.components.map(_.t.getOrElse(s, 0.0)))
     }.toDF("sample", "scores")
       .select(col("sample") +:
         model.components.indices.map(i => col("scores").getItem(i).as(s"lv_${i + 1}")): _*)

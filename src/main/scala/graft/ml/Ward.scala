@@ -28,7 +28,10 @@ object Ward {
         Seq(idCol), sampleCol, valueCol)
       .filter(col("s1") < col("s2"))
       .groupBy(col("s1").as("sa"), col("s2").as("sb"))
-      .agg(sum((col("x") - col("y")) * (col("x") - col("y"))).as("sqdist"))
+      // exact-decimal sum of squared diffs: distances (hence linkage,
+      // hence recorded cluster assignments and any oracle built on
+      // them) do not depend on partition accumulation order
+      .agg(graft.stats.Moments.sumSqExact(col("x") - col("y")).as("sqdist"))
 
   final case class Merge(a: Int, b: Int, dist: Double, size: Int)
 

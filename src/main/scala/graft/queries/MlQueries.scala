@@ -5,12 +5,21 @@ import graft.Tables
 import graft.ops.{Impute, Reshape}
 import graft.ml.{Pca, Pls, Ward}
 import graft.pipeline.Pipelines
+import graft.stats.Moments
 import graft.stats.Moments.{Sql => MS}
 
-/** PCA / PLS / Ward clustering / imputation (SURVEY §2.10). These are
-  * eigen/iterative algorithms with no SQL-expressible oracle →
-  * rows-only queries here; numerical parity is covered by ScalaTest
-  * specs against hand-computed small cases.
+/** PCA / PLS / Ward clustering / imputation (SURVEY §2.10).
+  *
+  * The eigen/agglomeration/KMeans steps are driver-side objects over
+  * s×s (or k×dim) data, but every DISTRIBUTED aggregation feeding and
+  * consuming them is exact-decimal (Moments) — so the runs record the
+  * tiny driver objects (means, components, eigenvalues, NIPALS
+  * scalars, cluster assignments) and the oracles replay the full
+  * distributed chain in DuckDB with only those literals injected
+  * (CLAUDE.md invariant 2's Storey-pi0 technique). What stays
+  * rows-only is only what no SQL can express (the seeded KMeans fit
+  * itself is covered by injecting its centroids; the kernel-PLS solve
+  * in q_impute_pls by MlSpec goldens).
   */
 object MlQueries extends QueryProvider {
 
@@ -26,14 +35,63 @@ object MlQueries extends QueryProvider {
       nameCol = "sample", valueCol = "value")
   }
 
+  /** The same long form as DuckDB SQL (embedding[] is 1-indexed). */
+  private def longSql: String = (0 until dims).map(i =>
+    s"SELECT vec_id, 'dim$i' AS sample, CAST(embedding[${i + 1}] AS DOUBLE) AS value FROM embeddings")
+    .mkString("\n        UNION ALL ")
+
+  /** `CASE <keyExpr> WHEN 'k' THEN CAST('<v>' AS DOUBLE) … END` —
+    * the SQL image of Spark's `element_at(map(...), keyExpr)` with
+    * driver-recorded doubles injected per invariant 2 (string-cast
+    * literals, never bare decimals). */
+  private def caseMap(keyExpr: String, m: Seq[(String, Double)]): String =
+    m.map { case (k, v) => s"WHEN '$k' THEN CAST('$v' AS DOUBLE)" }
+      .mkString(s"CASE $keyExpr ", " ", " END")
+
+  private def dlit(v: Double): String = s"CAST('$v' AS DOUBLE)"
+
+  // ---- PCA: fit collects the s×s Gram eigenbasis driver-side; the
+  //      oracle injects (mean, components, √λ) and replays the
+  //      distributed weight + score matvecs in SQL. ----
+  private val lastPca =
+    new java.util.concurrent.atomic.AtomicReference[Pca.PcaModel]()
+
   private val qPca = Q(
     "q_pca_scores",
     (s, d) => {
       val long = embLong(s, d)
       val model = Pca.fit(long, "vec_id", "sample", "value", nComponents = 2)
+      lastPca.set(model)
       Pca.sampleScores(s, long, model, "vec_id", "sample", "value")
     },
-    None)
+    None,
+    oracleGen = Some(() => Option(lastPca.get()).map { m =>
+      val mu = caseMap("sample", m.sampleOrder.zip(m.mean.toSeq))
+      val wCols = m.components.zipWithIndex.map { case (comp, c) =>
+        s"${MS.sumProdExact("c", caseMap("sample", m.sampleOrder.zip(comp.toSeq)))} AS w_$c"
+      }.mkString(",\n          ")
+      val scoreCols = m.eigenvalues.zipWithIndex.map { case (lam, c) =>
+        s"${MS.sumProdExact("cent.c", s"w.w_$c")} / ${dlit(math.sqrt(lam))} AS pc_$c"
+      }.mkString(",\n          ")
+      s"""
+      WITH long AS (
+        $longSql),
+      cent AS (SELECT vec_id, sample, value - $mu AS c FROM long),
+      w AS (SELECT vec_id,
+          $wCols
+        FROM cent GROUP BY vec_id)
+      SELECT cent.sample AS sample,
+          $scoreCols
+      FROM cent JOIN w ON w.vec_id = cent.vec_id
+      GROUP BY cent.sample"""
+    }))
+
+  // ---- PLS: the NIPALS loop's sample-space vectors (t, centered y)
+  //      and scalars (‖w‖, tᵀt) are driver-side; the oracle injects
+  //      them and replays both components' feature-space aggregations
+  //      (means, weights, scores, loadings, deflation) in SQL. ----
+  private val lastPls =
+    new java.util.concurrent.atomic.AtomicReference[Pls.PlsModel]()
 
   private val qPls = Q(
     "q_pls_scores",
@@ -41,14 +99,97 @@ object MlQueries extends QueryProvider {
       val long = embLong(s, d)
       val y = (0 until dims).map(i => s"dim$i" -> (i % 2).toDouble).toMap
       val model = Pls.fit(s, long, y, "vec_id", "sample", "value", nComponents = 2)
+      lastPls.set(model)
       Pls.scores(s, model)
     },
-    None)
+    None,
+    oracleGen = Some(() => Option(lastPls.get()).map { m =>
+      val labeled = m.components.head.yc.keys.toSeq.sorted
+      val inList = labeled.map(s => s"'$s'").mkString(", ")
+      val c0 = m.components(0); val c1 = m.components(1)
+      def tMap(c: Pls.PlsComponent) =
+        caseMap("sample", m.sampleOrder.map(s => s -> c.t.getOrElse(s, 0.0)))
+      def ycMap(c: Pls.PlsComponent) =
+        caseMap("sample", labeled.map(s => s -> c.yc.getOrElse(s, 0.0)))
+      s"""
+      WITH long AS (
+        $longSql),
+      raw AS (SELECT vec_id, sample, COALESCE(value, 0.0) AS x FROM long),
+      fm AS (SELECT vec_id, ${MS.meanOf(MS.sumExactFine("x"), "COUNT(x)")} AS fmu
+        FROM raw WHERE sample IN ($inList) GROUP BY vec_id),
+      x0 AS (SELECT r.vec_id, r.sample, r.x - f.fmu AS x
+        FROM raw r JOIN fm f ON f.vec_id = r.vec_id),
+      w0r AS (SELECT vec_id, ${MS.sumProdExact("x", ycMap(c0))} AS wr
+        FROM x0 GROUP BY vec_id),
+      w0 AS (SELECT vec_id, wr / ${dlit(c0.wNorm)} AS w FROM w0r),
+      t0 AS (SELECT x0.sample, ${MS.sumProdExact("x0.x", "w0.w")} AS t
+        FROM x0 JOIN w0 ON w0.vec_id = x0.vec_id GROUP BY x0.sample),
+      p0 AS (SELECT vec_id, ${MS.sumProdExact("x", tMap(c0))} / ${dlit(c0.tt)} AS p
+        FROM x0 GROUP BY vec_id),
+      x1 AS (SELECT x0.vec_id, x0.sample, x0.x - ${tMap(c0)} * p0.p AS x
+        FROM x0 JOIN p0 ON p0.vec_id = x0.vec_id),
+      w1r AS (SELECT vec_id, ${MS.sumProdExact("x", ycMap(c1))} AS wr
+        FROM x1 GROUP BY vec_id),
+      w1 AS (SELECT vec_id, wr / ${dlit(c1.wNorm)} AS w FROM w1r),
+      t1 AS (SELECT x1.sample, ${MS.sumProdExact("x1.x", "w1.w")} AS t
+        FROM x1 JOIN w1 ON w1.vec_id = x1.vec_id GROUP BY x1.sample)
+      SELECT t0.sample AS sample, t0.t AS lv_1, t1.t AS lv_2
+      FROM t0 JOIN t1 ON t1.sample = t0.sample"""
+    }))
+
+  // ---- Ward: assignments are driver-side (s×s agglomeration over the
+  //      distributed exact-decimal distance matrix); the query surfaces
+  //      per-cluster DISTRIBUTED aggregates (pair counts, within-
+  //      cluster squared-distance mass) so the oracle verifies the
+  //      distance computation end-to-end with only the assignment map
+  //      injected. ----
+  private val lastWard =
+    new java.util.concurrent.atomic.AtomicReference[Seq[(String, Int)]]()
 
   private val qWard = Q(
     "q_ward_clusters",
-    (s, d) => Ward.clusterSamples(s, embLong(s, d), "vec_id", "sample", "value", k = 3),
-    None)
+    (s, d) => {
+      val long = embLong(s, d)
+      val assign = Ward.clusterSamples(s, long, "vec_id", "sample", "value", k = 3)
+      // assignments are a driver-local toDF — this collect is free
+      lastWard.set(assign.collect().map(r => (r.getString(0), r.getInt(1))).toSeq)
+      val sq = Ward.pairwiseSqDist(long, "vec_id", "sample", "value")
+      val a = assign.select(col("sample").as("sa"), col("cluster"))
+      val b = assign.select(col("sample").as("sb"), col("cluster").as("_cb"))
+      val members = assign.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"))
+      val within = sq.join(a, "sa").join(b, "sb")
+        .filter(col("cluster") === col("_cb"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_pairs"),
+          Moments.sumExactFine(col("sqdist")).as("sum_sqdist"))
+      members.join(within, Seq("cluster"), "left")
+    },
+    None,
+    oracleGen = Some(() => Option(lastWard.get()).map { as =>
+      val values = as.map { case (smp, c) => s"('$smp', $c)" }.mkString(", ")
+      s"""
+      WITH long AS (
+        $longSql),
+      pairs AS (
+        SELECT a.sample AS sa, b.sample AS sb,
+          ${MS.sumSqExact("(a.value - b.value)")} AS sqdist
+        FROM long a JOIN long b ON b.vec_id = a.vec_id AND a.sample < b.sample
+        GROUP BY 1, 2),
+      assign(sample, cluster) AS (SELECT * FROM (VALUES $values) v(sample, cluster)),
+      members AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM assign GROUP BY 1),
+      within AS (
+        SELECT x.cluster, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          ${MS.sumExactFine("p.sqdist")} AS sum_sqdist
+        FROM pairs p
+        JOIN assign x ON x.sample = p.sa
+        JOIN assign y ON y.sample = p.sb
+        WHERE y.cluster = x.cluster
+        GROUP BY 1)
+      SELECT m.cluster, m.n_members, w.n_pairs, w.sum_sqdist
+      FROM members m LEFT JOIN within w ON w.cluster = m.cluster"""
+    }))
 
   // ---- hierarchical_timecourse contract (ref visualize.py:1872-1959):
   //      z-scored site profiles → Ward clusters → per-cluster mean

@@ -250,8 +250,15 @@ object TextQueries extends QueryProvider {
       WHERE ${dotVec("ua.u", "ub.u")} >= 0.2"""
     })
 
-  // ---- ANN scale path: sign-LSH bucket-pruned top-k (rows-only:
-  //      xxhash-derived hyperplanes not in SQL) ----
+  // ---- IVF top-k, oracled: the seeded KMeans fit is the only
+  //      non-SQL step, and its output (16 centroids) is a tiny driver
+  //      object — the run records centroids + probe cells and the
+  //      oracle replays the deterministic argmin cell assignment
+  //      (Similarity.assignCells' ‖v‖²−2v·c+‖c‖² fold), the probe
+  //      filter, and the cosine top-k in SQL. ----
+  private val lastIvf = new java.util.concurrent.atomic.AtomicReference[
+    (Array[Array[Double]], Array[Int], Array[Double], Double)]()
+
   private val qAnnIvf = Q(
     "q_ann_ivf_topk",
     (s, d) => {
@@ -260,9 +267,37 @@ object TextQueries extends QueryProvider {
         .select(transform(col("embedding"), _.cast("double")).as("q"))
         .head().getSeq[Double](0).toArray
       val (assigned, centroids) = Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 16)
+      val qNorm = math.sqrt(q.foldLeft(0.0)((acc, x) => acc + x * x))
+      lastIvf.set((centroids, Similarity.probeCells(centroids, q, nProbe = 4), q, qNorm))
       Similarity.ivfTopK(assigned, centroids, "vec_id", "embedding", q, k = 20, nProbe = 4)
     },
-    None)
+    None,
+    oracleGen = Some(() => Option(lastIvf.get()).map { case (cents, probes, q, qNorm) =>
+      def dotSql(a: String, b: String) =
+        s"list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), (a, b) -> a + b)"
+      // ‖c‖² folds driver-side in assignCells → inject the scalar too
+      val cellRows = cents.zipWithIndex.map { case (cArr, i) =>
+        val c2 = cArr.foldLeft(0.0)((a, x) => a + x * x)
+        s"($i, CAST([${cArr.mkString(", ")}] AS DOUBLE[]), CAST('$c2' AS DOUBLE))"
+      }.mkString(",\n        ")
+      s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ev AS (SELECT vec_id, v, ${dotSql("v", "v")} AS vv FROM e),
+      cells(cell, cv, c2) AS (VALUES $cellRows),
+      dist AS (SELECT ev.vec_id, ev.v, ev.vv, cells.cell,
+        ev.vv - 2.0 * ${dotSql("ev.v", "cells.cv")} + cells.c2 AS dd
+        FROM ev CROSS JOIN cells),
+      assigned AS (SELECT vec_id, v, vv FROM (
+        SELECT vec_id, v, vv, cell,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn
+        FROM dist) t
+        WHERE rn = 1 AND cell IN (${probes.mkString(", ")})),
+      q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id, ${dotSql("v", "qv")} / (SQRT(vv) * CAST('$qNorm' AS DOUBLE)) AS cosine
+      FROM assigned, q
+      ORDER BY cosine DESC, vec_id
+      LIMIT 20"""
+    }))
 
   // Oracled: the hyperplanes are pure driver-side constants (SplitMix64
   // of (table, plane, i)), so the exact bucket filter + cosine rank is

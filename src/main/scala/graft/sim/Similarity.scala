@@ -132,24 +132,53 @@ object Similarity {
       .setMaxIter(maxIter).setInitMode("random")
       .setFeaturesCol("_features").setPredictionCol("_cell")
       .fit(withFeatures)
-    val assigned = model.transform(withFeatures).drop("_features")
-    (assigned, model.clusterCenters.map(_.toArray))
+    val centroids = model.clusterCenters.map(_.toArray)
+    (assignCells(embeddings, vecCol, centroids), centroids)
+  }
+
+  /** Deterministic cell assignment: argmin over centroids of
+    * ‖v‖² − 2·v·c + ‖c‖² with the same left-to-right array fold as
+    * every similarity expression; ties break to the lowest cell id.
+    * NOT spark.ml's `model.transform`: its fastSquaredDistance reorders
+    * the accumulation (norm-cached BLAS path), so its predictions are
+    * not reproducible by any external engine — this expression is
+    * bitwise SQL-mirrorable, and codegen-resident (no vector boxing).
+    * ‖c‖² folds driver-side once per centroid. */
+  def assignCells(
+      embeddings: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]], cellCol: String = "_cell"): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val entries = centroids.zipWithIndex.map { case (cArr, i) =>
+      val cLit = array(cArr.toIndexedSeq.map(lit): _*)
+      val c2 = cArr.foldLeft(0.0)((a, x) => a + x * x)
+      struct((col("_vv") - lit(2.0) * dot(v, cLit) + lit(c2)).as("d"), lit(i).as("c"))
+    }
+    embeddings.withColumn("_vv", dot(v, v))
+      .withColumn(cellCol, array_min(array(entries.toIndexedSeq: _*)).getField("c"))
+      .drop("_vv")
+  }
+
+  /** The `nProbe` cells whose centroids are nearest the query —
+    * driver-side (centroids are tiny). Public so a query site can
+    * record the probe set for oracle injection; `ivfTopK` uses exactly
+    * this. */
+  def probeCells(
+      centroids: Array[Array[Double]], query: Array[Double], nProbe: Int): Array[Int] = {
+    def dist2(c: Array[Double]) =
+      c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
+    centroids.zipWithIndex.sortBy(p => dist2(p._1)).take(nProbe).map(_._2)
   }
 
   def ivfTopK(
       assigned: DataFrame, centroids: Array[Array[Double]],
       idCol: String, vecCol: String,
       query: Array[Double], k: Int, nProbe: Int): DataFrame = {
-    // nearest centroids to the query — driver-side (centroids are tiny)
-    def dist2(c: Array[Double]) =
-      c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
-    val probeCells = centroids.zipWithIndex.sortBy(p => dist2(p._1))
-      .take(nProbe).map(_._2)
+    val probes = probeCells(centroids, query, nProbe)
     val qCol = array(query.toIndexedSeq.map(lit): _*)
     val qNorm = math.sqrt(query.foldLeft(0.0)((acc, x) => acc + x * x))
     val v = asDouble(col(vecCol))
     assigned
-      .filter(col("_cell").isin(probeCells.toIndexedSeq: _*))
+      .filter(col("_cell").isin(probes.toIndexedSeq: _*))
       .select(col(idCol), try_divide(dot(v, qCol), norm(v) * lit(qNorm)).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)

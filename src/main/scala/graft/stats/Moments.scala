@@ -36,6 +36,18 @@ object Moments {
   /** Exact sum as double (deterministic). */
   def sumExact(c: Column): Column = sum(dec(c)).cast("double")
 
+  /** Fine decimal image for unit-scale data (embeddings, z-scores):
+    * |x| < 1e16 at 1e-12 resolution. dec(15,6) would quantize a ~0.5
+    * embedding coordinate to 1e-6 — visible next to a 1e-6 golden
+    * tolerance; 1e-12 is far below any spec while still an exact,
+    * order-independent decimal sum. (Midpoint argument as `dec`:
+    * k·10⁻¹² + 5·10⁻¹³ is never a dyadic rational, so round-to-nearest
+    * casts agree across engines.) */
+  def decFine(c: Column): Column = c.cast("decimal(28,12)")
+
+  /** Exact sum of unit-scale values as double (deterministic). */
+  def sumExactFine(c: Column): Column = sum(decFine(c)).cast("double")
+
   /** Deterministic sum of squares as double. */
   def sumSqExact(c: Column): Column = sum(decProd(c, c)).cast("double")
 
@@ -71,6 +83,8 @@ object Moments {
     * structurally identical (bitwise parity depends on it). */
   object Sql {
     def dec(c: String): String = s"CAST($c AS DECIMAL(15,6))"
+    def decFine(c: String): String = s"CAST($c AS DECIMAL(28,12))"
+    def sumExactFine(c: String): String = s"CAST(SUM(${decFine(c)}) AS DOUBLE)"
     def decProd(x: String, y: String): String = s"CAST(($x) * ($y) AS DECIMAL(28,10))"
     def sumExact(c: String): String = s"CAST(SUM(${dec(c)}) AS DOUBLE)"
     def sumSqExact(c: String): String = s"CAST(SUM(${decProd(c, c)}) AS DOUBLE)"

@@ -69,7 +69,7 @@ class MlSpec extends SparkSpec {
     // class 0 scores clearly below class 1 scores on LV1
     assert(math.max(scores("s1"), scores("s2")) < math.min(scores("s3"), scores("s4")))
     // weights: fsig dominates
-    val w = model.components.head._1.collect()
+    val w = model.components.head.w.collect()
       .map(r => r.getString(0) -> math.abs(r.getDouble(1))).toMap
     assert(w("fsig") > w("fnoise"))
     // predictions recover the class structure (plsr surface)
@@ -98,9 +98,14 @@ class MlSpec extends SparkSpec {
       "s4" -> (2.404019285199429, -0.042336693021659336),
       "s5" -> (-0.1007870628159212, 0.03297269345009284))
     assert(scores.keySet == golden.keySet) // all five samples scored
+    // 1e-7, not 1e-9: fit aggregates through exact-decimal product
+    // sums (decProd rounds each product at 1e-10 so the model is
+    // partition-order-independent and oracle-checkable); the rounding
+    // accumulates through two deflations to ~1e-8 vs the pure-double
+    // NIPALS golden.
     golden.foreach { case (s, (g1, g2)) =>
-      assert(math.abs(scores(s)._1 - g1) < 1e-9, s"$s lv1")
-      assert(math.abs(scores(s)._2 - g2) < 1e-9, s"$s lv2")
+      assert(math.abs(scores(s)._1 - g1) < 1e-7, s"$s lv1")
+      assert(math.abs(scores(s)._2 - g2) < 1e-7, s"$s lv2")
     }
   }
 
