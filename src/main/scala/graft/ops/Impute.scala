@@ -6,33 +6,65 @@ import org.apache.spark.sql.functions._
 /** Missing-value imputation (ref `padua/imputation.py`). */
 object Impute {
 
+  /** 2⁶⁰ as an exact double (hash-uniform denominator). */
+  val TwoPow60: Double = 1152921504606846976.0
+
   /** Gaussian downshift imputation (ref imputation.py:14-63
     * `gaussian`, Perseus-style): per sample, observed μ and σ; fill
     * nulls with draws from N(μ + downshift·σ, (width·σ)²).
     *
-    * Differences from the reference, by design: `randn(seed)` is
-    * SEEDED (the reference uses unseeded np.random.normal,
-    * imputation.py:58 — non-reproducible; SURVEY §4.1 flags it), and
-    * the per-sample moments are a broadcast-joined aggregation instead
-    * of a per-column Python loop. Also emits `was_imputed` (the
-    * reference returns a parallel mask frame). */
+    * Differences from the reference, by design (the reference uses
+    * unseeded np.random.normal, imputation.py:58 — non-reproducible;
+    * SURVEY §4.1 flags it):
+    *  - the draw is a HASH of (seed, key columns), not an RNG stream:
+    *    Box-Muller over two uniforms taken from the top 60 bits of
+    *    md5. Positional RNGs (randn/np.random) change with partition
+    *    layout; a content hash gives the same imputed value for the
+    *    same row on any cluster size, any partitioning, any re-run —
+    *    and is reproducible by an external engine (DuckDB md5), so the
+    *    whole operator oracle-checks. z is rounded at 1e-7 (the
+    *    portable-transcendental rule for ln/cos, CLAUDE.md inv. 1);
+    *    per-sample moments are exact-decimal.
+    *  - moments are one broadcast-joined aggregation instead of a
+    *    per-column Python loop. Also emits `was_imputed` (the
+    *    reference returns a parallel mask frame).
+    *
+    * `keyCols` identifies a row for the hash; empty ⇒ every column
+    * except sample/value. */
   def gaussian(
       df: DataFrame,
       sampleCol: String = "sample",
       valueCol: String = "value",
       width: Double = 0.3,
       downshift: Double = -1.8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      keyCols: Seq[String] = Seq.empty): DataFrame = {
+    import graft.stats.Moments
+    val keys = if (keyCols.nonEmpty) keyCols
+      else df.columns.filterNot(c => c == sampleCol || c == valueCol).toSeq
+    require(keys.nonEmpty, "gaussian imputation needs key columns to hash")
+    val v = col(valueCol)
     val stats = df
-      .filter(col(valueCol).isNotNull)
+      .filter(v.isNotNull)
       .groupBy(col(sampleCol))
-      .agg(avg(col(valueCol)).as("_mu"), stddev_samp(col(valueCol)).as("_sd"))
+      .agg(Moments.sumExact(v).as("_s1"), Moments.sumSqExact(v).as("_s2"),
+        count(v).as("_n"))
+      .select(col(sampleCol),
+        Moments.meanOf(col("_s1"), col("_n")).as("_mu"),
+        sqrt(Moments.varOf(col("_s1"), col("_s2"), col("_n"))).as("_sd"))
+    val keyStr = concat_ws("|",
+      (lit(s"g$seed") +: keys.map(c => col(c).cast("string"))): _*)
+    def unif(salt: String) =
+      (conv(substring(md5(concat(lit(salt + "|"), keyStr)), 1, 15), 16, 10)
+        .cast("long").cast("double") + 0.5) / TwoPow60
+    val z = round(
+      sqrt(lit(-2.0) * log(unif("a"))) * cos(lit(2.0 * math.Pi) * unif("b")), 7)
     df.join(broadcast(stats), Seq(sampleCol), "left")
-      .withColumn("was_imputed", col(valueCol).isNull)
+      .withColumn("was_imputed", v.isNull)
       .withColumn(valueCol,
-        when(col(valueCol).isNotNull, col(valueCol))
-          .otherwise(randn(seed) * (lit(width) * col("_sd")) +
-            (col("_mu") + lit(downshift) * col("_sd"))))
+        when(v.isNotNull, v)
+          .otherwise((col("_mu") + lit(downshift) * col("_sd")) +
+            z * (lit(width) * col("_sd"))))
       .drop("_mu", "_sd")
   }
 

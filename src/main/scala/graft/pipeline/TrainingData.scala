@@ -115,9 +115,14 @@ object TrainingData {
   /** Uniform-in-[0,1) draw from (seed, id) — pure row content, so the
     * accept set is identical across partitionings, cluster sizes, and
     * re-runs (unlike df.sample/sampleBy, whose rand(seed) streams are
-    * positional per partition). */
-  private def hashUniform(idCol: String, seed: Long) =
-    pmod(xxhash64(lit(seed), col(idCol)), lit(1000000L)).cast("double") / 1000000.0
+    * positional per partition). md5-derived (top 60 bits → mod 1e6)
+    * rather than xxhash64: integer-exact in ANY engine — DuckDB
+    * replays it as CAST(CONCAT('0x', SUBSTR(md5(..), 1, 15)) AS
+    * BIGINT) % 1000000, so sampling queries oracle-check. */
+  private[graft] def hashUniform(idCol: String, seed: Long) =
+    pmod(conv(substring(md5(concat_ws("|", lit(s"g$seed"), col(idCol).cast("string"))), 1, 15),
+        16, 10).cast("long"),
+      lit(1000000L)).cast("double") / 1000000.0
 
   /** Seeded per-stratum Bernoulli sample by content hash (e.g.
     * rebalance languages or sources to target rates). Row-local, no

@@ -236,6 +236,10 @@ object MlQueries extends QueryProvider {
       GROUP BY 1, 2"""
     }))
 
+  // Oracled end-to-end: the draw is a content hash (md5 Box-Muller,
+  // Impute.gaussian), not an RNG stream, so DuckDB reproduces every
+  // imputed value — moments exact-decimal, z rounded at 1e-7 (the
+  // portable-transcendental rule).
   private val qImpute = Q(
     "q_impute_gaussian",
     (s, d) => {
@@ -249,7 +253,29 @@ object MlQueries extends QueryProvider {
         .select(col("l_orderkey"), col("l_linenumber"), col("sample"),
           col("value"), col("was_imputed"))
     },
-    None)
+    Some {
+      def unif(salt: String) =
+        s"(CAST(CAST(CONCAT('0x', SUBSTR(md5(CONCAT('$salt|', key)), 1, 15)) AS BIGINT) AS DOUBLE) + 0.5) / ${dlit(Impute.TwoPow60)}"
+      val z = s"ROUND(SQRT(-2.0 * LN(${unif("a")})) * COS(${dlit(2.0 * math.Pi)} * ${unif("b")}), 7)"
+      s"""
+      WITH base AS (
+        SELECT l_orderkey, l_linenumber, l_returnflag AS sample,
+          CASE WHEN l_discount < 0.02 THEN NULL ELSE l_quantity END AS value,
+          CONCAT('g42|', CAST(l_orderkey AS VARCHAR), '|', CAST(l_linenumber AS VARCHAR)) AS key
+        FROM lineitem),
+      st AS (
+        SELECT sample, ${MS.meanOf("s1", "n")} AS mu,
+          SQRT(${MS.varOf("s1", "s2", "n")}) AS sd
+        FROM (SELECT sample, ${MS.sumExact("value")} AS s1,
+                ${MS.sumSqExact("value")} AS s2, COUNT(value) AS n
+              FROM base WHERE value IS NOT NULL GROUP BY sample) t)
+      SELECT b.l_orderkey, b.l_linenumber, b.sample,
+        CASE WHEN b.value IS NOT NULL THEN b.value
+             ELSE (st.mu + CAST('-1.8' AS DOUBLE) * st.sd)
+                  + $z * (CAST('0.3' AS DOUBLE) * st.sd) END AS value,
+        b.value IS NULL AS was_imputed
+      FROM base b LEFT JOIN st ON st.sample = b.sample"""
+    })
 
   // ---- PLS imputation (ref imputation.py:66-113, reconstructed as
   //      kernel PLS): profile matrix from lineitem (features =

@@ -496,7 +496,17 @@ object TextQueries extends QueryProvider {
         Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0, "zh" -> 1.0),
         seed = 42L)
       .select(col("doc_id"), col("lang"), col("source")),
-    None)
+    // The md5 hash-uniform replays exactly in DuckDB (integer-exact:
+    // top 60 bits mod 1e6) — the accept set is the oracle's, bit for
+    // bit.
+    Some("""
+      SELECT doc_id, lang, source FROM documents
+      WHERE CAST(CAST(CONCAT('0x', SUBSTR(md5(CONCAT('g42|', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 AS DOUBLE) / 1000000.0
+        < (CASE lang WHEN 'en' THEN CAST('0.5' AS DOUBLE)
+                     WHEN 'de' THEN CAST('1.0' AS DOUBLE)
+                     WHEN 'fr' THEN CAST('1.0' AS DOUBLE)
+                     WHEN 'es' THEN CAST('1.0' AS DOUBLE)
+                     WHEN 'zh' THEN CAST('1.0' AS DOUBLE) END)"""))
 
   def all: Seq[Q] = Seq(
     qDedupExact, qFingerprint, qTokens, qQuality, qLangId, qJaccard, qAnn, qAnnLsh,
