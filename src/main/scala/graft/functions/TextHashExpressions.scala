@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -11,39 +11,91 @@ import org.apache.spark.sql.types._
   * graft.stats.DistMath): plain static invocations keep the work
   * codegen-resident with zero boxing beyond the input ArrayData. */
 object TextHash {
-  /** Per-slot seed chain, identical to the builtin `xxhash64(lit(i), s)`
-    * (XxHash64 folds children left-to-right from seed 42: the int
-    * literal hashes first, the string continues from that value). */
-  def slotSeeds(numHashes: Int): Array[Long] =
-    Array.tabulate(numHashes)(i => XxHash64Function.hash(i, IntegerType, 42L))
+  /** 2⁶¹−1, the Mersenne prime backing the universal hash family. An
+    * external engine replays `(a·h + b) mod p` exactly with 128-bit
+    * integer arithmetic (DuckDB HUGEINT) — the whole minhash family is
+    * therefore oracle-checkable, which xxhash64 (absent from every SQL
+    * engine) is not. */
+  val P61: Long = (1L << 61) - 1
 
-  /** All `numHashes` min-hashes in ONE pass over the shingle array —
-    * value-identical to `array_min(transform(sh, s => xxhash64(lit(i),
-    * s)))` per slot (null shingle elements contribute the slot seed,
-    * matching the builtin's skip-null fold; empty input → null, the
-    * builtin array_min of an empty array). */
-  def minHashes(shingles: ArrayData, seeds: Array[Long]): ArrayData = {
+  /** SplitMix64 (public-domain mixer) — drives the slot coefficients. */
+  private def splitMix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Universal-hash slot coefficients (a ∈ [1, p−1], b ∈ [0, p−1]):
+    * pure functions of the slot index, so an oracle inlines them as
+    * integer literals. */
+  def slotCoefs(numHashes: Int): Array[(Long, Long)] =
+    Array.tabulate(numHashes) { i =>
+      val a = java.lang.Long.remainderUnsigned(
+        splitMix64(1000003L * i + 0x9e3779b9L), P61 - 1) + 1
+      val b = java.lang.Long.remainderUnsigned(
+        splitMix64(7919L * i + 0x85ebca6bL), P61)
+      (a, b)
+    }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Top 60 bits of md5 of the UTF-8 bytes — identical to parsing the
+    * digest's first 15 hex digits, which is how DuckDB replays it:
+    * `CAST(CONCAT('0x', SUBSTR(md5(s), 1, 15)) AS BIGINT)`. */
+  def md5Top60(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** (a·h + b) mod 2⁶¹−1 via a 128-bit product (multiplyHigh):
+    * a·h = hi·2⁶⁴ + lo with 2⁶⁴ ≡ 8 and 2⁶¹ ≡ 1 (mod p). Inputs are
+    * < 2⁶¹ so the signed high word equals the unsigned one. */
+  def affineMod61(a: Long, h: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, h)
+    val lo = a * h
+    var r = (lo & P61) + (lo >>> 61) + (hi << 3)
+    r = (r & P61) + (r >>> 61)
+    if (r >= P61) r -= P61
+    r += b
+    if (r >= P61) r -= P61
+    r
+  }
+
+  /** All `k` min-hashes in ONE pass over the shingle array: one
+    * md5Top60 per shingle + k affine transforms (the xxhash64
+    * predecessor re-hashed the full string k times AND had no SQL
+    * image). Empty input → null signature. */
+  def minHashes60(shingles: ArrayData, coefA: Array[Long], coefB: Array[Long]): ArrayData = {
     val n = shingles.numElements()
     if (n == 0) return null
-    val k = seeds.length
+    val k = coefA.length
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
+    var seen = false
     var j = 0
     while (j < n) {
-      if (shingles.isNullAt(j)) {
-        var i = 0
-        while (i < k) { if (seeds(i) < mins(i)) mins(i) = seeds(i); i += 1 }
-      } else {
-        val s = shingles.getUTF8String(j)
+      if (!shingles.isNullAt(j)) {
+        seen = true
+        val h = md5Top60(shingles.getUTF8String(j))
         var i = 0
         while (i < k) {
-          val h = XxHash64Function.hash(s, StringType, seeds(i))
-          if (h < mins(i)) mins(i) = h
+          val v = affineMod61(coefA(i), h, coefB(i))
+          if (v < mins(i)) mins(i) = v
           i += 1
         }
       }
       j += 1
     }
+    if (!seen) return null
     new GenericArrayData(mins)
   }
 
@@ -133,19 +185,21 @@ object TextHash {
     acc
   }
 
-  /** Winnowing fingerprints (MOSS) in ONE pass — value-identical to
-    * the HOF form: gram hashes xxhash64(substr(text, i, k)) for
-    * i = 1..max(len-k+1, 1) (substr clamps at the end, so a short text
-    * yields one whole-text gram), window minima over w consecutive
-    * gram hashes (the final window set clamps to whatever remains),
-    * distinct in first-occurrence order. */
+  /** Winnowing fingerprints (MOSS) in ONE pass: gram hashes
+    * md5Top60(substr(text, i, k)) for i = 1..max(len-k+1, 1) (substr
+    * clamps at the end, so a short text yields one whole-text gram),
+    * window minima over w consecutive gram hashes (the final window
+    * set clamps to whatever remains), distinct in first-occurrence
+    * order. md5, not a rolling Karp-Rabin: engine-portable gram hashes
+    * make the fingerprint set SQL-replayable; swap the kernel for a
+    * rolling hash if oracle-parity is ever not needed. */
   def winnowing(text: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int): ArrayData = {
     val len = text.numChars()
     val nGrams = math.max(len - (k - 1), 1)
     val grams = new Array[Long](nGrams)
     var i = 0
     while (i < nGrams) {
-      grams(i) = XxHash64Function.hash(text.substringSQL(i + 1, k), StringType, 42L)
+      grams(i) = md5Top60(text.substringSQL(i + 1, k))
       i += 1
     }
     val lastStart = math.max(nGrams - w, 0)
@@ -166,28 +220,30 @@ object TextHash {
     new GenericArrayData(arr)
   }
 
-  /** 63-bit SimHash in ONE pass over the token array — value-identical
-    * to the per-bit `aggregate(transform(tokens, xxhash64), …)` form
-    * (null token → the builtin's skip-null hash = seed 42; empty array
-    * → all bit sums 0 → packed 0). */
-  def simHash63(tokens: ArrayData): Long = {
+  /** 60-bit SimHash in ONE pass over the token array: per token one
+    * md5Top60, per bit a ±1 sign-sum, positives packed. 60 bits (not
+    * 63) because the base hash carries md5's top 60 bits — exactly
+    * what an external engine can parse from the hex digest, so the
+    * packed value is SQL-replayable bit for bit. Null tokens are
+    * skipped; empty array → 0. */
+  def simHash60(tokens: ArrayData): Long = {
     val n = tokens.numElements()
-    val counts = new Array[Int](63)
+    val counts = new Array[Int](60)
     var j = 0
     while (j < n) {
-      val h =
-        if (tokens.isNullAt(j)) 42L
-        else XxHash64Function.hash(tokens.getUTF8String(j), StringType, 42L)
-      var b = 0
-      while (b < 63) {
-        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-        b += 1
+      if (!tokens.isNullAt(j)) {
+        val h = md5Top60(tokens.getUTF8String(j))
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
       }
       j += 1
     }
     var packed = 0L
     var b = 0
-    while (b < 63) {
+    while (b < 60) {
       if (counts(b) > 0) packed |= (1L << b)
       b += 1
     }
@@ -198,20 +254,24 @@ object TextHash {
 /** One-pass minhash signature vector (array<long> of length
   * `numHashes`) — replaces `numHashes` CodegenFallback higher-order
   * chains (transform + array_min per slot, each materializing an
-  * intermediate array per row) with a single static-call loop. */
+  * intermediate array per row) with a single static-call loop. Base
+  * hash md5Top60 + universal slots mod 2⁶¹−1 (TextHash.slotCoefs) —
+  * SQL-replayable. */
 case class MinHashArray(child: Expression, numHashes: Int)
     extends UnaryExpression with Serializable {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
-  @transient private lazy val seeds = TextHash.slotSeeds(numHashes)
+  @transient private lazy val coefA = TextHash.slotCoefs(numHashes).map(_._1)
+  @transient private lazy val coefB = TextHash.slotCoefs(numHashes).map(_._2)
 
   override def nullSafeEval(in: Any): Any =
-    TextHash.minHashes(in.asInstanceOf[ArrayData], seeds)
+    TextHash.minHashes60(in.asInstanceOf[ArrayData], coefA, coefB)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val seedsRef = ctx.addReferenceObj("mhSeeds", seeds, "long[]")
+    val aRef = ctx.addReferenceObj("mhCoefA", coefA, "long[]")
+    val bRef = ctx.addReferenceObj("mhCoefB", coefB, "long[]")
     nullSafeCodeGen(ctx, ev, a => s"""
-      ${ev.value} = graft.functions.TextHash.minHashes($a, $seedsRef);
+      ${ev.value} = graft.functions.TextHash.minHashes60($a, $aRef, $bRef);
       ${ev.isNull} = ${ev.value} == null;
     """)
   }
@@ -237,21 +297,21 @@ case class WordShinglesExpr(child: Expression, n: Int)
   override def prettyName: String = "word_shingles"
 }
 
-/** One-pass 63-bit SimHash over a token array — replaces 63
+/** One-pass 60-bit SimHash over a token array — replaces 60
   * CodegenFallback aggregate() chains per row. */
-case class SimHash63(child: Expression)
+case class SimHash60(child: Expression)
     extends UnaryExpression with Serializable {
   override def dataType: DataType = LongType
 
   override def nullSafeEval(in: Any): Any =
-    TextHash.simHash63(in.asInstanceOf[ArrayData])
+    TextHash.simHash60(in.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.TextHash.simHash63($a);")
+      s"${ev.value} = graft.functions.TextHash.simHash60($a);")
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
-  override def prettyName: String = "simhash63"
+  override def prettyName: String = "simhash60"
 }
 
 /** One-pass winnowing fingerprint set over a text column. */
@@ -342,7 +402,7 @@ object TextHashExpressions {
   def wordShingles(text: Column, n: Int): Column =
     Bridge.column(WordShinglesExpr(Bridge.expression(text), n))
 
-  /** 63-bit simhash over a token array column. */
-  def simHash63(tokens: Column): Column =
-    Bridge.column(SimHash63(Bridge.expression(tokens)))
+  /** 60-bit simhash over a token array column. */
+  def simHash60(tokens: Column): Column =
+    Bridge.column(SimHash60(Bridge.expression(tokens)))
 }

@@ -158,28 +158,69 @@ object TextQueries extends QueryProvider {
       ORDER BY cosine DESC, vec_id
       LIMIT 20"""))
 
-  // ---- MinHash signatures + LSH candidates + SimHash (xxhash64-based:
-  //      not DuckDB-expressible → rows-only; pair-detection is covered
-  //      by DedupSpec on synthetic near-dups) ----
+  // ---- MinHash signatures + SimHash + winnowing, all ORACLED: the
+  //      base hash is md5Top60 (= the digest's first 15 hex digits,
+  //      which DuckDB parses via CONCAT('0x', …)::BIGINT) and the
+  //      minhash slots are a universal family (a·h+b) mod 2⁶¹−1 —
+  //      HUGEINT-exact in DuckDB, so every signature bit replays. ----
+  /** The md5Top60 image in DuckDB SQL. */
+  private def h60Sql(expr: String) =
+    s"CAST(CONCAT('0x', SUBSTR(md5($expr), 1, 15)) AS BIGINT)"
+
   private val qMinhash = Q(
     "q_minhash_signatures",
     (s, d) => Dedup.minHashSignatures(Tables.documents(s, d), "doc_id", "text"),
-    None)
+    Some {
+      val p = graft.functions.TextHash.P61
+      val minCols = graft.functions.TextHash.slotCoefs(32).zipWithIndex
+        .map { case ((a, b), i) =>
+          s"CAST(MIN((CAST($a AS HUGEINT) * h + $b) % $p) AS BIGINT) AS mh_$i"
+        }.mkString(",\n            ")
+      s"""
+      WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+      g0 AS (SELECT doc_id, ws, UNNEST(generate_series(1, len(ws) - 2)) AS i FROM w),
+      g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s FROM g0),
+      hh AS (SELECT doc_id, ${h60Sql("s")} AS h FROM g),
+      m AS (SELECT doc_id,
+            $minCols
+          FROM hh GROUP BY doc_id)
+      SELECT d.doc_id, ${(0 until 32).map(i => s"m.mh_$i").mkString(", ")}
+      FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id"""
+    })
+
+  /** The simhash chain as SQL CTEs ending in sim(doc_id, simhash) —
+    * shared by q_simhash and the near-dup pair oracle. */
+  private def simhashSql: String = {
+    val bitSums = (0 until 60)
+      .map(b => s"SUM(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS c$b")
+      .mkString(",\n          ")
+    val pack = (0 until 60)
+      .map(b => s"CASE WHEN c$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    s"""tok AS (SELECT doc_id, UNNEST(str_split(text, ' ')) AS w FROM documents),
+      th AS (SELECT doc_id, ${h60Sql("w")} AS h FROM tok),
+      bits AS (SELECT doc_id,
+          $bitSums
+        FROM th GROUP BY doc_id),
+      sim AS (SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM bits)"""
+  }
 
   private val qSimhash = Q(
     "q_simhash",
     (s, d) => Dedup.simHash(Tables.documents(s, d), "doc_id", "text"),
-    None)
+    Some(s"""
+      WITH $simhashSql
+      SELECT doc_id, simhash FROM sim"""))
 
   // ---- simhash near-dup pairing: pigeonhole block join + popcount
-  //      verify (rows-only: xxhash simhash not in SQL). The canonical
-  //      k=3 / 4-block config (16-bit blocks keep buckets fine-grained
-  //      even on a similar-vocabulary corpus). ----
+  //      verify. The canonical k=3 / 4-block config (15-bit blocks of
+  //      the 60-bit hash keep buckets fine-grained even on a
+  //      similar-vocabulary corpus). ----
   private val qSimhashPairs = Q(
     "q_simhash_neardup_pairs",
     (s, d) => {
       // persist: the block self-join reads the signature frame twice,
-      // and the 63-bit sign-sum is the expensive part (id + hash is
+      // and the 60-bit sign-sum is the expensive part (id + hash is
       // ~16 B/doc — same policy as the curate pipeline). The cache
       // lives for the session (~16 B/doc; LRU-evictable MEMORY_AND_DISK
       // blocks) — a registry query has no post-materialization hook to
@@ -188,14 +229,40 @@ object TextQueries extends QueryProvider {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Dedup.simHashNearDupPairs(sims, "doc_id", "simhash", maxHamming = 3, blocks = 4)
     },
-    None)
+    Some(s"""
+      WITH $simhashSql,
+      blk AS (SELECT doc_id, simhash, b AS block_idx,
+          (simhash >> (15 * b)) & 32767 AS block_val
+        FROM sim, (SELECT UNNEST([0, 1, 2, 3]) AS b) t),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+          a.simhash AS ha, b.simhash AS hb
+        FROM blk a JOIN blk b ON b.block_idx = a.block_idx
+          AND b.block_val = a.block_val AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(ha, hb)) <= 3"""))
 
   private val qWinnow = Q(
     "q_winnowing_fingerprints",
     (s, d) => Tables.documents(s, d).select(
       col("doc_id"),
       size(TextAnalysis.winnowingFingerprints(col("text"))).as("n_fingerprints")),
-    None)
+    // k=5, w=4 (the winnowingFingerprints defaults); i ranges over
+    // 1..max(len-k+1, 1) with SUBSTR clamping mirroring substringSQL,
+    // windows of w gram hashes (the final window clamps), distinct
+    // minima counted per doc.
+    Some(s"""
+      WITH g AS (SELECT doc_id, text,
+          UNNEST(generate_series(1, GREATEST(LENGTH(text) - 4, 1))) AS i
+        FROM documents),
+      gh AS (SELECT doc_id, i, ${h60Sql("SUBSTR(text, i, 5)")} AS h FROM g),
+      wm AS (SELECT doc_id, i,
+          MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+          COUNT(*) OVER (PARTITION BY doc_id) AS ng
+        FROM gh)
+      SELECT doc_id, CAST(COUNT(DISTINCT m) AS INT) AS n_fingerprints
+      FROM wm WHERE i <= GREATEST(ng - 4, 0) + 1
+      GROUP BY doc_id"""))
 
   // threshold low enough that the synthetic corpus yields pairs;
   // exercises multi-table bucketing + dedup + verify-join. numPlanes=8

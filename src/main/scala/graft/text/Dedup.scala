@@ -29,7 +29,11 @@ object Dedup {
     else graft.functions.TextHashExpressions.wordShingles(text, n)
 
   /** MinHash signature: k independent min-hashes over the shingle set.
-    * hash_i(s) = xxhash64(i, s) — deterministic, seedable.
+    * hash_i(s) = (a_i·md5Top60(s) + b_i) mod 2⁶¹−1 — a universal hash
+    * family over an engine-portable base hash, so signatures are
+    * replayable by DuckDB (md5 hex prefix + HUGEINT arithmetic) and
+    * the whole dedup family oracle-checks. One md5 per shingle + k
+    * multiplies also beats k full xxhash64 string passes.
     *
     * Entirely ROW-LOCAL: the shingle array is materialized once per
     * document and all k minima come from ONE pass over it via the
@@ -37,8 +41,7 @@ object Dedup {
     * `array_min(transform(...))` higher-order chains are
     * CodegenFallback and materialize k intermediate arrays per row) —
     * zero shuffles, embarrassingly parallel at any scale (an explode +
-    * groupBy formulation would shuffle every shingle). Hash values are
-    * bit-identical to the builtin `xxhash64(lit(i), shingle)`. */
+    * groupBy formulation would shuffle every shingle). */
   def minHashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, shingleSize: Int = 3): DataFrame = {
@@ -91,17 +94,18 @@ object Dedup {
         (agree.cast("double") / numHashes).as("est_jaccard"))
   }
 
-  /** 63-bit SimHash per document: sign-sum of token-hash bits, packed
-    * into a non-negative long (bit 63 left clear — avoids sign/overflow
-    * divergence between engines).
+  /** 60-bit SimHash per document: sign-sum of token-hash bits, packed
+    * into a non-negative long. 60 bits because the base hash is
+    * md5Top60 (the digest prefix an external engine can parse) — the
+    * packed value is SQL-replayable bit for bit.
     *
     * ROW-LOCAL like minHashSignatures, and like it a single codegen'd
-    * pass (graft.functions.SimHash63) — the per-bit aggregate() chains
-    * it replaces were 63 CodegenFallback evaluations per row. Values
-    * are bit-identical to the HOF form. Zero shuffles. */
+    * pass (graft.functions.SimHash60) — the per-bit aggregate() chains
+    * it replaces were CodegenFallback evaluations per row. Zero
+    * shuffles. */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
-      graft.functions.TextHashExpressions.simHash63(split(col(textCol), " "))
+      graft.functions.TextHashExpressions.simHash60(split(col(textCol), " "))
         .as("simhash"))
 
   /** SimHash near-dup candidate pairs by the pigeonhole block join:
@@ -116,7 +120,7 @@ object Dedup {
       maxHamming: Int = 3, blocks: Int = 4): DataFrame = {
     require(maxHamming < blocks,
       s"pigeonhole needs maxHamming < blocks ($maxHamming >= $blocks)")
-    val blockBits = 64 / blocks
+    val blockBits = 60 / blocks // 60-bit simhash (md5Top60 base)
     val mask = (1L << blockBits) - 1
     val blockStructs = (0 until blocks).map(b => struct(
       lit(b).as("block_idx"),

@@ -130,7 +130,7 @@ class PlanSpec extends SparkSpec {
     assert(mhPlan.contains("minhash_array") && mhPlan.contains("word_shingles"), mhPlan)
     assert(!mhPlan.contains("lambdafunction"), mhPlan)
     val shPlan = plan("q_simhash")
-    assert(shPlan.contains("simhash63") && !shPlan.contains("lambdafunction"), shPlan)
+    assert(shPlan.contains("simhash60") && !shPlan.contains("lambdafunction"), shPlan)
   }
 
   test("cluster timecourse joins broadcast the tiny stats/assignment sides") {

@@ -108,33 +108,45 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("one-pass MinHashArray / SimHash63 are bit-identical to the HOF formulation") {
-    // the codegen'd expressions replaced per-slot array_min(transform)
-    // and per-bit aggregate() chains; signature VALUES must not move
-    // (they determine LSH bands, jaccard estimates, block joins)
+  test("one-pass MinHashArray / SimHash60 are bit-identical to an independent reference") {
+    // the codegen'd kernels go through md5Top60 byte-shifting +
+    // multiplyHigh modular arithmetic; the reference here parses the
+    // hex digest (exactly what the DuckDB oracle does) and uses BigInt
+    // — a disjoint implementation path. Signature VALUES must not move
+    // (they determine LSH bands, jaccard estimates, block joins).
+    import graft.functions.TextHash
+    def md5Top60Ref(s: String): Long = java.lang.Long.parseUnsignedLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString.take(15), 16)
+    def shinglesRef(t: String, n: Int): Seq[String] = {
+      val ws = t.split(" ", -1).toSeq
+      (0 to ws.length - n).map(i => ws.slice(i, i + n).mkString(" ")).distinct
+    }
     val mixed = docs.unionByName(Seq((9L, ""), (10L, "one two")).toDF("doc_id", "text"))
     val k = 8
+    val coefs = TextHash.slotCoefs(k)
+    val p = BigInt(TextHash.P61)
+    def sigRef(t: String): IndexedSeq[Option[Long]] = {
+      val sh = shinglesRef(t, 3)
+      if (sh.isEmpty) IndexedSeq.fill(k)(Option.empty[Long])
+      else coefs.toIndexedSeq.map { case (a, b) =>
+        Some(sh.map(s => ((BigInt(a) * md5Top60Ref(s) + b) mod p).toLong).min)
+      }
+    }
+    val texts = mixed.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val sigsNew = Dedup.minHashSignatures(mixed, "doc_id", "text", numHashes = k, shingleSize = 3)
       .collect().map(r => r.getLong(0) ->
         (1 to k).map(i => Option(r.get(i)).map(_.asInstanceOf[Long]))).toMap
-    val shingles = Dedup.wordShingles($"text", 3)
-    val hofCols = (0 until k).map(i =>
-      array_min(transform(shingles, s => xxhash64(lit(i), s))).as(s"mh_$i"))
-    val sigsHof = mixed.select(($"doc_id" +: hofCols): _*)
-      .collect().map(r => r.getLong(0) ->
-        (1 to k).map(i => Option(r.get(i)).map(_.asInstanceOf[Long]))).toMap
-    assert(sigsNew == sigsHof)
+    assert(sigsNew == texts.view.mapValues(sigRef).toMap)
 
+    def simRef(t: String): Long = {
+      val hs = t.split(" ", -1).map(md5Top60Ref)
+      (0 until 60).map { b =>
+        if (hs.count(h => ((h >>> b) & 1L) == 1L) * 2 > hs.length) 1L << b else 0L
+      }.sum
+    }
     val simNew = Dedup.simHash(mixed, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val hashes = transform(split($"text", " "), t => xxhash64(t))
-    val packed = (0 until 63).map { b =>
-      val bitSum = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(bitSum > 0, shiftleft(lit(1L), b)).otherwise(0L)
-    }.reduce(_ + _)
-    val simHof = mixed.select($"doc_id", packed.as("simhash"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(simNew == simHof)
+    assert(simNew == texts.view.mapValues(simRef).toMap)
   }
 }

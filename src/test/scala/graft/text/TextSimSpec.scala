@@ -49,24 +49,29 @@ class TextSimSpec extends SparkSpec {
     assert(neu == old)
   }
 
-  test("one-pass winnowing matches the HOF formulation bit-for-bit") {
+  test("one-pass winnowing matches an independent reference bit-for-bit") {
+    // reference path: hex-digest parse (the DuckDB oracle's route) +
+    // plain collection slicing — disjoint from the kernel's
+    // byte-shift + clamped-substring loop.
+    def md5Top60Ref(s: String): Long = java.lang.Long.parseUnsignedLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString.take(15), 16)
+    def winnowRef(t: String, k: Int, w: Int): Seq[Long] = {
+      val len = t.length
+      val nG = math.max(len - (k - 1), 1)
+      val grams = (0 until nG).map(i => md5Top60Ref(t.substring(i, math.min(i + k, len))))
+      val last = math.max(nG - w, 0)
+      (0 to last).map(i => grams.slice(i, math.min(i + w, nG)).min).distinct
+    }
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
       (2L, ""), (3L, "abc"), (4L, "abcdefghij"), (5L, "aaaaaaaaaaaaaaa")
     ).toDF("id", "t")
+    val texts = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     for ((k, w) <- Seq((5, 4), (3, 2))) {
       val neu = df.select($"id", TextAnalysis.winnowingFingerprints($"t", k, w).as("f"))
         .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-      val n = length($"t")
-      val grams = transform(
-        sequence(lit(1), greatest(n - (k - 1), lit(1))),
-        i => xxhash64($"t".substr(i, lit(k))))
-      val windows = transform(
-        sequence(lit(0), greatest(size(grams) - w, lit(0))),
-        i => array_min(slice(grams, i + 1, lit(w))))
-      val hof = df.select($"id", array_distinct(windows).as("f"))
-        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-      assert(neu == hof, s"k=$k w=$w")
+      assert(neu == texts.view.mapValues(winnowRef(_, k, w)).toMap, s"k=$k w=$w")
     }
   }
 
