@@ -82,14 +82,19 @@ object DecodeStub {
   def contentHash(bytes: Array[Byte]): Long =
     java.util.Arrays.hashCode(bytes).toLong
 
-  /** Fake feature vector: byte-histogram moments folded to `dim`. */
+  /** Fake feature vector: byte-histogram moments folded to `dim`.
+    * Accumulates INTEGER byte sums per slot and divides once — exact
+    * in any summation order, so the result is reproducible by an
+    * external engine's unordered SUM (a per-byte double accumulation
+    * would drift by ulps under reordering). */
   def decode(bytes: Array[Byte], dim: Int): Array[Double] = {
-    val out = new Array[Double](dim)
+    val sums = new Array[Long](dim)
     var i = 0
     while (i < bytes.length) {
-      out(i % dim) += (bytes(i) & 0xff) / 255.0
+      sums(i % dim) += (bytes(i) & 0xff)
       i += 1
     }
-    out.map(v => if (bytes.length == 0) 0.0 else v / bytes.length * dim)
+    val n = bytes.length
+    sums.map(s => if (n == 0) 0.0 else s / 255.0 / n * dim)
   }
 }

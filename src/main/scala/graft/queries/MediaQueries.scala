@@ -41,10 +41,15 @@ object MediaQueries extends QueryProvider {
              CAST(unnest(generate_series(0, n_frames - 1)) * 64 AS INT) AS frame_offset
       FROM m"""))
 
-  // stubbed decode → feature vectors (rows-only: stub hash not in SQL).
-  // The driver's checker sorts every output column, so the feature
-  // vector is emitted as fixed-width SCALAR columns f0..f7 (rounded
-  // 9dp) — an array column is unhashable/unsortable on the pandas side.
+  // stubbed decode → feature vectors, ORACLED: the stub is a pure
+  // function of the payload bytes (integer byte-sums per slot; a
+  // Java Arrays.hashCode fold), and DuckDB reaches the same bytes via
+  // hex(encode(text)) pairs — features replay through unordered
+  // integer SUMs, the content hash through a list_reduce of the
+  // 31-polynomial mod 2^32. The driver's checker sorts every output
+  // column, so the feature vector is emitted as fixed-width SCALAR
+  // columns f0..f7 (rounded 9dp) — an array column is
+  // unhashable/unsortable on the pandas side.
   private val qDecode = Q(
     "q_multimodal_decode",
     (s, d) => {
@@ -56,7 +61,34 @@ object MediaQueries extends QueryProvider {
       decoded.select(
         (Seq(col("media_id"), col("n_bytes"), col("content_hash")) ++ featCols): _*)
     },
-    None)
+    Some {
+      val sums = (0 until 8)
+        .map(j => s"SUM(CASE WHEN (i - 1) % 8 = $j THEN ub END) AS s$j")
+        .mkString(", ")
+      val fCols = (0 until 8).map(j =>
+        s"CASE WHEN COALESCE(t.nb, 0) = 0 THEN 0.0 ELSE ROUND(CAST(COALESCE(t.s$j, 0) AS DOUBLE) / 255.0 / t.nb * 8, 9) END AS f$j")
+        .mkString(",\n        ")
+      s"""
+      WITH b AS (SELECT doc_id, encode(text) AS blob FROM documents),
+      hx AS (SELECT doc_id, hex(blob) AS hs, octet_length(blob) AS nb FROM b),
+      pos AS (SELECT doc_id, nb, hs, UNNEST(generate_series(1, nb)) AS i FROM hx),
+      byt AS (SELECT doc_id, nb, i,
+          CAST(CONCAT('0x', SUBSTR(hs, 2 * i - 1, 2)) AS BIGINT) AS ub FROM pos),
+      fs AS (SELECT doc_id, ANY_VALUE(nb) AS nb, $sums FROM byt GROUP BY doc_id),
+      ch AS (SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(1 AS BIGINT),
+              list_transform(generate_series(1, octet_length(blob)),
+                i -> CAST(CONCAT('0x', SUBSTR(hex(blob), 2 * i - 1, 2)) AS BIGINT))),
+            (acc, u) -> ((acc * 31 + CASE WHEN u > 127 THEN u - 256 ELSE u END) % 4294967296 + 4294967296) % 4294967296) AS h
+        FROM b)
+      SELECT d.doc_id AS media_id, CAST(COALESCE(t.nb, 0) AS BIGINT) AS n_bytes,
+        CAST(CASE WHEN c.h >= 2147483648 THEN c.h - 4294967296 ELSE c.h END AS BIGINT) AS content_hash,
+        $fCols
+      FROM documents d
+      LEFT JOIN fs t ON t.doc_id = d.doc_id
+      JOIN ch c ON c.doc_id = d.doc_id"""
+    })
 
   def all: Seq[Q] = Seq(qMeta, qFrames, qDecode)
 }
