@@ -141,8 +141,14 @@ object Impute {
     val incomplete = base.join(completeIds, Seq("_id"), "left_anti")
 
     // centered s×s Gram of the complete block: center per feature,
-    // in-row pair expansion (one shuffle), tiny collect
-    val mu = complete.groupBy(col("_id")).agg(avg(col("_v")).as("_mu"))
+    // in-row pair expansion (one shuffle), tiny collect. Exact-decimal
+    // mean (Moments): with the Gram's exact product sums this makes
+    // the whole kernel solve partition-order-independent — and, since
+    // every remaining step is plain +,-,*,/,sqrt over per-feature
+    // scalars, SQL-replayable.
+    val mu = complete.groupBy(col("_id")).agg(
+      graft.stats.Moments.meanOf(
+        graft.stats.Moments.sumExact(col("_v")), count(col("_v"))).as("_mu"))
     val centered = complete.join(mu, Seq("_id"))
       .select(col("_id"), col("_s"), (col("_v") - col("_mu")).as("_v"))
     val gram = Array.ofDim[Double](nS, nS)

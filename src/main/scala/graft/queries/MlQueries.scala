@@ -280,21 +280,110 @@ object MlQueries extends QueryProvider {
   // ---- PLS imputation (ref imputation.py:66-113, reconstructed as
   //      kernel PLS): profile matrix from lineitem (features =
   //      suppliers, samples = return flags), synthetic missingness on
-  //      every 10th supplier's 'N' cell. rows-only: the kernel solve
-  //      (deflated Gram iterations) is not SQL-expressible; MlSpec
-  //      carries the primal-NIPALS golden. ----
+  //      every 10th supplier's 'N' cell.
+  //
+  //      ORACLED with no injected literals at all: the sample space is
+  //      exactly {A, N, R}, so the two deflated kernel iterations
+  //      unroll to per-feature scalar arithmetic (+,-,*,/,sqrt — all
+  //      bitwise-portable), the 3×3 Gram is six exact-decimal product
+  //      sums recomputable in SQL, and every Spark fold is mirrored
+  //      term for term (incl. the 1e-12 degeneracy guards and the
+  //      row-median fill). MlSpec keeps the primal-NIPALS golden. ----
   private val qImputePls = Q(
     "q_impute_pls",
     (s, d) => {
       val prof = Tables.lineitem(s, d)
         .groupBy(col("l_suppkey").as("id"), col("l_returnflag").as("sample"))
-        .agg(avg(col("l_quantity")).as("value"))
+        .agg(Moments.meanOf(Moments.sumExact(col("l_quantity")),
+          count(col("l_quantity"))).as("value"))
         .withColumn("value",
           when(col("id") % 10 === 0 && col("sample") === "N", lit(null))
             .otherwise(col("value")))
       Impute.pls(s, prof, "id", "sample", "value")
     },
-    None)
+    Some {
+      val S = Seq("A", "N", "R") // sorted sample order, as Impute.pls sees it
+      val eps = "CAST('1.0E-12' AS DOUBLE)"
+      def g(i: Int, j: Int) = s"g${math.min(i, j)}${math.max(i, j)}"
+      // Scala's `(0 until 3).map(f).sum` left fold: ((f0 + f1) + f2)
+      def fold3(f: Int => String) = s"((${f(0)} + ${f(1)}) + ${f(2)})"
+      val pivV = S.zipWithIndex.map { case (smp, i) =>
+        s"MAX(CASE WHEN sample = '$smp' THEN v END) AS v$i" }.mkString(", ")
+      val pivE = S.zipWithIndex.map { case (smp, i) =>
+        s"COALESCE(MAX(CASE WHEN sample = '$smp' THEN 1 END), 0) AS e$i" }.mkString(", ")
+      val pivC = S.zipWithIndex.map { case (smp, i) =>
+        s"MAX(CASE WHEN sample = '$smp' THEN cv END) AS c$i" }.mkString(", ")
+      val gramCols = (for (i <- 0 until 3; j <- i until 3)
+        yield s"${MS.sumProdExact(s"c$i", s"c$j")} AS g$i$j").mkString(", ")
+      val k1Cols = (for (i <- 0 until 3; j <- 0 until 3) yield
+        s"${g(i, j)} - t$i * kt$j / tt - kt$i * t$j / tt + t$i * t$j * tkt / (tt * tt) AS k$i$j")
+        .mkString(",\n          ")
+      val unions = S.zipWithIndex.map { case (smp, i) =>
+        s"""SELECT id, '$smp' AS sample,
+          CASE WHEN v$i IS NOT NULL THEN v$i WHEN c = 0 THEN NULL ELSE yhf$i END AS value,
+          CASE WHEN c = 0 THEN FALSE ELSE v$i IS NULL END AS was_imputed
+        FROM m8 WHERE c >= 1 OR e$i = 1""" }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH prof AS (
+        SELECT l_suppkey AS id0, l_returnflag AS sample,
+          ${MS.meanOf(MS.sumExact("l_quantity"), "COUNT(l_quantity)")} AS v0
+        FROM lineitem GROUP BY 1, 2),
+      base AS (
+        SELECT CAST(id0 AS VARCHAR) AS id, sample,
+          CASE WHEN id0 % 10 = 0 AND sample = 'N' THEN NULL ELSE v0 END AS v
+        FROM prof),
+      cnt AS (SELECT id, COUNT(v) AS c FROM base GROUP BY id),
+      cmpl AS (SELECT b.id, b.sample, b.v FROM base b JOIN cnt ON cnt.id = b.id WHERE cnt.c = 3),
+      incp AS (SELECT b.id, b.sample, b.v FROM base b JOIN cnt ON cnt.id = b.id WHERE cnt.c < 3),
+      mu AS (SELECT id, ${MS.meanOf(MS.sumExact("v"), "COUNT(v)")} AS mu FROM cmpl GROUP BY id),
+      cent AS (SELECT c.id, c.sample, c.v - m.mu AS cv FROM cmpl c JOIN mu m ON m.id = c.id),
+      centp AS (SELECT id, $pivC FROM cent GROUP BY id),
+      gram AS (SELECT $gramCols FROM centp),
+      piv AS (SELECT id, $pivV, $pivE FROM incp GROUP BY id),
+      m1 AS (SELECT piv.*, gram.*,
+          (CASE WHEN v0 IS NOT NULL THEN 1 ELSE 0 END
+           + CASE WHEN v1 IS NOT NULL THEN 1 ELSE 0 END
+           + CASE WHEN v2 IS NOT NULL THEN 1 ELSE 0 END) AS c
+        FROM piv CROSS JOIN gram),
+      m2 AS (SELECT *,
+          CASE WHEN c = 1 THEN COALESCE(v0, v1, v2)
+               ELSE ((COALESCE(v0, 0.0) + COALESCE(v1, 0.0)) + COALESCE(v2, 0.0)) / 2.0 END AS med
+        FROM m1),
+      m3 AS (SELECT *, ${(0 until 3).map(i => s"COALESCE(v$i, med) AS f$i").mkString(", ")} FROM m2),
+      m4 AS (SELECT *, ${fold3(i => s"f$i")} / 3.0 AS ym FROM m3),
+      m5 AS (SELECT *, ${(0 until 3).map(i => s"f$i - ym AS yc$i").mkString(", ")} FROM m4),
+      m6 AS (SELECT *,
+          ${(0 until 3).map(i => s"${fold3(j => s"${g(i, j)} * yc$j")} AS ky$i").mkString(",\n          ")}
+        FROM m5),
+      m6b AS (SELECT *, ${fold3(i => s"yc$i * ky$i")} AS wn2 FROM m6),
+      m6c AS (SELECT *, ${(0 until 3).map(i => s"ky$i / SQRT(wn2) AS t$i").mkString(", ")} FROM m6b),
+      m6d AS (SELECT *, ${fold3(i => s"t$i * t$i")} AS tt FROM m6c),
+      m6e AS (SELECT *, ${fold3(i => s"yc$i * t$i")} / tt AS q FROM m6d),
+      m6f AS (SELECT *,
+          ${(0 until 3).map(i => s"ym + q * t$i AS yh$i").mkString(", ")},
+          ${(0 until 3).map(i => s"${fold3(j => s"${g(i, j)} * t$j")} AS kt$i").mkString(",\n          ")}
+        FROM m6e),
+      m6g AS (SELECT *, ${fold3(i => s"t$i * kt$i")} AS tkt FROM m6f),
+      m7 AS (SELECT *,
+          $k1Cols,
+          ${(0 until 3).map(i => s"yc$i - q * t$i AS ycb$i").mkString(", ")}
+        FROM m6g),
+      m7b AS (SELECT *,
+          ${(0 until 3).map(i => s"${fold3(j => s"k$i$j * ycb$j")} AS kyb$i").mkString(",\n          ")}
+        FROM m7),
+      m7c AS (SELECT *, ${fold3(i => s"ycb$i * kyb$i")} AS wn2b FROM m7b),
+      m7d AS (SELECT *, ${(0 until 3).map(i => s"kyb$i / SQRT(wn2b) AS tb$i").mkString(", ")} FROM m7c),
+      m7e AS (SELECT *, ${fold3(i => s"tb$i * tb$i")} AS ttb FROM m7d),
+      m7f AS (SELECT *, ${fold3(i => s"ycb$i * tb$i")} / ttb AS qb FROM m7e),
+      m8 AS (SELECT *,
+          ${(0 until 3).map(i =>
+            s"CASE WHEN wn2 <= $eps THEN ym WHEN wn2b <= $eps THEN yh$i ELSE yh$i + qb * tb$i END AS yhf$i")
+            .mkString(",\n          ")}
+        FROM m7f)
+      SELECT id, sample, v AS value, FALSE AS was_imputed FROM cmpl
+      UNION ALL
+        $unions"""
+    })
 
   def all: Seq[Q] = Seq(qPca, qPls, qWard, qTimecourse, qImpute, qImputePls)
 }
