@@ -566,17 +566,44 @@ object TextQueries extends QueryProvider {
     // The md5 hash-uniform replays exactly in DuckDB (integer-exact:
     // top 60 bits mod 1e6) — the accept set is the oracle's, bit for
     // bit.
-    Some("""
+    Some(s"""
       SELECT doc_id, lang, source FROM documents
-      WHERE CAST(CAST(CONCAT('0x', SUBSTR(md5(CONCAT('g42|', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 AS DOUBLE) / 1000000.0
+      WHERE ${uniformSql(42L)}
         < (CASE lang WHEN 'en' THEN CAST('0.5' AS DOUBLE)
                      WHEN 'de' THEN CAST('1.0' AS DOUBLE)
                      WHEN 'fr' THEN CAST('1.0' AS DOUBLE)
                      WHEN 'es' THEN CAST('1.0' AS DOUBLE)
                      WHEN 'zh' THEN CAST('1.0' AS DOUBLE) END)"""))
 
+  /** TrainingData.hashUniform's SQL image (md5 top 60 bits mod 1e6). */
+  private def uniformSql(seed: Long) =
+    s"CAST(CAST(CONCAT('0x', SUBSTR(md5(CONCAT('g$seed|', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 AS DOUBLE) / 1000000.0"
+
+  // ---- weighted source mixing with epoch-style OVERSAMPLING: rate
+  //      0.5 subsamples English docs, rate 2.25 emits every other doc
+  //      2-3 times (floor + Bernoulli fraction). All draws are content
+  //      hashes, so the duplicated multiset replays exactly in SQL. ----
+  private val qMixSources = Q(
+    "q_mix_sources",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val en = docs.filter(col("lang") === "en")
+      val rest = docs.filter(col("lang") =!= "en")
+      graft.pipeline.TrainingData.mixSources(
+        Seq(en -> 0.5, rest -> 2.25), "doc_id", seed = 7L)
+    },
+    Some(s"""
+      SELECT doc_id, lang FROM documents
+      WHERE lang = 'en' AND ${uniformSql(7L)} < CAST('0.5' AS DOUBLE)
+      UNION ALL
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+          UNNEST(generate_series(1,
+            2 + CASE WHEN ${uniformSql(8L)} < CAST('0.25' AS DOUBLE) THEN 1 ELSE 0 END)) AS dup
+        FROM documents WHERE lang <> 'en') t"""))
+
   def all: Seq[Q] = Seq(
     qDedupExact, qFingerprint, qTokens, qQuality, qLangId, qJaccard, qAnn, qAnnLsh,
     qAnnIvf, qMinhash, qSimhash, qSimhashPairs, qWinnow, qLshPairs, qCurate,
-    qTokenTopK, qStratSample, qContamination, qRepetition, qCurationSignals)
+    qTokenTopK, qStratSample, qMixSources, qContamination, qRepetition, qCurationSignals)
 }
