@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Left-to-right dot product of two double arrays as a native Catalyst
   * expression with doGenCode.
@@ -23,11 +23,26 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * null (zip_with pads the shorter side with null, which nulls the
   * aggregate). DuckDB `list_reduce(list_transform(list_zip(...)))`
   * folds the same way.
+  *
+  * Accepts array<float> as well as array<double> on either side,
+  * widening per element — float→double widening is exact, so this
+  * equals `transform(a, _.cast("double"))` first WITHOUT that HOF's
+  * CodegenFallback lambda (and without materializing a converted copy
+  * of every embedding in the scan).
   */
 case class ArrayDotProduct(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true // length mismatch → null
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"array_dot_product needs array<float|double>, got $t")
+  }
+  @transient private lazy val leftFloat = isFloat(left)
+  @transient private lazy val rightFloat = isFloat(right)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -39,7 +54,9 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       var i = 0
       while (i < n) {
         if (a.isNullAt(i) || b.isNullAt(i)) return null
-        acc += a.getDouble(i) * b.getDouble(i)
+        val av = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val bv = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+        acc += av * bv
         i += 1
       }
       acc
@@ -51,6 +68,8 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val aGet = if (leftFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val bGet = if (rightFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
       final int $n = $a.numElements();
       if ($b.numElements() != $n) {
@@ -59,7 +78,7 @@ case class ArrayDotProduct(left: Expression, right: Expression)
         double $acc = 0.0;
         for (int $i = 0; $i < $n; $i++) {
           if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-          $acc += $a.getDouble($i) * $b.getDouble($i);
+          $acc += $aGet * $bGet;
         }
         ${ev.value} = $acc;
       }

@@ -163,7 +163,9 @@ object MlQueries extends QueryProvider {
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n_pairs"),
           Moments.sumExactFine(col("sqdist")).as("sum_sqdist"))
-      members.join(within, Seq("cluster"), "left")
+      // both sides are k-row aggregates — broadcast beats the default
+      // sort-merge exchange pair
+      members.join(broadcast(within), Seq("cluster"), "left")
     },
     None,
     oracleGen = Some(() => Option(lastWard.get()).map { as =>

@@ -40,7 +40,9 @@ object Similarity {
       query: Array[Double], k: Int): DataFrame = {
     val q = array(query.toIndexedSeq.map(lit): _*)
     val qNorm = math.sqrt(query.foldLeft(0.0)((acc, x) => acc + x * x))
-    val v = asDouble(col(vecCol))
+    // raw float array: ArrayDotProduct widens per element (exact), so
+    // no transform(cast) HOF runs in the scan
+    val v = col(vecCol)
     embeddings
       .select(col(idCol), try_divide(dot(v, q), norm(v) * lit(qNorm)).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
@@ -91,11 +93,11 @@ object Similarity {
         val proj = planeCoefs(t, p, dim).zip(query).map { case (c, x) => c * x }.sum
         if (proj > 0) 1L << p else 0L
       }.sum
-      signLshTableBucket(asDouble(col(vecCol)), dim, numPlanes, t) === lit(qBucket)
+      signLshTableBucket(col(vecCol), dim, numPlanes, t) === lit(qBucket)
     }
     embeddings
       .filter(tables.reduce(_ || _))
-      .select(col(idCol), cosine(asDouble(col(vecCol)), qCol).as("cosine"))
+      .select(col(idCol), cosine(col(vecCol), qCol).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
@@ -147,7 +149,7 @@ object Similarity {
   def assignCells(
       embeddings: DataFrame, vecCol: String,
       centroids: Array[Array[Double]], cellCol: String = "_cell"): DataFrame = {
-    val v = asDouble(col(vecCol))
+    val v = col(vecCol)
     val entries = centroids.zipWithIndex.map { case (cArr, i) =>
       val cLit = array(cArr.toIndexedSeq.map(lit): _*)
       val c2 = cArr.foldLeft(0.0)((a, x) => a + x * x)
@@ -176,7 +178,7 @@ object Similarity {
     val probes = probeCells(centroids, query, nProbe)
     val qCol = array(query.toIndexedSeq.map(lit): _*)
     val qNorm = math.sqrt(query.foldLeft(0.0)((acc, x) => acc + x * x))
-    val v = asDouble(col(vecCol))
+    val v = col(vecCol)
     assigned
       .filter(col("_cell").isin(probes.toIndexedSeq: _*))
       .select(col(idCol), try_divide(dot(v, qCol), norm(v) * lit(qNorm)).as("cosine"))
@@ -232,7 +234,7 @@ object Similarity {
     require(numTables >= 1, "need at least one hash table")
     // Pre-normalize ONCE: cosine of unit vectors is one dot product, so
     // the O(pairs) verify stage does one array fold instead of three.
-    val v = asDouble(col(vecCol))
+    val v = col(vecCol)
     val unitVecs = embeddings
       .select(col(idCol), v.as("_v"), norm(v).as("_n"))
       .select(col(idCol), transform(col("_v"), x => try_divide(x, col("_n"))).as("_unit"))

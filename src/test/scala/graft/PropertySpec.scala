@@ -149,4 +149,26 @@ class PropertySpec extends SparkSpec {
       assert(g(0) == sa.size && g(3) == (sa & sb).size && g(6) == (sa & sb & sc).size)
     }
   }
+
+  test("property: affineMod61 equals BigInt modular arithmetic; md5Top60 equals hex parse") {
+    import graft.functions.TextHash
+    val P = TextHash.P61
+    val rnd = new scala.util.Random(7)
+    (0 until 2000).foreach { _ =>
+      val a = math.floorMod(rnd.nextLong(), P - 1) + 1
+      val h = math.floorMod(rnd.nextLong(), 1L << 60)
+      val b = math.floorMod(rnd.nextLong(), P)
+      val expect = ((BigInt(a) * h + b) mod BigInt(P)).toLong
+      assert(TextHash.affineMod61(a, h, b) == expect, s"a=$a h=$h b=$b")
+    }
+    (0 until 200).foreach { i =>
+      val s0 = rnd.nextString(rnd.nextInt(20))
+      val viaBytes = TextHash.md5Top60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s0))
+      val viaHex = java.lang.Long.parseUnsignedLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s0.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString.take(15), 16)
+      assert(viaBytes == viaHex, s"i=$i")
+    }
+  }
 }
