@@ -139,4 +139,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("IVF assignment and scoring stay in codegen'd expressions (no ml transform)") {
+    // spark.ml model.transform would insert a vector-conversion UDF +
+    // DeserializeToObject into the scan; the argmin expression keeps
+    // the whole probe codegen-resident (and SQL-replayable)
+    val p = plan("q_ann_ivf_topk")
+    assert(!p.contains("DeserializeToObject") && !p.contains("MapElements"), p)
+    assert(p.contains("array_dot_product"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("similarity scans fold float embeddings directly (no transform-cast lambda)") {
+    val p = plan("q_ann_cosine_topk")
+    assert(!p.contains("lambdafunction"), p)
+    assert(p.contains("array_dot_product"), p)
+  }
+
+  test("ward cluster aggregates broadcast the tiny assignment/summary sides") {
+    val p = plan("q_ward_clusters")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only exchanges are the pair-expansion and cluster-key aggs;
+    // the driver-local assignment frame must never sort-merge against
+    // the distributed distance frame
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("hash-gaussian imputation broadcasts the per-sample moment table") {
+    val p = plan("q_impute_gaussian")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"), p)
+    // md5-derived draw is codegen-resident: no rand/randn positional RNG
+    assert(!p.contains("randn"), p)
+  }
 }
