@@ -18,8 +18,10 @@ object TextHash {
     * engine) is not. */
   val P61: Long = (1L << 61) - 1
 
-  /** SplitMix64 (public-domain mixer) — drives the slot coefficients. */
-  private def splitMix64(seed: Long): Long = {
+  /** SplitMix64 (public-domain mixer) — drives the slot coefficients
+    * here and the LSH plane constants in graft.sim.Similarity (one
+    * definition of a determinism-critical primitive). */
+  private[graft] def splitMix64(seed: Long): Long = {
     var z = seed + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL

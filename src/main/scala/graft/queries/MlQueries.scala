@@ -107,8 +107,15 @@ object MlQueries extends QueryProvider {
       val labeled = m.components.head.yc.keys.toSeq.sorted
       val inList = labeled.map(s => s"'$s'").mkString(", ")
       val c0 = m.components(0); val c1 = m.components(1)
-      def tMap(c: Pls.PlsComponent) =
+      // two DISTINCT t images, mirroring the fit: the p-loading
+      // aggregates over LABELED samples only (tMapFit — a held-out
+      // sample must drop out of p), while deflation applies t to ALL
+      // samples (tMapAll). Today's query labels every dim, but the
+      // oracle must not silently diverge the day it doesn't.
+      def tMapAll(c: Pls.PlsComponent) =
         caseMap("sample", m.sampleOrder.map(s => s -> c.t.getOrElse(s, 0.0)))
+      def tMapFit(c: Pls.PlsComponent) =
+        caseMap("sample", labeled.map(s => s -> c.t.getOrElse(s, 0.0)))
       def ycMap(c: Pls.PlsComponent) =
         caseMap("sample", labeled.map(s => s -> c.yc.getOrElse(s, 0.0)))
       s"""
@@ -124,9 +131,9 @@ object MlQueries extends QueryProvider {
       w0 AS (SELECT vec_id, wr / ${dlit(c0.wNorm)} AS w FROM w0r),
       t0 AS (SELECT x0.sample, ${MS.sumProdExact("x0.x", "w0.w")} AS t
         FROM x0 JOIN w0 ON w0.vec_id = x0.vec_id GROUP BY x0.sample),
-      p0 AS (SELECT vec_id, ${MS.sumProdExact("x", tMap(c0))} / ${dlit(c0.tt)} AS p
+      p0 AS (SELECT vec_id, ${MS.sumProdExact("x", tMapFit(c0))} / ${dlit(c0.tt)} AS p
         FROM x0 GROUP BY vec_id),
-      x1 AS (SELECT x0.vec_id, x0.sample, x0.x - ${tMap(c0)} * p0.p AS x
+      x1 AS (SELECT x0.vec_id, x0.sample, x0.x - ${tMapAll(c0)} * p0.p AS x
         FROM x0 JOIN p0 ON p0.vec_id = x0.vec_id),
       w1r AS (SELECT vec_id, ${MS.sumProdExact("x", ycMap(c1))} AS wr
         FROM x1 GROUP BY vec_id),
@@ -257,7 +264,7 @@ object MlQueries extends QueryProvider {
     },
     Some {
       def unif(salt: String) =
-        s"(CAST(CAST(CONCAT('0x', SUBSTR(md5(CONCAT('$salt|', key)), 1, 15)) AS BIGINT) AS DOUBLE) + 0.5) / ${dlit(Impute.TwoPow60)}"
+        s"(CAST(${OracleSql.md5Top60(s"CONCAT('$salt|', key)")} AS DOUBLE) + 0.5) / ${dlit(Impute.TwoPow60)}"
       val z = s"ROUND(SQRT(-2.0 * LN(${unif("a")})) * COS(${dlit(2.0 * math.Pi)} * ${unif("b")}), 7)"
       s"""
       WITH base AS (
@@ -315,8 +322,12 @@ object MlQueries extends QueryProvider {
         s"COALESCE(MAX(CASE WHEN sample = '$smp' THEN 1 END), 0) AS e$i" }.mkString(", ")
       val pivC = S.zipWithIndex.map { case (smp, i) =>
         s"MAX(CASE WHEN sample = '$smp' THEN cv END) AS c$i" }.mkString(", ")
+      // COALESCE to 0.0: with ZERO complete features Spark's Gram array
+      // stays zero-initialized (→ the 1e-12 degenerate path imputes
+      // yMean); an empty aggregate here returns NULL sums, which would
+      // NULL every downstream column instead
       val gramCols = (for (i <- 0 until 3; j <- i until 3)
-        yield s"${MS.sumProdExact(s"c$i", s"c$j")} AS g$i$j").mkString(", ")
+        yield s"COALESCE(${MS.sumProdExact(s"c$i", s"c$j")}, 0.0) AS g$i$j").mkString(", ")
       val k1Cols = (for (i <- 0 until 3; j <- 0 until 3) yield
         s"${g(i, j)} - t$i * kt$j / tt - kt$i * t$j / tt + t$i * t$j * tkt / (tt * tt) AS k$i$j")
         .mkString(",\n          ")

@@ -19,6 +19,20 @@ trait QueryProvider {
   def all: Seq[Q]
 }
 
+/** Shared oracle-SQL images of the portable hash primitives — ONE
+  * definition each, so every oracle stays structurally locked to the
+  * Scala kernels they mirror (graft.functions.TextHash.md5Top60,
+  * graft.pipeline.TrainingData.hashUniform). */
+object OracleSql {
+  /** TextHash.md5Top60: top 60 bits of md5 = the first 15 hex digits. */
+  def md5Top60(expr: String): String =
+    s"CAST(CONCAT('0x', SUBSTR(md5($expr), 1, 15)) AS BIGINT)"
+
+  /** TrainingData.hashUniform: md5Top60(g<seed>|id) mod 1e6 → [0,1). */
+  def hashUniform(seed: Long, idExpr: String): String =
+    s"CAST(${md5Top60(s"CONCAT('g$seed|', CAST($idExpr AS VARCHAR))")} % 1000000 AS DOUBLE) / 1000000.0"
+}
+
 /** Assembles the full SparkEntry surface from the per-package
   * providers. */
 object Registry {

@@ -163,9 +163,8 @@ object TextQueries extends QueryProvider {
   //      which DuckDB parses via CONCAT('0x', …)::BIGINT) and the
   //      minhash slots are a universal family (a·h+b) mod 2⁶¹−1 —
   //      HUGEINT-exact in DuckDB, so every signature bit replays. ----
-  /** The md5Top60 image in DuckDB SQL. */
-  private def h60Sql(expr: String) =
-    s"CAST(CONCAT('0x', SUBSTR(md5($expr), 1, 15)) AS BIGINT)"
+  /** The md5Top60 image in DuckDB SQL (shared definition). */
+  private def h60Sql(expr: String) = OracleSql.md5Top60(expr)
 
   private val qMinhash = Q(
     "q_minhash_signatures",
@@ -208,9 +207,13 @@ object TextQueries extends QueryProvider {
   private val qSimhash = Q(
     "q_simhash",
     (s, d) => Dedup.simHash(Tables.documents(s, d), "doc_id", "text"),
+    // LEFT JOIN (as in q_minhash_signatures): a NULL-text doc gets a
+    // NULL simhash on the Spark side but produces no token rows here —
+    // it must not vanish from the result
     Some(s"""
       WITH $simhashSql
-      SELECT doc_id, simhash FROM sim"""))
+      SELECT d.doc_id, s.simhash FROM documents d
+      LEFT JOIN sim s ON s.doc_id = d.doc_id"""))
 
   // ---- simhash near-dup pairing: pigeonhole block join + popcount
   //      verify. The canonical k=3 / 4-block config (15-bit blocks of
@@ -259,10 +262,12 @@ object TextQueries extends QueryProvider {
           MIN(h) OVER (PARTITION BY doc_id ORDER BY i
             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
           COUNT(*) OVER (PARTITION BY doc_id) AS ng
-        FROM gh)
-      SELECT doc_id, CAST(COUNT(DISTINCT m) AS INT) AS n_fingerprints
-      FROM wm WHERE i <= GREATEST(ng - 4, 0) + 1
-      GROUP BY doc_id"""))
+        FROM gh),
+      fp AS (SELECT doc_id, CAST(COUNT(DISTINCT m) AS INT) AS n_fingerprints
+        FROM wm WHERE i <= GREATEST(ng - 4, 0) + 1
+        GROUP BY doc_id)
+      SELECT d.doc_id, f.n_fingerprints FROM documents d
+      LEFT JOIN fp f ON f.doc_id = d.doc_id"""))
 
   // threshold low enough that the synthetic corpus yields pairs;
   // exercises multi-table bucketing + dedup + verify-join. numPlanes=8
@@ -575,9 +580,8 @@ object TextQueries extends QueryProvider {
                      WHEN 'es' THEN CAST('1.0' AS DOUBLE)
                      WHEN 'zh' THEN CAST('1.0' AS DOUBLE) END)"""))
 
-  /** TrainingData.hashUniform's SQL image (md5 top 60 bits mod 1e6). */
-  private def uniformSql(seed: Long) =
-    s"CAST(CAST(CONCAT('0x', SUBSTR(md5(CONCAT('g$seed|', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 AS DOUBLE) / 1000000.0"
+  /** TrainingData.hashUniform's SQL image (shared definition). */
+  private def uniformSql(seed: Long) = OracleSql.hashUniform(seed, "doc_id")
 
   // ---- weighted source mixing with epoch-style OVERSAMPLING: rate
   //      0.5 subsamples English docs, rate 2.25 emits every other doc

@@ -50,16 +50,13 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random plane coefficient in [-0.5, 0.5]
-    * (SplitMix64 — public-domain mixer): computed DRIVER-SIDE so the
-    * per-row expression is a plain dot against a literal array rather
-    * than thousands of folded hash-expression nodes (which blow up
-    * codegen). Same seed → same planes on every run/engine. */
-  private def splitMix64(seed: Long): Long = {
-    var z = seed + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+    * (SplitMix64 via the shared graft.functions.TextHash mixer):
+    * computed DRIVER-SIDE so the per-row expression is a plain dot
+    * against a literal array rather than thousands of folded
+    * hash-expression nodes (which blow up codegen). Same seed → same
+    * planes on every run/engine. */
+  private def splitMix64(seed: Long): Long =
+    graft.functions.TextHash.splitMix64(seed)
 
   /** Public so an oracle can inline the identical plane constants as
     * SQL literals (they are pure functions of (table, plane, dim) —

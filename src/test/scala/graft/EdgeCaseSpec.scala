@@ -148,4 +148,22 @@ class EdgeCaseSpec extends SparkSpec {
     val scores = graft.ml.Pls.scores(spark, model).collect().map(_.getString(0)).toSet
     assert(scores == Set("s1", "s2")) // only samples present in the frame are scored
   }
+
+  test("Impute.plsWithCleanup: cleanup releases the cache and broadcasts after materialization") {
+    import spark.implicits._
+    val prof = (1 to 20).flatMap { id =>
+      Seq("a", "b", "c").map(sm => (id.toString, sm,
+        if (id % 5 == 0 && sm == "b") None else Some(id * 1.0 + sm.length)))
+    }.toDF("id", "sample", "value")
+    // the shared test session carries other suites' caches — assert on
+    // the ids this call adds, not on global counts
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (out, cleanup) = graft.ops.Impute.plsWithCleanup(spark, prof, "id", "sample", "value")
+    val n = out.count() // materialize BEFORE cleanup (the handle's contract)
+    assert(n == 60L)
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty)
+    cleanup()
+    assert((spark.sparkContext.getPersistentRDDs.keySet & added).isEmpty)
+  }
 }
