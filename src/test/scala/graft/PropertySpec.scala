@@ -171,4 +171,31 @@ class PropertySpec extends SparkSpec {
       assert(viaBytes == viaHex, s"i=$i")
     }
   }
+
+  test("property: hash-gaussian imputation and PCA scores are bit-identical across partitionings") {
+    // the round-3 determinism claim: content-hash draws + exact-decimal
+    // aggregation make outputs independent of partition layout
+    import graft.ops.Impute
+    import graft.ml.Pca
+    val base = (1 to 300).map { i =>
+      (i.toLong, "s" + (i % 4), if (i % 7 == 0) None else Some(i * 0.37 + (i % 4)))
+    }.toDF("rid", "sample", "value")
+    def imputed(parts: Int) =
+      Impute.gaussian(base.repartition(parts), "sample", "value", seed = 9L)
+        .select($"rid", $"sample", $"value")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          Option(r.get(2)).map(_.asInstanceOf[Double].toString))).toSet
+    assert(imputed(13) == imputed(2))
+
+    val long = (1 to 400).map { i =>
+      (i.toLong, "dim" + (i % 5), i * 0.11 - (i % 3))
+    }.toDF("fid", "sample", "value")
+    def scores(parts: Int) = {
+      val df = long.repartition(parts)
+      val m = Pca.fit(df, "fid", "sample", "value", nComponents = 2)
+      Pca.sampleScores(spark, df, m, "fid", "sample", "value")
+        .collect().map(r => (r.getString(0), r.getDouble(1).toString, r.getDouble(2).toString)).toSet
+    }
+    assert(scores(11) == scores(3))
+  }
 }
