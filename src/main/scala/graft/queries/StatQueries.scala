@@ -213,7 +213,8 @@ object StatQueries extends QueryProvider {
       FROM g"""))
 
   // ---- full volcano with p + s0 classification (rows-only: t CDF
-  //      is commons-math3, not DuckDB-expressible; covered by specs) ----
+  //      is commons-math3, not DuckDB-expressible — DuckDB has no
+  //      erf/incomplete beta; covered by specs) ----
   private val qVolcano = Q(
     "q_volcano",
     (s, d) => {
@@ -226,6 +227,57 @@ object StatQueries extends QueryProvider {
         s0 = 0.1, minRatio = 0.1, minP = 0.5)
     },
     None)
+
+  // ---- the same composed volcano chain MINUS the p-dependent columns,
+  //      hash-checked: log2 transform (rounded at SIX digits, not 9:
+  //      the values feed dec(15,6) sums, and a 9-digit-rounded value
+  //      can sit exactly on a 6-decimal half-boundary where the two
+  //      engines' double→decimal casts disagree — at 6 digits the
+  //      decimal cast is exact, no rounding at all) → grouped t
+  //      moments → fold change. Only
+  //      p/significant stay golden-spec-only. ----
+  private val qVolcanoSurface = Q(
+    "q_volcano_surface",
+    (s, d) => {
+      val long = Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("A", "R"))
+        .select(col("l_partkey").as("id"), col("l_returnflag").as("group"),
+          round(log2(col("l_extendedprice")), 6).as("value"))
+      Volcano.twoSample(long, Seq("id"), "group", "value",
+        control = "A", comparison = "R", minValidN = 2,
+        s0 = 0.1, minRatio = 0.1, minP = 0.5)
+        .drop("p", "significant")
+    },
+    Some {
+      val v = "ROUND(LOG2(l_extendedprice), 6)"
+      val dv = MS.dec(v); val dpv = MS.decProd(v, v)
+      def mean(s1: String, n: String) = s"$s1 / CAST($n AS DOUBLE)"
+      s"""
+      WITH g AS (
+        SELECT l_partkey AS id,
+          CAST(SUM(CASE WHEN l_returnflag = 'A' THEN $dv END) AS DOUBLE) AS s1a,
+          CAST(SUM(CASE WHEN l_returnflag = 'A' THEN $dpv END) AS DOUBLE) AS s2a,
+          CAST(COUNT(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) AS BIGINT) AS n_a,
+          CAST(SUM(CASE WHEN l_returnflag = 'R' THEN $dv END) AS DOUBLE) AS s1b,
+          CAST(SUM(CASE WHEN l_returnflag = 'R' THEN $dpv END) AS DOUBLE) AS s2b,
+          CAST(COUNT(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END) AS BIGINT) AS n_b
+        FROM lineitem
+        WHERE l_returnflag = 'A' OR l_returnflag = 'R'
+        GROUP BY l_partkey)
+      SELECT id, n_a, n_b,
+        ${mean("s1a", "n_a")} AS mean_a,
+        ${mean("s1b", "n_b")} AS mean_b,
+        (${mean("s1a", "n_a")} - ${mean("s1b", "n_b")})
+          / SQRT((((CAST(n_a AS DOUBLE) - 1.0)
+                     * ((s2a - s1a * s1a / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0))
+                   + (CAST(n_b AS DOUBLE) - 1.0)
+                     * ((s2b - s1b * s1b / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)))
+                  / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0))
+                 * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS t,
+        CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0 AS df,
+        ${mean("s1b", "n_b")} - ${mean("s1a", "n_a")} AS ratio
+      FROM g WHERE n_a >= 2 AND n_b >= 2"""
+    })
 
   // ---- §2.10 ttest_1samp (intended semantics, popmean 0) ----
   private val qTtest1 = Q(
@@ -315,5 +367,6 @@ object StatQueries extends QueryProvider {
     }))
 
   def all: Seq[Q] = Seq(qTtest, anovaBuild, qCorr, qQvalues, qQvaluesStorey,
-    qTtest1, qMedianCollapse, qNonZeroSum, qEventsWindow, qSessionize, qVolcano)
+    qTtest1, qMedianCollapse, qNonZeroSum, qEventsWindow, qSessionize, qVolcano,
+    qVolcanoSurface)
 }
