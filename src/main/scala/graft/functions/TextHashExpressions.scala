@@ -45,17 +45,27 @@ object TextHash {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** Top 60 bits of md5 of a byte range, digesting into a caller-held
+    * 16-byte buffer — the per-gram hot path (winnowing hashes every
+    * k-gram of every document): one ThreadLocal lookup and zero
+    * allocations per call instead of three. */
+  private def top60(
+      md: java.security.MessageDigest, bytes: Array[Byte],
+      off: Int, len: Int, out: Array[Byte]): Long = {
+    md.update(bytes, off, len)
+    md.digest(out, 0, 16) // implies reset
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (out(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
   /** Top 60 bits of md5 of the UTF-8 bytes — identical to parsing the
     * digest's first 15 hex digits, which is how DuckDB replays it:
     * `CAST(CONCAT('0x', SUBSTR(md5(s), 1, 15)) AS BIGINT)`. */
   def md5Top60(s: org.apache.spark.unsafe.types.UTF8String): Long = {
-    val md = md5Local.get()
-    md.reset()
-    val d = md.digest(s.getBytes)
-    var v = 0L
-    var i = 0
-    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
-    v >>> 4
+    val b = s.getBytes
+    top60(md5Local.get(), b, 0, b.length, new Array[Byte](16))
   }
 
   /** (a·h + b) mod 2⁶¹−1 via a 128-bit product (multiplyHigh):
@@ -82,12 +92,15 @@ object TextHash {
     val k = coefA.length
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
+    val md = md5Local.get()
+    val out = new Array[Byte](16)
     var seen = false
     var j = 0
     while (j < n) {
       if (!shingles.isNullAt(j)) {
         seen = true
-        val h = md5Top60(shingles.getUTF8String(j))
+        val b = shingles.getUTF8String(j).getBytes
+        val h = top60(md, b, 0, b.length, out)
         var i = 0
         while (i < k) {
           val v = affineMod61(coefA(i), h, coefB(i))
@@ -199,9 +212,31 @@ object TextHash {
     val len = text.numChars()
     val nGrams = math.max(len - (k - 1), 1)
     val grams = new Array[Long](nGrams)
+    // hash byte SLICES at code-point boundaries: a UTF-8 substring's
+    // bytes ARE the byte range between its code points' offsets, so
+    // this equals md5Top60(substringSQL(i+1, k)) without allocating a
+    // UTF8String + byte copy per gram
+    val bytes = text.getBytes
+    val starts = new Array[Int](len + 1)
+    var ci = 0
+    var bi = 0
+    while (ci < len) {
+      starts(ci) = bi
+      val b = bytes(bi)
+      bi += (if ((b & 0x80) == 0) 1
+             else if ((b & 0xe0) == 0xc0) 2
+             else if ((b & 0xf0) == 0xe0) 3
+             else 4)
+      ci += 1
+    }
+    starts(len) = bytes.length
+    val md = md5Local.get()
+    val digestBuf = new Array[Byte](16)
     var i = 0
     while (i < nGrams) {
-      grams(i) = md5Top60(text.substringSQL(i + 1, k))
+      val from = starts(i)
+      val until = starts(math.min(i + k, len))
+      grams(i) = top60(md, bytes, from, until - from, digestBuf)
       i += 1
     }
     val lastStart = math.max(nGrams - w, 0)
@@ -231,10 +266,13 @@ object TextHash {
   def simHash60(tokens: ArrayData): Long = {
     val n = tokens.numElements()
     val counts = new Array[Int](60)
+    val md = md5Local.get()
+    val out = new Array[Byte](16)
     var j = 0
     while (j < n) {
       if (!tokens.isNullAt(j)) {
-        val h = md5Top60(tokens.getUTF8String(j))
+        val tb = tokens.getUTF8String(j).getBytes
+        val h = top60(md, tb, 0, tb.length, out)
         var b = 0
         while (b < 60) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
