@@ -166,4 +166,20 @@ class EdgeCaseSpec extends SparkSpec {
     cleanup()
     assert((spark.sparkContext.getPersistentRDDs.keySet & added).isEmpty)
   }
+
+  test("assignCells: exact-tie vectors break to the lowest cell id, deterministically") {
+    import spark.implicits._
+    // two identical centroids → every distance ties → argmin must pick
+    // cell 0 via the struct tie-break, on every row, regardless of
+    // partitioning
+    val emb = (1L to 50L).map(i => (i, Array.fill(4)(i * 0.5f))).toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 1.0, 1.0, 1.0), Array(1.0, 1.0, 1.0, 1.0),
+      Array(9.0, 9.0, 9.0, 9.0))
+    val cells = graft.sim.Similarity.assignCells(emb.repartition(7), "embedding", cents)
+      .select($"vec_id", $"_cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells.values.forall(c => c == 0 || c == 2)) // never the duplicate cell 1
+    val again = graft.sim.Similarity.assignCells(emb.repartition(3), "embedding", cents)
+      .select($"vec_id", $"_cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells == again)
+  }
 }
