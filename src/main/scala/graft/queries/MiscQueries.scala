@@ -157,7 +157,25 @@ object MiscQueries extends QueryProvider {
       SELECT s_suppkey, CAST(s_nationkey AS VARCHAR) AS pid, n_name AS to_id
       FROM supplier LEFT JOIN nation ON CAST(n_nationkey AS VARCHAR) = CAST(s_nationkey AS VARCHAR)"""))
 
+  // ---- exact per-group quantiles (the corpus percentile-gate
+  //      primitive): partitioned-window rank with deterministic
+  //      tie-break, rank ceil(q*n) selected — exact, reproducible,
+  //      and replayed verbatim by the oracle. ----
+  private val qGroupQuantiles = Q(
+    "q_group_quantiles",
+    (s, d) => graft.ops.Quantiles.exactGroupQuantiles(
+      graft.Tables.lineitem(s, d).select(
+        org.apache.spark.sql.functions.col("l_returnflag"),
+        org.apache.spark.sql.functions.col("l_quantity"),
+        org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_linenumber")),
+      "l_returnflag", "l_quantity", Seq(0.5, 0.95, 0.99),
+      tieCols = Seq("l_orderkey", "l_linenumber")),
+    Some(graft.ops.Quantiles.oracleSql(
+      "lineitem", "l_returnflag", "l_quantity", Seq(0.5, 0.95, 0.99),
+      Seq("l_orderkey", "l_linenumber"))))
+
   def all: Seq[Q] = Seq(
     qHistogram, qHistogramCompare, qQcCounts, qRank, qNtile, qTopKPerGroup,
-    qLabelExtract, qCombine, qGoEnrichment, qIdMapping)
+    qLabelExtract, qCombine, qGoEnrichment, qIdMapping, qGroupQuantiles)
 }

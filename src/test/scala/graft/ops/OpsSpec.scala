@@ -96,4 +96,20 @@ class OpsSpec extends SparkSpec {
       .as[Boolean].collect().toSeq
     assert(out == Seq(true, false, false))
   }
+
+  test("exactGroupQuantiles: rank-selected values match a sorted reference; nulls dropped") {
+    import graft.ops.Quantiles
+    val df = Seq(
+      ("a", 5.0, 1L), ("a", 1.0, 2L), ("a", 3.0, 3L), ("a", 4.0, 4L), ("a", 2.0, 5L),
+      ("b", 10.0, 6L), ("b", 20.0, 7L), ("b", 20.0, 8L)
+    ).toDF("g", "v", "k")
+      .unionByName(Seq(("b", Option.empty[Double], 9L)).toDF("g", "v", "k"))
+    val out = Quantiles.exactGroupQuantiles(df, "g", "v", Seq(0.5, 0.95), Seq("k"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // a: n=5 → p50 rank ceil(2.5)=3 → 3.0; p95 rank ceil(4.75)=5 → 5.0
+    assert(out("a") == ((3.0, 5.0)))
+    // b: n=3 (null dropped) → p50 rank ceil(1.5)=2 → 20.0 (tie broken by k);
+    // p95 rank ceil(2.85)=3 → 20.0
+    assert(out("b") == ((20.0, 20.0)))
+  }
 }
