@@ -144,6 +144,20 @@ object Padua {
     import org.apache.spark.sql.functions.{broadcast, col}
     df.join(broadcast(mapping), col(idCol) === col(fromCol), "left").drop(fromCol)
   }
+  /** ref utils.py:332-356, full client: POST to UniProt (flag-gated —
+    * see RemoteClients) and return the (from_id, to_id) broadcast
+    * table for [[apply_id_mapping]]. */
+  def get_uniprot_id_mapping_pairs(spark: SparkSession, f: String, t: String,
+      seqids: Seq[String]): DataFrame =
+    graft.io.RemoteClients.getUniprotIdMappingPairs(spark, f, t, seqids)
+  /** ref analysis.py:336-384, full client: POST to PantherDB
+    * (flag-gated), then the data-plane summary/FDR-gate/sort. */
+  def go_enrichment(spark: SparkSession, proteinIds: Seq[String],
+      enrichment: String = "function", organism: String = "Homo sapiens",
+      summary: Boolean = true, fdr: Double = 0.05): DataFrame =
+    go_enrichment_process(
+      graft.io.RemoteClients.goEnrichmentFetch(spark, proteinIds, enrichment, organism),
+      fdr, summary)
   def modifiedaminoacids(df: DataFrame): DataFrame =
     df.groupBy(org.apache.spark.sql.functions.col("Amino acid"))
       .agg(org.apache.spark.sql.functions.count(

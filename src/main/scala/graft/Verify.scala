@@ -18,6 +18,10 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Tell queries with driver-recorded oracle literals (q_volcano's p
+    // column) to capture them during this run; Bench never sets this,
+    // so it never pays the extra recording action.
+    System.setProperty("graft.record.oracle", "1")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

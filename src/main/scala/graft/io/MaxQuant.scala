@@ -30,16 +30,24 @@ object MaxQuant {
     "Leading proteins" -> "T", "Protein names" -> "T", "Gene names" -> "T",
     "Sequence window" -> "T", "Unique identifier" -> "T")
 
-  /** `read_perseus` (ref io.py:21-30): TSV with 4 header rows (label +
-    * `#!{Type}` annotations); only level 0 (the labels) is kept. The
-    * Perseus type row maps C/T → string, N/E → double.
+  /** `read_perseus` (ref io.py:21-30): TSV with a label row plus up to
+    * 3 `#!{...}` annotation rows (a full Perseus export has 4 header
+    * rows; the reference's own `write_perseus` emits 2); only level 0
+    * (the labels) is kept. The Perseus type row maps C/T → string,
+    * N/E → double.
     *
-    * The 4 header lines are read driver-side (they are metadata, not
-    * data); the bulk scan is a distributed CSV read with an explicit
-    * schema and the annotation rows filtered out. */
+    * The header block is read driver-side (it is metadata, not data);
+    * annotation rows are recognized by their `#!` first-cell marker,
+    * never by position, so 2-row and 4-row header blocks both parse.
+    * The bulk scan is a distributed CSV read with an explicit schema
+    * and the header rows filtered out. */
   def readPerseus(spark: SparkSession, path: String): DataFrame = {
     val src = scala.io.Source.fromFile(path)
-    val headerLines = try src.getLines().take(4).toList finally src.close()
+    val headerLines = try {
+      val it = src.getLines()
+      val labelLine = it.next()
+      labelLine :: it.take(3).toList.takeWhile(_.split("\t", -1).head.startsWith("#!"))
+    } finally src.close()
     val labels = headerLines.head.split("\t", -1)
     val typeRow = headerLines
       .find(_.contains("#!{Type}"))
@@ -50,15 +58,15 @@ object MaxQuant {
     // columns would parse to null and become indistinguishable from
     // data). Types are applied as cast projections after the filter —
     // still one distributed pass. Header rows are matched by their
-    // first field; data rows never carry a header label there in
-    // MaxQuant/Perseus tables.
-    val headFirstFields = headerLines.map(_.split("\t", -1).head).filter(_.nonEmpty)
+    // first field (the label, or the #! marker); data rows never carry
+    // either in MaxQuant/Perseus tables.
+    val first = coalesce(col(labels.head), lit(""))
     val raw = spark.read
       .option("sep", "\t")
       .option("header", "false")
       .schema(StructType(labels.map(StructField(_, StringType))))
       .csv(path)
-      .filter(!coalesce(col(labels.head), lit("")).isin(headFirstFields: _*))
+      .filter(first =!= labels.head && !first.startsWith("#!"))
     raw.select(labels.zip(typeRow).map { case (name, t) =>
       // try_cast: malformed numerics coerce to null (pandas semantics)
       // instead of throwing under Spark 4's default ANSI mode
@@ -66,23 +74,54 @@ object MaxQuant {
     }.toIndexedSeq: _*)
   }
 
+  private def perseusTypeRow(columns: Seq[String]): Seq[String] =
+    columns.zipWithIndex.map { case (c, i) =>
+      val t = fieldTypeMap.getOrElse(c, "E")
+      if (i == 0) s"#!{Type}$t" else t
+    }
+
   /** `write_perseus` (ref io.py:33-82): TSV with the `#!{Type}`
     * annotation row between header and data.
     *
     * Scale divergence (documented): the reference writes one local
     * file. Here the data plane writes distributed part files and the
     * 2-line header block goes to a `_perseus_header.tsv` sidecar; pass
-    * `singleFile=true` to coalesce(1) for small exports. */
+    * `singleFile=true` to coalesce(1) for small exports. For the
+    * reference's exact one-file-with-injected-type-row output, use
+    * [[writePerseusFile]]. */
   def writePerseus(df: DataFrame, dir: String, singleFile: Boolean = false): Unit = {
-    val types = df.columns.zipWithIndex.map { case (c, i) =>
-      val t = fieldTypeMap.getOrElse(c, "E")
-      if (i == 0) s"#!{Type}$t" else t
-    }
-    val header = df.columns.mkString("\t") + "\n" + types.mkString("\t") + "\n"
+    val header = df.columns.mkString("\t") + "\n" +
+      perseusTypeRow(df.columns.toIndexedSeq).mkString("\t") + "\n"
     val out = if (singleFile) df.coalesce(1) else df
     out.write.mode("overwrite").option("sep", "\t").option("header", "false").csv(dir)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(dir, "_perseus_header.tsv"), header)
+  }
+
+  /** `write_perseus` single-file semantics (ref io.py:33-82): ONE TSV —
+    * label row, `#!{Type}` annotation row, then data — readable back
+    * by [[readPerseus]] with types intact. The data plane is a
+    * coalesce(1) distributed write (this is a small-export interop
+    * path; large tables belong in [[writePerseus]]'s partitioned form);
+    * the header block is injected by a driver-side stream concat of
+    * the single part file, never by buffering the data in memory. */
+  def writePerseusFile(df: DataFrame, path: String): Unit = {
+    val tmp = path + "._perseus_tmp"
+    df.coalesce(1).write.mode("overwrite")
+      .option("sep", "\t").option("header", "false").csv(tmp)
+    val part = Option(new java.io.File(tmp).listFiles()).toSeq.flatten
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+      .getOrElse(sys.error(s"no csv part file written under $tmp"))
+    val header = (df.columns.mkString("\t") + "\n" +
+      perseusTypeRow(df.columns.toIndexedSeq).mkString("\t") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val os = java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path))
+    try { os.write(header); java.nio.file.Files.copy(part.toPath, os) }
+    finally os.close()
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(tmp))
   }
 
   /** `write_phosphopath` (ref io.py:95-127): derive

@@ -41,13 +41,57 @@ object Multimodal {
       lit(0).as("meta_height"))
 
   /** Size-aware repartition before decode: media blobs are large and
-    * skewed; balance partitions by cumulative payload size rather than
-    * row count (at scale: repartitionByRange on a size-bucket key). */
-  def repartitionBySize(df: DataFrame, targetPartitions: Int): DataFrame =
-    df.withColumn("_sz_bucket",
-        (xxhash64(col("media_id")) % targetPartitions).cast("int"))
-      .repartition(targetPartitions, col("_sz_bucket"))
-      .drop("_sz_bucket")
+    * heavy-tailed, so hash-by-id balances row COUNTS but not bytes —
+    * one partition catching two 4 GB videos stalls the decode stage.
+    *
+    * Exact byte slicing: rows are laid on a deterministic global byte
+    * axis — (hash-bucket, media_id) order, cumulative `length(media)`
+    * offsets from the two-level bucketed stitch (per-bucket running
+    * sums + broadcast bucket offsets; hash buckets are uniform, so no
+    * window skew) — and the axis is cut into `targetPartitions` equal
+    * byte slices. Each slice holds `totalBytes/target ± maxRowBytes`
+    * (a row belongs wholly to the slice its start offset falls in).
+    *
+    * The physical placement is an identity partitioner over the slice
+    * id via one RDD hop: this is the one operator here Catalyst cannot
+    * express — both hash and range exchanges balance row counts, and a
+    * byte-WEIGHTED exchange needs a custom Partitioner (SURVEY §4.2
+    * rule (d): mapPartitions/RDD only where the declarative API
+    * genuinely cannot). The hop costs one row (de)serialization pass,
+    * noise next to the decode stage it protects. */
+  def repartitionBySize(
+      df: DataFrame, targetPartitions: Int, numBuckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = df.withColumn("_bytes", length(col("media")).cast("long"))
+    val totalRow = sized.agg(sum(col("_bytes"))).head()
+    if (totalRow.isNullAt(0)) return df.repartition(targetPartitions)
+    val slice = math.max(1L, totalRow.getLong(0) / targetPartitions + 1L)
+    val bucketed = sized.withColumn("_sb",
+      pmod(xxhash64(col("media_id")), lit(numBuckets)).cast("int"))
+    val wB = Window.partitionBy(col("_sb")).orderBy(col("media_id"))
+    val local = bucketed.withColumn("_cum",
+      sum(col("_bytes")).over(wB.rowsBetween(Window.unboundedPreceding, 0)))
+    // ≤ numBuckets summary rows; lit(0) partition: bounded by design
+    val wAll = Window.partitionBy(lit(0)).orderBy(col("_sb"))
+    val offs = local.groupBy(col("_sb")).agg(sum(col("_bytes")).as("_bb"))
+      .withColumn("_off", coalesce(
+        sum(col("_bb")).over(wAll.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_sb"), col("_off"))
+    val slotted = local.join(broadcast(offs), Seq("_sb"))
+      .withColumn("_slot", least(
+        floor((col("_off") + col("_cum") - col("_bytes")) / slice),
+        lit(targetPartitions - 1)).cast("int"))
+      .select((col("_slot") +: df.columns.map(col)).toIndexedSeq: _*)
+    val spark = df.sparkSession
+    val rdd = slotted.rdd
+      .map(r => (r.getInt(0), org.apache.spark.sql.Row.fromSeq(r.toSeq.tail)))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = targetPartitions
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .values
+    spark.createDataFrame(rdd, df.schema)
+  }
 
   /** Batched "decode": mapPartitions over typed rows — the Scala
     * analogue of mapInPandas batch processing. The real decoder would

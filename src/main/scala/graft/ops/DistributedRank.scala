@@ -59,7 +59,10 @@ object DistributedRank {
     val wBkt = Window.partitionBy(col("_rb")).orderBy(ordered: _*)
     val local = data.withColumn("_rb", bucket)
       .withColumn("_lrn", row_number().over(wBkt))
-    val wAll = Window.orderBy(col("_rb")) // numBuckets rows only
+    // ≤ numBuckets summary rows: one partition is intentional and
+    // bounded; partitionBy(lit(0)) silences WindowExec's no-partition
+    // warning so real global-window regressions stay visible in logs.
+    val wAll = Window.partitionBy(lit(0)).orderBy(col("_rb"))
     val offsets = local.groupBy(col("_rb")).agg(count(lit(1)).as("_bn"))
       .withColumn("_off",
         coalesce(sum(col("_bn")).over(wAll.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

@@ -8,14 +8,21 @@ import org.apache.spark.sql.functions._
   * curation pipeline runs constantly ("drop documents below the p5
   * quality score of their language", "cap at p99 token count").
   *
-  * Scale design: one window PARTITIONED BY the group key (shuffles
-  * once on the group — never a global single-partition window,
-  * invariant 6) ranks values with a DETERMINISTIC tie-break on the
-  * caller's unique key columns; the quantile is then the row at rank
-  * ceil(q·n) (1-indexed, the discrete lower-nearest definition), so
-  * results are exact and bitwise-reproducible — approx_percentile's
-  * sketch is neither, and an external engine can replay the same rank
-  * selection verbatim.
+  * Scale design: group cardinality is this operator's stated use case
+  * ("per language"), so one window partition PER GROUP is not enough —
+  * at 100 TB one language can be half the corpus and would pin a
+  * single sort task. Ranks therefore come from the two-level bucketed
+  * pattern (same stitch as QValues/DistributedRank) applied WITHIN
+  * each group: range-bucket the value against the group's own
+  * (min, max) — from one aggregate, broadcast back — rank inside each
+  * (group, bucket) window in parallel, then add per-bucket offsets
+  * from a tiny (group × ≤numBuckets)-row cumulative sum. Bucketing by
+  * value preserves the (value, tieCols...) order across buckets, so
+  * the stitched rank is EXACTLY the per-group row_number; the
+  * quantile is then the row at rank ceil(q·n) (1-indexed, the
+  * discrete lower-nearest definition) — exact and bitwise-
+  * reproducible (approx_percentile's sketch is neither), replayable
+  * verbatim by an external engine.
   */
 object Quantiles {
 
@@ -27,14 +34,35 @@ object Quantiles {
       groupCol: String,
       valueCol: String,
       qs: Seq[Double],
-      tieCols: Seq[String]): DataFrame = {
+      tieCols: Seq[String],
+      numBuckets: Int = 1024): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0), "qs in (0, 1]")
-    val w = Window.partitionBy(col(groupCol))
+    val data = df.filter(col(valueCol).isNotNull)
+    // per-group value range + count: one partial-aggregated pass; the
+    // result is group-cardinality-sized (the operator's own output
+    // size), so broadcasting it back is always affordable
+    val stats = data.groupBy(col(groupCol)).agg(
+      min(col(valueCol)).cast("double").as("_mn"),
+      max(col(valueCol)).cast("double").as("_mx"),
+      count(lit(1)).as("_n"))
+    val span = when(col("_mx") > col("_mn"), col("_mx") - col("_mn")).otherwise(lit(1.0))
+    val bucket = least(
+      floor((col(valueCol).cast("double") - col("_mn")) / span * numBuckets).cast("int"),
+      lit(numBuckets - 1))
+    val bucketed = data.join(broadcast(stats), groupCol).withColumn("_rb", bucket)
+    // skew split numBuckets ways: the window key is (group, bucket)
+    val wBkt = Window.partitionBy(col(groupCol), col("_rb"))
       .orderBy((col(valueCol) +: tieCols.map(col)): _*)
-    val ranked = df
-      .filter(col(valueCol).isNotNull)
-      .withColumn("_rn", row_number().over(w))
-      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val local = bucketed.withColumn("_lrn", row_number().over(wBkt))
+    // per-(group, bucket) offsets: cumulative counts over ≤numBuckets
+    // summary rows per group — bounded at any scale
+    val wGrp = Window.partitionBy(col(groupCol)).orderBy(col("_rb"))
+    val offsets = local.groupBy(col(groupCol), col("_rb")).agg(count(lit(1)).as("_bn"))
+      .withColumn("_off", coalesce(
+        sum(col("_bn")).over(wGrp.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(groupCol), col("_rb"), col("_off"))
+    val ranked = local.join(broadcast(offsets), Seq(groupCol, "_rb"))
+      .withColumn("_rn", col("_off") + col("_lrn"))
     val aggs = qs.map { q =>
       val name = s"p${math.round(q * 100)}"
       max(when(col("_rn") === ceil(lit(q) * col("_n")), col(valueCol))).as(name)

@@ -212,47 +212,66 @@ object StatQueries extends QueryProvider {
              AS BIGINT) AS session_id
       FROM g"""))
 
-  // ---- full volcano with p + s0 classification (rows-only: t CDF
-  //      is commons-math3, not DuckDB-expressible — DuckDB has no
-  //      erf/incomplete beta; covered by specs) ----
+  // ---- full volcano with p + s0 classification. The t CDF has no
+  //      DuckDB image (no erf/incomplete beta), but p is a pure
+  //      function of (t, df) which ARE oracled — so the Verify run
+  //      RECORDS Spark's (id, p, significant) and the oracle joins
+  //      them back as literals over the same hash-checked surface SQL
+  //      (Registry oracleGen pattern, like Storey pi0 / Ward). The
+  //      recording collect is gated on the graft.record.oracle
+  //      property (set by Verify only) so Bench never pays a second
+  //      evaluation. p math itself is locked by StatTestsSpec goldens
+  //      against scipy-derived constants. Input is rounded at 6
+  //      digits like the surface twin (see its note: 6-digit rounding
+  //      makes the dec(15,6) cast exact on both engines). ----
+  private val lastVolcanoP = new java.util.concurrent.atomic.AtomicReference[
+    Seq[(Long, Option[Double], Option[Boolean])]]()
+
   private val qVolcano = Q(
     "q_volcano",
     (s, d) => {
       val long = Tables.lineitem(s, d)
         .filter(col("l_returnflag").isin("A", "R"))
         .select(col("l_partkey").as("id"), col("l_returnflag").as("group"),
-          log2(col("l_extendedprice")).as("value"))
-      Volcano.twoSample(long, Seq("id"), "group", "value",
-        control = "A", comparison = "R", minValidN = 2,
-        s0 = 0.1, minRatio = 0.1, minP = 0.5)
-    },
-    None)
-
-  // ---- the same composed volcano chain MINUS the p-dependent columns,
-  //      hash-checked: log2 transform (rounded at SIX digits, not 9:
-  //      the values feed dec(15,6) sums, and a 9-digit-rounded value
-  //      can sit exactly on a 6-decimal half-boundary where the two
-  //      engines' double→decimal casts disagree — at 6 digits the
-  //      decimal cast is exact, no rounding at all) → grouped t
-  //      moments → fold change. Only
-  //      p/significant stay golden-spec-only. ----
-  private val qVolcanoSurface = Q(
-    "q_volcano_surface",
-    (s, d) => {
-      val long = Tables.lineitem(s, d)
-        .filter(col("l_returnflag").isin("A", "R"))
-        .select(col("l_partkey").as("id"), col("l_returnflag").as("group"),
           round(log2(col("l_extendedprice")), 6).as("value"))
-      Volcano.twoSample(long, Seq("id"), "group", "value",
+      val v = Volcano.twoSample(long, Seq("id"), "group", "value",
         control = "A", comparison = "R", minValidN = 2,
         s0 = 0.1, minRatio = 0.1, minP = 0.5)
-        .drop("p", "significant")
+      if (sys.props.get("graft.record.oracle").contains("1"))
+        lastVolcanoP.set(v.select(col("id"), col("p"), col("significant"))
+          .collect().toSeq.map { r =>
+            (r.getLong(0),
+              if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+              if (r.isNullAt(2)) None else Some(r.getBoolean(2)))
+          })
+      v
     },
-    Some {
-      val v = "ROUND(LOG2(l_extendedprice), 6)"
-      val dv = MS.dec(v); val dpv = MS.decProd(v, v)
-      def mean(s1: String, n: String) = s"$s1 / CAST($n AS DOUBLE)"
+    None,
+    oracleGen = Some(() => Option(lastVolcanoP.get()).map { rec =>
+      val values = rec.map { case (id, p, sig) =>
+        val pl = p.map(x => s"CAST('$x' AS DOUBLE)").getOrElse("CAST(NULL AS DOUBLE)")
+        val sl = sig.map(b => if (b) "TRUE" else "FALSE").getOrElse("CAST(NULL AS BOOLEAN)")
+        s"($id,$pl,$sl)"
+      }.mkString(",")
       s"""
+      WITH s AS ($volcanoSurfaceSql),
+      pv(id, p, significant) AS (VALUES $values)
+      SELECT s.*, pv.p, pv.significant FROM s JOIN pv USING (id)"""
+    }))
+
+  // ---- the volcano chain MINUS the p-dependent columns, fully
+  //      DuckDB-recomputed (no recorded literals): log2 transform
+  //      (rounded at SIX digits, not 9: the values feed dec(15,6)
+  //      sums, and a 9-digit-rounded value can sit exactly on a
+  //      6-decimal half-boundary where the two engines' double→decimal
+  //      casts disagree — at 6 digits the decimal cast is exact, no
+  //      rounding at all) → grouped t moments → fold change. Shared
+  //      with q_volcano's oracle as volcanoSurfaceSql. ----
+  private val volcanoSurfaceSql: String = {
+    val v = "ROUND(LOG2(l_extendedprice), 6)"
+    val dv = MS.dec(v); val dpv = MS.decProd(v, v)
+    def mean(s1: String, n: String) = s"$s1 / CAST($n AS DOUBLE)"
+    s"""
       WITH g AS (
         SELECT l_partkey AS id,
           CAST(SUM(CASE WHEN l_returnflag = 'A' THEN $dv END) AS DOUBLE) AS s1a,
@@ -277,7 +296,21 @@ object StatQueries extends QueryProvider {
         CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0 AS df,
         ${mean("s1b", "n_b")} - ${mean("s1a", "n_a")} AS ratio
       FROM g WHERE n_a >= 2 AND n_b >= 2"""
-    })
+  }
+
+  private val qVolcanoSurface = Q(
+    "q_volcano_surface",
+    (s, d) => {
+      val long = Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("A", "R"))
+        .select(col("l_partkey").as("id"), col("l_returnflag").as("group"),
+          round(log2(col("l_extendedprice")), 6).as("value"))
+      Volcano.twoSample(long, Seq("id"), "group", "value",
+        control = "A", comparison = "R", minValidN = 2,
+        s0 = 0.1, minRatio = 0.1, minP = 0.5)
+        .drop("p", "significant")
+    },
+    Some(volcanoSurfaceSql))
 
   // ---- §2.10 ttest_1samp (intended semantics, popmean 0) ----
   private val qTtest1 = Q(

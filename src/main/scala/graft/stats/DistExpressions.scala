@@ -10,15 +10,22 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * inside whole-stage codegen as a plain static invocation (no UDF
   * serialization, no InternalRow boxing). */
 object DistMath {
+  // Closed forms over the static regularized incomplete beta — bitwise
+  // identical to commons-math3's TDistribution/FDistribution CDFs (which
+  // compute exactly these expressions) but with zero per-row allocation:
+  //   P(|T|>t) = I_{df/(df+t^2)}(df/2, 1/2)        [2*0.5*I == I exactly]
+  //   P(F>f)   = 1 - I_{d1 f/(d2+d1 f)}(d1/2, d2/2)
   def tPTwoSided(t: Double, df: Double): Double =
     if (df <= 0 || java.lang.Double.isNaN(t)) Double.NaN
-    else 2.0 * new org.apache.commons.math3.distribution.TDistribution(df)
-      .cumulativeProbability(-math.abs(t))
+    else if (t == 0.0) 1.0
+    else org.apache.commons.math3.special.Beta.regularizedBeta(
+      df / (df + t * t), 0.5 * df, 0.5)
 
   def fPUpper(f: Double, d1: Double, d2: Double): Double =
     if (d1 <= 0 || d2 <= 0 || java.lang.Double.isNaN(f)) Double.NaN
-    else 1.0 - new org.apache.commons.math3.distribution.FDistribution(d1, d2)
-      .cumulativeProbability(f)
+    else if (f <= 0.0) 1.0
+    else 1.0 - org.apache.commons.math3.special.Beta.regularizedBeta(
+      (d1 * f) / (d2 + d1 * f), 0.5 * d1, 0.5 * d2)
 }
 
 /** Two-sided Student-t p-value as a native Catalyst expression with

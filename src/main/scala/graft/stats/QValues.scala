@@ -44,7 +44,11 @@ object QValues {
       .withColumn("_lrank", row_number().over(wBkt))
 
     val counts = local.groupBy(col("_bkt")).agg(count(lit(1)).as("_bn"))
-    val wAll = Window.orderBy(col("_bkt")) // numBuckets rows only
+    // ≤ numBuckets summary rows: one partition is intentional and
+    // bounded. partitionBy(lit(0)) makes that explicit and keeps
+    // WindowExec's no-partition warning out of logs where a REAL
+    // global-window regression should stand out.
+    val wAll = Window.partitionBy(lit(0)).orderBy(col("_bkt"))
     val offsets = counts
       .withColumn("_offset",
         coalesce(sum(col("_bn")).over(wAll.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

@@ -56,11 +56,26 @@ object Dedup {
     * Signatures are split into `bands` bands of `rows` hashes; docs
     * sharing any band-hash become candidates (classic MinHash-LSH:
     * P(candidate) = 1-(1-j^rows)^bands). The band join shuffles only
-    * (band_idx, band_hash, id) triples; the equi-join key
-    * (band_idx, band_hash) is uniform → no skew. */
+    * (band_idx, band_hash, id) triples.
+    *
+    * The equi-join key is uniform for DISTINCT content, but near-dup
+    * CLUSTERS — the very thing this operator hunts (boilerplate pages,
+    * templated spam) — all share band hashes: an m-member cluster puts
+    * m² candidate pairs in one (band_idx, band_hash) bucket, so at
+    * 100 TB a 1M-member cluster means 10¹² pairs in one task. The
+    * `maxBucketRows` guard (same pattern as
+    * Similarity.cosineNearDupPairs) counts each bucket BEFORE the
+    * quadratic join and drops oversized ones via a left_semi prune —
+    * an aggregate-only pre-pass, no extra data shuffle of the banded
+    * triples (they re-shuffle on the same key either way, and AQE
+    * reuses the exchange). Members of a dropped bucket are near-
+    * identical by construction; callers wanting them handled should
+    * route oversized buckets to exact dedup on the band hash instead
+    * of pair enumeration. */
   def minHashCandidatePairs(
       signatures: DataFrame, idCol: String,
-      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+      numHashes: Int = 32, bands: Int = 8,
+      maxBucketRows: Long = 100000L): DataFrame = {
     val rows = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh_$i"))
@@ -69,8 +84,14 @@ object Dedup {
     val banded = signatures
       .select(col(idCol), explode(array(bandCols: _*)).as("band"))
       .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
-    val l = banded.withColumnRenamed(idCol, "id_a")
-    val r = banded.withColumnRenamed(idCol, "id_b")
+    // hot-bucket guard: cap group size before the quadratic self-join
+    val okBuckets = banded.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") <= maxBucketRows)
+      .select(col("band_idx"), col("band_hash"))
+    val pruned = banded.join(okBuckets, Seq("band_idx", "band_hash"), "left_semi")
+    val l = pruned.withColumnRenamed(idCol, "id_a")
+    val r = pruned.withColumnRenamed(idCol, "id_b")
     l.join(r, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))

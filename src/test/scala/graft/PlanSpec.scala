@@ -101,6 +101,30 @@ class PlanSpec extends SparkSpec {
     specs.foreach(s => assert(s.contains("_rb"), s))
   }
 
+  test("group quantiles rank inside (group, value-bucket) windows — no per-group sort partition") {
+    val p = plan("q_group_quantiles")
+    // the data-plane row_number window must be keyed by the value
+    // bucket as well as the group; only the ≤numBuckets-row offsets
+    // window (the cumulative sum) may be group-wide
+    val rn = "row_number\\(\\) windowspecdefinition\\([^)]*".r.findAllIn(p).toList
+    assert(rn.nonEmpty, p)
+    rn.foreach(s => assert(s.contains("_rb"), s))
+    assert(p.contains("BroadcastHashJoin"), p) // stats + offsets stitched via broadcast
+  }
+
+  test("minhash LSH band join is guarded: bucket-count prune via left_semi before the self-join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sigs = graft.text.Dedup.minHashSignatures(
+      Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text"),
+      "doc_id", "text", numHashes = 16, shingleSize = 3)
+    val p = graft.text.Dedup.minHashCandidatePairs(sigs, "doc_id", numHashes = 16, bands = 4)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("LeftSemi"), p)
+    // the guard is an aggregate over (band_idx, band_hash) counts
+    assert(p.contains("_bn"), p)
+  }
+
   test("3-set venn is one keyed shuffle + single-row agg — no INTERSECT joins") {
     val p = plan("q_venn3")
     // membership formulation: exactly one hash-partition exchange (on

@@ -26,8 +26,8 @@ class IoStreamingSpec extends SparkSpec {
     Files.writeString(java.nio.file.Paths.get(tmp, "p.txt"),
       "Proteins\tIntensity A\tIntensity B\n" +
       "#!{Type}T\tE\tE\n" +
-      "C:x\t\t\n" +
-      "C:y\t\t\n" +
+      "#!{C:Group}\tWT\tKO\n" +
+      "#!{N:Replicate}\t1\t2\n" +
       "P1\t1.5\t2.5\n" +
       "P2\t3.5\t4.5\n" +
       "P3\tNaN?\tbroken\n") // malformed numerics coerce to null, not ANSI error
@@ -46,6 +46,29 @@ class IoStreamingSpec extends SparkSpec {
     val header = Files.readString(java.nio.file.Paths.get(tmp, "_perseus_header.tsv"))
     assert(header.startsWith("Proteins\tLocalization prob\tIntensity A\n"))
     assert(header.contains("#!{Type}T\tN\tE"))
+  }
+
+  test("writePerseusFile round-trip: one file, injected type row, types survive readPerseus") {
+    val tmp = Files.createTempDirectory("persrt").toString
+    val path = s"$tmp/perseus.txt"
+    val df = Seq(
+      ("P1", 0.9, 1.5, "+"),
+      ("P2", 0.4, 2.5, null.asInstanceOf[String])
+    ).toDF("Proteins", "Localization prob", "Intensity A", "Reverse")
+    MaxQuant.writePerseusFile(df, path)
+    // exactly one regular file, reference layout: labels, #!{Type} row, data
+    val lines = Files.readAllLines(java.nio.file.Paths.get(path))
+    assert(lines.get(0) == "Proteins\tLocalization prob\tIntensity A\tReverse")
+    assert(lines.get(1) == "#!{Type}T\tN\tE\tC")
+    assert(lines.size() == 4)
+    val back = MaxQuant.readPerseus(spark, path)
+    assert(back.columns.toSeq == df.columns.toSeq)
+    assert(back.schema("Localization prob").dataType.typeName == "double")
+    assert(back.schema("Intensity A").dataType.typeName == "double")
+    assert(back.schema("Proteins").dataType.typeName == "string")
+    val rows = back.collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getDouble(2), Option(r.getString(3)))).sortBy(_._1)
+    assert(rows.toSeq == Seq(("P1", 0.9, 1.5, Some("+")), ("P2", 0.4, 2.5, None)))
   }
 
   test("phosphopathFrame string surgery matches reference format") {
@@ -194,6 +217,32 @@ class IoStreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(gotFps == batchFps) // one survivor per gated fingerprint
     assert(spark.table("doc_curate").count() == batchFps.size)
+  }
+
+  test("repartitionBySize bounds partition byte-skew under a heavy-tail payload") {
+    import org.apache.spark.sql.functions.spark_partition_id
+    // 400 small rows (~100 B) + 8 jumbo rows (~50 KB): hash-by-id alone
+    // can stack several jumbos in one partition; the two-tier balancer
+    // must spread them round-robin by size rank
+    val small = (1L to 400L).map(i => (i, "s" * 100))
+    val jumbo = (1001L to 1008L).map(i => (i, "J" * 50000))
+    val media = Multimodal.attachBinary(
+      (small ++ jumbo).toDF("doc_id", "text"), "doc_id", "text")
+    val target = 8
+    val out = Multimodal.repartitionBySize(media, target)
+    assert(out.columns.toSeq == media.columns.toSeq) // helper cols dropped
+    val byPart = out.select(spark_partition_id().as("p"), length($"media").as("b"))
+      .groupBy("p").sum("b").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = 400L * 100 + 8L * 50000
+    val slice = total / target + 1
+    val maxRow = 50000L
+    // exact byte-slice contract: every partition holds one contiguous
+    // byte slice of totalBytes/target, ± the one row straddling its
+    // start boundary
+    assert(byPart.values.max <= slice + maxRow, byPart.toString)
+    assert(out.rdd.getNumPartitions == target)
+    // rows survive intact
+    assert(out.count() == 408)
   }
 
   test("multimodal decode is deterministic and batched") {

@@ -112,4 +112,20 @@ class OpsSpec extends SparkSpec {
     // p95 rank ceil(2.85)=3 → 20.0
     assert(out("b") == ((20.0, 20.0)))
   }
+
+  test("exactGroupQuantiles: dominant group (99% of rows) splits across value buckets") {
+    import graft.ops.Quantiles
+    // one group holds 9900 of 10000 rows — the skew shape the bucketed
+    // stitch exists for; with few buckets every bucket window still
+    // holds multiple rows, exercising the offset stitching
+    val rows = (1 to 9900).map(i => ("big", i.toDouble, i.toLong)) ++
+      (1 to 100).map(i => ("small", i.toDouble, (10000 + i).toLong))
+    val df = rows.toDF("g", "v", "k")
+    val out = Quantiles.exactGroupQuantiles(df, "g", "v", Seq(0.25, 0.5, 0.99), Seq("k"),
+        numBuckets = 7)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // values 1..n: rank ceil(q*n) selects exactly ceil(q*n)
+    assert(out("big") == ((2475.0, 4950.0, 9801.0)))
+    assert(out("small") == ((25.0, 50.0, 99.0)))
+  }
 }

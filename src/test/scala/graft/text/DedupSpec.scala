@@ -33,6 +33,28 @@ class DedupSpec extends SparkSpec {
     assert(est((1L, 4L)) == 1.0) // identical signatures
   }
 
+  test("minhash LSH hot-bucket cap bounds candidates under duplicate-cluster skew") {
+    // a boilerplate cluster: 200 identical docs would emit C(200,2)=19900
+    // pairs through every band bucket without the guard
+    val cluster = (100L until 300L).map(i => (i, base + " boilerplate footer text"))
+    val skewed = (docs.collect().map(r => (r.getLong(0), r.getString(1))) ++ cluster)
+      .toSeq.toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(skewed, "doc_id", "text", numHashes = 16, shingleSize = 3)
+    // cap below the cluster size: its buckets are dropped before the join
+    val capped = Dedup.minHashCandidatePairs(sigs, "doc_id", numHashes = 16,
+        bands = 4, maxBucketRows = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists { case (a, b) => a >= 100L && b >= 100L },
+      "cluster pairs must be pruned by the cap")
+    assert(capped.contains((1L, 4L)), "small buckets unaffected by the cap")
+    // cap above the cluster size: identical to the unguarded formulation
+    val uncapped = Dedup.minHashCandidatePairs(sigs, "doc_id", numHashes = 16,
+        bands = 4, maxBucketRows = 100000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size >= 19900 && (100L until 300L)
+      .combinations(2).take(5).forall(p => uncapped.contains((p(0), p(1)))))
+  }
+
   test("wordShingles produces distinct n-grams") {
     val out = docs.filter($"doc_id" === 1)
       .select(Dedup.wordShingles($"text", 3).as("sh"))
