@@ -71,11 +71,11 @@ object Multimodal {
     val wB = Window.partitionBy(col("_sb")).orderBy(col("media_id"))
     val local = bucketed.withColumn("_cum",
       sum(col("_bytes")).over(wB.rowsBetween(Window.unboundedPreceding, 0)))
-    // ≤ numBuckets summary rows; lit(0) partition: bounded by design
-    val wAll = Window.partitionBy(lit(0)).orderBy(col("_sb"))
-    val offs = local.groupBy(col("_sb")).agg(sum(col("_bytes")).as("_bb"))
-      .withColumn("_off", coalesce(
-        sum(col("_bb")).over(wAll.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // ≤ numBuckets summary rows: bucket byte-offsets via the bounded
+    // self-join (Stitch) — no unpartitioned window
+    val offs = graft.ops.Stitch.cumulativeBefore(
+        local.groupBy(col("_sb")).agg(sum(col("_bytes")).as("_bb")),
+        "_sb", "_bb", "_off")
       .select(col("_sb"), col("_off"))
     val slotted = local.join(broadcast(offs), Seq("_sb"))
       .withColumn("_slot", least(

@@ -59,13 +59,11 @@ object DistributedRank {
     val wBkt = Window.partitionBy(col("_rb")).orderBy(ordered: _*)
     val local = data.withColumn("_rb", bucket)
       .withColumn("_lrn", row_number().over(wBkt))
-    // ≤ numBuckets summary rows: one partition is intentional and
-    // bounded; partitionBy(lit(0)) silences WindowExec's no-partition
-    // warning so real global-window regressions stay visible in logs.
-    val wAll = Window.partitionBy(lit(0)).orderBy(col("_rb"))
-    val offsets = local.groupBy(col("_rb")).agg(count(lit(1)).as("_bn"))
-      .withColumn("_off",
-        coalesce(sum(col("_bn")).over(wAll.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // ≤ numBuckets summary rows: running offsets via the bounded
+    // self-join (Stitch) — no unpartitioned WindowExec anywhere, so a
+    // real global-window regression cannot hide in the logs
+    val offsets = Stitch.cumulativeBefore(
+        local.groupBy(col("_rb")).agg(count(lit(1)).as("_bn")), "_rb", "_bn", "_off")
       .select(col("_rb"), col("_off"))
     (local.join(broadcast(offsets), Seq("_rb"))
       .withColumn(outCol, col("_off") + col("_lrn"))

@@ -44,20 +44,16 @@ object QValues {
       .withColumn("_lrank", row_number().over(wBkt))
 
     val counts = local.groupBy(col("_bkt")).agg(count(lit(1)).as("_bn"))
-    // ≤ numBuckets summary rows: one partition is intentional and
-    // bounded. partitionBy(lit(0)) makes that explicit and keeps
-    // WindowExec's no-partition warning out of logs where a REAL
-    // global-window regression should stand out.
-    val wAll = Window.partitionBy(lit(0)).orderBy(col("_bkt"))
-    val offsets = counts
-      .withColumn("_offset",
-        coalesce(sum(col("_bn")).over(wAll.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      // m (total tests) = running offset + bucket count of the LAST
-      // bucket — derived from the summary the plan already computes,
-      // instead of a separate count() pass over the data
-      .withColumn("_m",
-        max(col("_offset") + col("_bn")).over(wAll.rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)))
+    // ≤ numBuckets summary rows: running offsets + total via the
+    // bounded self-join/crossJoin (graft.ops.Stitch) — no
+    // unpartitioned WindowExec anywhere, so a real global-window
+    // regression cannot hide in the logs. m (total tests) = sum of
+    // bucket counts, from the summary the plan already computes —
+    // never a separate count() pass over the data.
+    val total = counts.agg(sum(col("_bn")).as("_m"))
+    val offsets = graft.ops.Stitch
+      .cumulativeBefore(counts, "_bkt", "_bn", "_offset")
+      .crossJoin(broadcast(total))
       .select(col("_bkt"), col("_offset"), col("_m"))
 
     val ranked = local
@@ -68,11 +64,11 @@ object QValues {
     // Backward running min within bucket…
     val withLocalMin = ranked.withColumn(
       "_lmin", min(col("_raw")).over(wBkt.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
-    // …stitched with the min over strictly-later buckets.
-    val bucketMins = withLocalMin
-      .groupBy(col("_bkt")).agg(min(col("_raw")).as("_bmin"))
-      .withColumn("_laterMin",
-        min(col("_bmin")).over(wAll.rowsBetween(1, Window.unboundedFollowing)))
+    // …stitched with the min over strictly-later buckets (bounded
+    // self-join, same no-window rationale as the offsets above).
+    val bucketMins = graft.ops.Stitch
+      .minAfter(withLocalMin.groupBy(col("_bkt")).agg(min(col("_raw")).as("_bmin")),
+        "_bkt", "_bmin", "_laterMin")
       .select(col("_bkt"), col("_laterMin"))
     withLocalMin
       .join(broadcast(bucketMins), Seq("_bkt"))

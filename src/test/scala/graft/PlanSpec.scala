@@ -101,6 +101,18 @@ class PlanSpec extends SparkSpec {
     specs.foreach(s => assert(s.contains("_rb"), s))
   }
 
+  test("NO query plans an unpartitioned window — invariant 6 held structurally") {
+    // the bounded offset stitches use Stitch's self-joins, so an empty
+    // partition spec anywhere is a regression (windowspecdefinition's
+    // first element being a sort spec means the partition list is empty)
+    val bad = "windowspecdefinition\\([^(,]*(ASC|DESC)".r
+    for (name <- Registry.queries.keys.toSeq.sorted) {
+      val p = Registry.queries(name)(spark, sf).queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(bad.findFirstIn(p).isEmpty, s"$name plans an unpartitioned window")
+    }
+  }
+
   test("group quantiles rank inside (group, value-bucket) windows — no per-group sort partition") {
     val p = plan("q_group_quantiles")
     // the data-plane row_number window must be keyed by the value
