@@ -47,9 +47,13 @@ object DistributedRank {
       return (data.withColumn(outCol, lit(null).cast("long")).limit(0), 0L)
     val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
     val span = if (mx > mn) mx - mn else 1.0
-    val raw = least(
-      floor((col(valueCol).cast("double") - mn) / span * numBuckets).cast("int"),
-      lit(numBuckets - 1))
+    // clamp BEFORE floor/cast: under ANSI mode floor of ±Inf overflows
+    // LONG and NaN fails the int cast; least/greatest treat NaN as the
+    // largest double, so -Inf→bucket 0, NaN/+Inf→last bucket — exactly
+    // where the sort order puts them
+    val raw = floor(least(greatest(
+        (col(valueCol).cast("double") - mn) / span * numBuckets, lit(0.0)),
+      lit((numBuckets - 1).toDouble))).cast("int")
     val bucket = if (ascending) raw else lit(numBuckets - 1) - raw
 
     val ordered: Seq[Column] = {

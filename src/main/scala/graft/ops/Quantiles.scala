@@ -46,9 +46,13 @@ object Quantiles {
       max(col(valueCol)).cast("double").as("_mx"),
       count(lit(1)).as("_n"))
     val span = when(col("_mx") > col("_mn"), col("_mx") - col("_mn")).otherwise(lit(1.0))
-    val bucket = least(
-      floor((col(valueCol).cast("double") - col("_mn")) / span * numBuckets).cast("int"),
-      lit(numBuckets - 1))
+    // clamp BEFORE floor/cast: under ANSI mode (invariant 5) floor of
+    // ±Inf overflows LONG and NaN fails the int cast; least/greatest
+    // treat NaN as the largest double, so -Inf→bucket 0, NaN/+Inf→last
+    // bucket — exactly where the sort order puts them
+    val bucket = floor(least(greatest(
+        (col(valueCol).cast("double") - col("_mn")) / span * numBuckets, lit(0.0)),
+      lit((numBuckets - 1).toDouble))).cast("int")
     val bucketed = data.join(broadcast(stats), groupCol).withColumn("_rb", bucket)
     // skew split numBuckets ways: the window key is (group, bucket)
     val wBkt = Window.partitionBy(col(groupCol), col("_rb"))

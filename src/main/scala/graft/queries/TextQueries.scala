@@ -432,9 +432,11 @@ object TextQueries extends QueryProvider {
         Tables.documents(s, d), "doc_id", "text",
         graft.pipeline.TrainingData.CurationConfig(
           minQuality = 0.1, langs = Set("en", "de", "fr", "es", "zh"), minTokens = 3))
-      // tiny (removed ids only); the persisted signature stage makes
-      // this collect and the kept-frame materialization share work
-      lastCurateNearDups.set(c.nearDupRemoved.collect().map(_.getLong(0)).sorted.toSeq)
+      // oracle-literal recording only (kept already anti-joins the
+      // removal set distributed) — gated on the Verify-set property so
+      // Bench never pays this extra materialization of the LSH chain
+      if (sys.props.get("graft.record.oracle").contains("1"))
+        lastCurateNearDups.set(c.nearDupRemoved.collect().map(_.getLong(0)).sorted.toSeq)
       c.kept.select(col("doc_id"), col("quality"), col("lang_pred"), col("n_tokens"))
     },
     None,

@@ -128,4 +128,23 @@ class OpsSpec extends SparkSpec {
     assert(out("big") == ((2475.0, 4950.0, 9801.0)))
     assert(out("small") == ((25.0, 50.0, 99.0)))
   }
+
+  test("exactGroupQuantiles: NaN/±Inf values don't break ANSI bucketing; sort order preserved") {
+    import graft.ops.Quantiles
+    // NaN sorts above +Inf in both Spark and DuckDB; -Inf first. The
+    // clamped bucket math must keep ANSI mode from throwing on the
+    // float→int path and keep ranks aligned with the sort order.
+    val rows = Seq(
+      ("g", 1.0, 1L), ("g", 2.0, 2L), ("g", 3.0, 3L), ("g", 4.0, 4L),
+      ("g", 5.0, 5L), ("g", 6.0, 6L), ("g", 7.0, 7L), ("g", 8.0, 8L),
+      ("g", Double.PositiveInfinity, 9L), ("g", Double.NaN, 10L),
+      ("h", Double.NegativeInfinity, 11L), ("h", 1.0, 12L), ("h", 2.0, 13L), ("h", 3.0, 14L)
+    ).toDF("g", "v", "k")
+    val out = Quantiles.exactGroupQuantiles(rows, "g", "v", Seq(0.25, 0.5, 0.95), Seq("k"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // g: n=10 → ranks 3, 5, ceil(9.5)=10 → 3.0, 5.0, NaN (sorted last)
+    assert(out("g")._1 == 3.0 && out("g")._2 == 5.0 && out("g")._3.isNaN)
+    // h: n=4 → ranks 1, 2, 4 → -Inf first, then 1.0, last 3.0
+    assert(out("h") == ((Double.NegativeInfinity, 1.0, 3.0)))
+  }
 }
