@@ -549,6 +549,23 @@ object TextQueries extends QueryProvider {
       FROM t"""
     })
 
+  // ---- PII redaction: replace-all email/URL tokens. The regex
+  //      dialects (Java / RE2) agree on these class patterns — the
+  //      count oracle above already proves them portable; the replace
+  //      oracle needs DuckDB's 'g' flag to match Spark's replace-all.
+  //      Same application order (emails, then URLs) on both sides. ----
+  private val qPiiRedact = Q(
+    "q_pii_redact",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.redactPii(col("text")).as("redacted")),
+    Some(s"""
+      SELECT doc_id,
+        regexp_replace(
+          regexp_replace(text, '${TextAnalysis.emailPattern}', '<EMAIL>', 'g'),
+          '${TextAnalysis.urlPattern}', '<URL>', 'g') AS redacted
+      FROM documents"""))
+
   // ---- corpus vocabulary top-k: distributed top-k, never a global
   //      sort (TakeOrderedAndProject) ----
   private val qTokenTopK = Q(
@@ -611,5 +628,6 @@ object TextQueries extends QueryProvider {
   def all: Seq[Q] = Seq(
     qDedupExact, qFingerprint, qTokens, qQuality, qLangId, qJaccard, qAnn, qAnnLsh,
     qAnnIvf, qMinhash, qSimhash, qSimhashPairs, qWinnow, qLshPairs, qCurate,
-    qTokenTopK, qStratSample, qMixSources, qContamination, qRepetition, qCurationSignals)
+    qTokenTopK, qStratSample, qMixSources, qContamination, qRepetition, qCurationSignals,
+    qPiiRedact)
 }

@@ -127,6 +127,19 @@ object TextAnalysis {
   def emailCount(text: Column): Column = regexp_count(text, lit(emailPattern)).cast("long")
   def urlCount(text: Column): Column = regexp_count(text, lit(urlPattern)).cast("long")
 
+  /** PII redaction: replace emails/URLs with placeholder tokens —
+    * row-local codegen'd regexp_replace chain (Spark replaces ALL
+    * occurrences; the oracle mirrors with DuckDB's 'g' flag; both
+    * regex dialects agree on these character-class patterns, the same
+    * ones the count oracles already prove portable). Emails first:
+    * a URL with an embedded userinfo '@' must not leave a partial
+    * email behind after URL removal. */
+  def redactPii(text: Column,
+      emailToken: String = "<EMAIL>", urlToken: String = "<URL>"): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, emailToken),
+      urlPattern, urlToken)
+
   /** Document fingerprint: first 16 hex chars of md5 (content-stable,
     * engine-portable). For a rolling/locality-sensitive fingerprint see
     * Dedup.simHash and winnowingFingerprints. */

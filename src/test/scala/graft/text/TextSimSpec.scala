@@ -127,6 +127,19 @@ class TextSimSpec extends SparkSpec {
     assert(out(3L)._2 == 1L && out(3L)._3 == 2L)
   }
 
+  test("redactPii replaces every email/URL occurrence with the placeholder tokens") {
+    val df = Seq(
+      (1L, "mail a.user+x@example.org or b@c.io twice: b@c.io"),
+      (2L, "see https://example.org/x and http://b.co end"),
+      (3L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextAnalysis.redactPii($"text").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "mail <EMAIL> or <EMAIL> twice: <EMAIL>") // replace-ALL
+    assert(out(2L) == "see <URL> and <URL> end")
+    assert(out(3L) == "no pii here at all")
+  }
+
   test("qualityScore in [0,1], penalizes junk") {
     val df = Seq(
       (1, "this is a perfectly reasonable sentence with normal words and structure"),
