@@ -198,4 +198,30 @@ class PropertySpec extends SparkSpec {
     }
     assert(scores(11) == scores(3))
   }
+
+  test("property: two-level exactGroupQuantiles equals the in-memory sorted-rank reference") {
+    import graft.ops.Quantiles
+    val gen = for {
+      rows <- Gen.listOfN(120, for {
+        g <- Gen.oneOf("a", "b", "c")
+        v <- Gen.choose(-100.0, 100.0)
+      } yield (g, v))
+      qs <- Gen.nonEmptyListOf(Gen.choose(1, 100)).map(_.distinct.take(4).map(_ / 100.0))
+    } yield (rows, qs)
+    samples(gen, 4).foreach { case (rows, qs) =>
+      val df = rows.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+        .toDF("g", "v", "k")
+      // tiny numBuckets forces multi-row buckets AND cross-bucket
+      // stitching in the same case
+      val out = Quantiles.exactGroupQuantiles(df, "g", "v", qs, Seq("k"), numBuckets = 5)
+        .collect().map(r => r.getString(0) ->
+          qs.indices.map(i => r.getDouble(i + 1)).toList).toMap
+      val ref = rows.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+        .groupBy(_._1).map { case (g, grp) =>
+          val sorted = grp.sortBy(t => (t._2, t._3)).map(_._2)
+          g -> qs.map(q => sorted(math.ceil(q * sorted.length).toInt - 1)).toList
+        }
+      assert(out == ref)
+    }
+  }
 }
