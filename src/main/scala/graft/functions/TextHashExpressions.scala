@@ -148,6 +148,28 @@ object TextHash {
     new GenericArrayData(arr)
   }
 
+  /** All word n-gram OCCURRENCES in order — the non-distinct variant
+    * of wordShingles. LM counting needs occurrence counts; document
+    * frequency (the distinct form) is the wrong statistic there. */
+  def wordNgrams(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val m = math.max(words.length - n + 1, 0)
+    val arr = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      arr(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(arr)
+  }
+
   /** Non-overlapping left-to-right occurrence count of a literal
     * substring — value-identical to the portable
     * `(length(t) - length(replace(t, sub, ''))) / length(sub)` form
@@ -337,6 +359,20 @@ case class WordShinglesExpr(child: Expression, n: Int)
   override def prettyName: String = "word_shingles"
 }
 
+/** Non-distinct n-gram occurrence list (LM counting). */
+case class WordNgramsExpr(child: Expression, n: Int)
+    extends UnaryExpression with Serializable {
+  require(n >= 1, "n >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(in: Any): Any =
+    TextHash.wordNgrams(in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextHash.wordNgrams($a, $n);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "word_ngrams"
+}
+
 /** One-pass 60-bit SimHash over a token array — replaces 60
   * CodegenFallback aggregate() chains per row. */
 case class SimHash60(child: Expression)
@@ -441,6 +477,8 @@ object TextHashExpressions {
   /** Distinct word n-gram shingles over a text column (codegen'd). */
   def wordShingles(text: Column, n: Int): Column =
     Bridge.column(WordShinglesExpr(Bridge.expression(text), n))
+  def wordNgrams(text: Column, n: Int): Column =
+    Bridge.column(WordNgramsExpr(Bridge.expression(text), n))
 
   /** 60-bit simhash over a token array column. */
   def simHash60(tokens: Column): Column =

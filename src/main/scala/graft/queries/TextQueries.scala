@@ -549,6 +549,34 @@ object TextQueries extends QueryProvider {
       FROM t"""
     })
 
+  // ---- corpus-trained bigram LM quality score: train (counts →
+  //      conditional MLE logp, 6-digit round so the dec(15,6) sums
+  //      are exact) and score (broadcast model join, exact-decimal
+  //      mean with OOV penalty) in one query; the oracle replays the
+  //      identical chain with DuckDB list slicing. ----
+  private val qLmScore = Q(
+    "q_lm_score",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.bigramLmScores(docs, "doc_id", "text",
+        TextAnalysis.bigramLmModel(docs, "text", minCount = 2L, maxVocab = 1000000))
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      g0 AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 1)) AS i FROM w),
+      g AS (SELECT doc_id, array_to_string(words[i:i+1], ' ') AS g FROM g0),
+      counts AS (SELECT g.g AS g, CAST(COUNT(1) AS BIGINT) AS c FROM g GROUP BY g.g),
+      ctx AS (SELECT split_part(g, ' ', 1) AS w1, SUM(c) AS ctx FROM counts GROUP BY 1),
+      kept AS (SELECT counts.g, c, split_part(counts.g, ' ', 1) AS w1 FROM counts
+               WHERE c >= 2 ORDER BY c DESC, counts.g LIMIT 1000000),
+      model AS (SELECT kept.g, ROUND(LN(CAST(c AS DOUBLE) / CAST(ctx AS DOUBLE)), 6) AS logp
+                FROM kept JOIN ctx ON ctx.w1 = kept.w1),
+      scored AS (SELECT g.doc_id, COALESCE(m.logp, CAST('-20.0' AS DOUBLE)) AS lp
+                 FROM g LEFT JOIN model m ON m.g = g.g)
+      SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CAST(lp AS DECIMAL(15,6))) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE) AS lm_score
+      FROM scored GROUP BY doc_id"""))
+
   // ---- PII redaction: replace-all email/URL tokens. The regex
   //      dialects (Java / RE2) agree on these class patterns — the
   //      count oracle above already proves them portable; the replace
@@ -629,5 +657,5 @@ object TextQueries extends QueryProvider {
     qDedupExact, qFingerprint, qTokens, qQuality, qLangId, qJaccard, qAnn, qAnnLsh,
     qAnnIvf, qMinhash, qSimhash, qSimhashPairs, qWinnow, qLshPairs, qCurate,
     qTokenTopK, qStratSample, qMixSources, qContamination, qRepetition, qCurationSignals,
-    qPiiRedact)
+    qPiiRedact, qLmScore)
 }

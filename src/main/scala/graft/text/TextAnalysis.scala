@@ -140,6 +140,58 @@ object TextAnalysis {
       regexp_replace(text, emailPattern, emailToken),
       urlPattern, urlToken)
 
+  /** In-corpus MLE bigram language model — the statistical complement
+    * of the heuristic qualityScore (CCNet/Gopher-style pipelines gate
+    * on exactly this LM signal). One exploded pass over ALL bigram
+    * occurrences (codegen'd WordNgramsExpr — occurrence counts, not
+    * the distinct shingles dedup uses):
+    *   logp(w1 w2) = round(ln(c(w1 w2) / ctx(w1)), 6)
+    * with ctx(w1) = Σ_w2 c(w1 w2) derived from the SAME counts (no
+    * second scan). Bigrams below `minCount` drop (they score as OOV);
+    * `maxVocab` caps the model via a deterministic (count desc, gram)
+    * top-V — TakeOrderedAndProject, and the bound is what makes the
+    * scoring-side broadcast join safe at 100 TB. logp is rounded at
+    * SIX digits so its dec(15,6) image is exact on any engine
+    * (invariant 1). */
+  def bigramLmModel(
+      docs: DataFrame, textCol: String,
+      minCount: Long = 2L, maxVocab: Int = 1000000): DataFrame = {
+    val counts = docs
+      .select(explode(graft.functions.TextHashExpressions.wordNgrams(col(textCol), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+    val ctx = counts
+      .groupBy(substring_index(col("g"), " ", 1).as("w1"))
+      .agg(sum(col("c")).as("ctx"))
+    counts.filter(col("c") >= minCount)
+      .orderBy(col("c").desc, col("g"))
+      .limit(maxVocab)
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .join(ctx, "w1")
+      .select(col("g"),
+        round(log(col("c").cast("double") / col("ctx").cast("double")), 6).as("logp"))
+  }
+
+  /** Per-document LM score: exact-decimal mean of model logp over the
+    * document's bigram occurrences, OOV bigrams contributing
+    * `oovLogProb`. The model (bounded by maxVocab) broadcasts; the
+    * corpus text never shuffles — only (id, gram) pairs do. Documents
+    * with fewer than two words have no bigrams and are absent. */
+  def bigramLmScores(
+      docs: DataFrame, idCol: String, textCol: String, model: DataFrame,
+      oovLogProb: Double = -20.0): DataFrame = {
+    import graft.stats.Moments
+    docs
+      .select(col(idCol),
+        explode(graft.functions.TextHashExpressions.wordNgrams(col(textCol), 2)).as("g"))
+      .join(broadcast(model), Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        Moments.meanOf(
+          Moments.sumExact(coalesce(col("logp"), lit(oovLogProb))),
+          count(lit(1))).as("lm_score"))
+  }
+
   /** Document fingerprint: first 16 hex chars of md5 (content-stable,
     * engine-portable). For a rolling/locality-sensitive fingerprint see
     * Dedup.simHash and winnowingFingerprints. */

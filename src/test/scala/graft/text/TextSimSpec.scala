@@ -127,6 +127,33 @@ class TextSimSpec extends SparkSpec {
     assert(out(3L)._2 == 1L && out(3L)._3 == 2L)
   }
 
+  test("bigram LM: hand-computed conditional MLE, OOV penalty, occurrence counting") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo")).toDF("doc_id", "text")
+    // occurrences: doc1 [a b, b a, a b], doc2 [a b, b c] →
+    // c(a b)=3, c(b a)=1, c(b c)=1; ctx(a)=3, ctx(b)=2
+    val model = TextAnalysis.bigramLmModel(docs, "text", minCount = 2L)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(model == Map("a b" -> 0.0)) // ln(3/3)=0; the c=1 bigrams dropped
+    val scores = TextAnalysis.bigramLmScores(docs, "doc_id", "text",
+        TextAnalysis.bigramLmModel(docs, "text", minCount = 2L))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // doc1: [0, -20, 0]/3; doc2: [0, -20]/2; doc3: no bigrams → absent
+    assert(scores(1L)._1 == 3L && approx(scores(1L)._2, -20.0 / 3))
+    assert(scores(2L) == ((2L, -10.0)))
+    assert(!scores.contains(3L))
+  }
+
+  test("wordNgrams keeps duplicate occurrences in order (non-distinct kernel)") {
+    import graft.functions.TextHashExpressions
+    val df = Seq((1L, "a b a b"), (2L, ""), (3L, "x"), (4L, "a  b")).toDF("id", "t")
+    val out = df.select($"id", TextHashExpressions.wordNgrams($"t", 2).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("a b", "b a", "a b"))
+    assert(out(2L).isEmpty) // "" splits to one empty word → no bigram
+    assert(out(3L).isEmpty)
+    assert(out(4L) == Seq("a ", " b")) // double space → empty middle word
+  }
+
   test("redactPii replaces every email/URL occurrence with the placeholder tokens") {
     val df = Seq(
       (1L, "mail a.user+x@example.org or b@c.io twice: b@c.io"),
