@@ -371,6 +371,58 @@ object TextQueries extends QueryProvider {
       LIMIT 20"""
     }))
 
+  // ---- IVF-PQ's PQ half: per-subspace argmin encode + ADC top-k.
+  //      Codebooks/luts are driver constants after the seeded fit →
+  //      injected as literals (IVF pattern); the per-(vector, subspace)
+  //      argmin replays as a ROW_NUMBER over the cross join, the ADC
+  //      sum as an explicit left-associative + chain (SQL SUM() would
+  //      reorder and drift by ulps). ----
+  private val lastPq = new java.util.concurrent.atomic.AtomicReference[
+    (graft.sim.Pq.PqModel, Array[Array[Double]])]()
+
+  private val qAnnPq = Q(
+    "q_ann_pq_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(transform(col("embedding"), _.cast("double")).as("q"))
+        .head().getSeq[Double](0).toArray
+      val model = graft.sim.Pq.fit(emb, "embedding", dim = q.length, m = 8, k = 16)
+      lastPq.set((model, model.adcLut(q)))
+      graft.sim.Pq.adcTopK(
+        graft.sim.Pq.encode(emb, "embedding", model), "vec_id", model, q, k = 20)
+    },
+    None,
+    oracleGen = Some(() => Option(lastPq.get()).map { case (model, lut) =>
+      val sd = model.subDim
+      def dotSql(a: String, b: String) =
+        s"list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), (a, b) -> a + b)"
+      val bookRows = (0 until model.m).flatMap { j =>
+        model.codebooks(j).zipWithIndex.map { case (cArr, c) =>
+          val c2 = cArr.foldLeft(0.0)((a, x) => a + x * x)
+          s"($j, $c, CAST([${cArr.mkString(", ")}] AS DOUBLE[]), CAST('$c2' AS DOUBLE))"
+        }
+      }.mkString(",\n        ")
+      val sub = s"e.v[(b.j * $sd + 1):(b.j * $sd + $sd)]"
+      val codeCols = (0 until model.m)
+        .map(j => s"MAX(CASE WHEN j = $j THEN c END) AS c$j").mkString(", ")
+      val adc = (0 until model.m)
+        .map(j => s"(CAST([${lut(j).mkString(", ")}] AS DOUBLE[]))[c$j + 1]")
+        .mkString(" + ")
+      s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      books(j, c, cv, c2) AS (VALUES $bookRows),
+      dist AS (SELECT e.vec_id, b.j, b.c,
+        ${dotSql(sub, sub)} - 2.0 * ${dotSql(sub, "b.cv")} + b.c2 AS dd
+        FROM e CROSS JOIN books b),
+      code1 AS (SELECT vec_id, j, c FROM (
+        SELECT vec_id, j, c, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dd, c) AS rn
+        FROM dist) t WHERE rn = 1),
+      codes AS (SELECT vec_id, $codeCols FROM code1 GROUP BY vec_id)
+      SELECT vec_id, $adc AS adc_dist
+      FROM codes ORDER BY adc_dist, vec_id LIMIT 20"""
+    }))
+
   // Oracled: the hyperplanes are pure driver-side constants (SplitMix64
   // of (table, plane, i)), so the exact bucket filter + cosine rank is
   // SQL — the plane arrays are inlined once as literals in a CTE and
@@ -657,5 +709,5 @@ object TextQueries extends QueryProvider {
     qDedupExact, qFingerprint, qTokens, qQuality, qLangId, qJaccard, qAnn, qAnnLsh,
     qAnnIvf, qMinhash, qSimhash, qSimhashPairs, qWinnow, qLshPairs, qCurate,
     qTokenTopK, qStratSample, qMixSources, qContamination, qRepetition, qCurationSignals,
-    qPiiRedact, qLmScore)
+    qPiiRedact, qLmScore, qAnnPq)
 }

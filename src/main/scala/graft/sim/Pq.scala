@@ -1,0 +1,112 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou/Douze/Schmid, "Product Quantization
+  * for Nearest Neighbor Search", IEEE TPAMI 2011 — public algorithm):
+  * split each d-dim vector into `m` contiguous subvectors, k-means
+  * each subspace to `k` centroids, store every vector as m small
+  * codes. Memory per vector drops from 4d bytes to m bytes (k ≤ 256)
+  * — the compression that lets a 100 TB embedding corpus hold an ANN
+  * index in executor memory; combined with IVF cells (Similarity
+  * .ivfIndex) this is the standard IVF-PQ layout. Queries score codes
+  * with Asymmetric Distance Computation (ADC): dist ≈ Σ_j lut_j[code_j]
+  * where the per-query lookup tables fold driver-side against the
+  * codebooks (m·k doubles — tiny).
+  *
+  * Reproducibility discipline mirrors IVF: spark.ml KMeans FITS the
+  * codebooks (seeded, coarse — a quantizer needs coverage, not
+  * convergence), but every assignment goes through the deterministic
+  * argmin expression (struct array_min, lowest-code tie-break, fixed
+  * left-to-right dot folds) so encode and ADC are bitwise
+  * SQL-mirrorable and codegen-resident. Codebooks/luts inject into
+  * oracles as literals, the PCA/IVF pattern.
+  */
+object Pq {
+
+  /** codebooks(j)(c) = centroid c of subspace j (length d/m each). */
+  final case class PqModel(codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def k: Int = codebooks.head.length
+    def subDim: Int = codebooks.head.head.length
+
+    /** Per-query ADC lookup table: lut(j)(c) = ‖q_j − codebook_j(c)‖²
+      * with the same left-to-right fold as every similarity kernel. */
+    def adcLut(query: Array[Double]): Array[Array[Double]] =
+      codebooks.zipWithIndex.map { case (book, j) =>
+        book.map { cent =>
+          var acc = 0.0
+          var i = 0
+          while (i < cent.length) {
+            val diff = query(j * subDim + i) - cent(i)
+            acc += diff * diff
+            i += 1
+          }
+          acc
+        }
+      }
+  }
+
+  /** Fit m per-subspace codebooks: m seeded spark.ml KMeans fits over
+    * the sliced subvectors. Model size is m·k·(d/m) = k·d doubles —
+    * driver-tiny regardless of corpus size. */
+  def fit(
+      embeddings: DataFrame, vecCol: String, dim: Int,
+      m: Int = 4, k: Int = 16, seed: Long = 42L, maxIter: Int = 5): PqModel = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val subDim = dim / m
+    val v = transform(col(vecCol), _.cast("double"))
+    val codebooks = (0 until m).map { j =>
+      val sub = embeddings.select(
+        array_to_vector(slice(v, j * subDim + 1, subDim)).as("_features"))
+      new KMeans().setK(k).setSeed(seed + j).setMaxIter(maxIter)
+        .setInitMode("random").setFeaturesCol("_features").setPredictionCol("_c")
+        .fit(sub).clusterCenters.map(_.toArray)
+    }.toArray
+    PqModel(codebooks)
+  }
+
+  /** Deterministic encode: per subspace, argmin over the codebook of
+    * ‖s‖² − 2·s·c + ‖c‖² (struct array_min, ties to the lowest code —
+    * exactly Similarity.assignCells per subspace). Output: `codeCol`
+    * int array of length m. Row-local, zero shuffles. */
+  def encode(
+      embeddings: DataFrame, vecCol: String, model: PqModel,
+      codeCol: String = "pq_code"): DataFrame = {
+    val v = transform(col(vecCol), _.cast("double"))
+    val codes = (0 until model.m).map { j =>
+      val sub = slice(v, j * model.subDim + 1, model.subDim)
+      val sv = Similarity.dot(sub, sub)
+      val entries = model.codebooks(j).zipWithIndex.map { case (cArr, c) =>
+        val cLit = array(cArr.toIndexedSeq.map(lit): _*)
+        val c2 = cArr.foldLeft(0.0)((a, x) => a + x * x)
+        struct((sv - lit(2.0) * Similarity.dot(sub, cLit) + lit(c2)).as("d"),
+          lit(c).as("c"))
+      }
+      array_min(array(entries.toIndexedSeq: _*)).getField("c")
+    }
+    embeddings.withColumn(codeCol, array(codes: _*))
+  }
+
+  /** ADC top-k: per row, Σ_j lut_j[code_j] (left-to-right over j — a
+    * plain + chain of m literal-array lookups, whole-stage codegen'd),
+    * then orderBy+limit (TakeOrderedAndProject — no global sort).
+    * Ties break to the lowest id. The scan reads ONLY (id, codes):
+    * m bytes of index per vector instead of the raw embeddings. */
+  def adcTopK(
+      encoded: DataFrame, idCol: String, model: PqModel,
+      query: Array[Double], k: Int,
+      codeCol: String = "pq_code", distCol: String = "adc_dist"): DataFrame = {
+    val lut = model.adcLut(query)
+    val dist = (0 until model.m).map { j =>
+      val lutLit = array(lut(j).toIndexedSeq.map(lit): _*)
+      element_at(lutLit, col(codeCol).getItem(j) + 1)
+    }.reduce(_ + _)
+    encoded.select(col(idCol), dist.as(distCol))
+      .orderBy(col(distCol).asc, col(idCol).asc)
+      .limit(k)
+  }
+}

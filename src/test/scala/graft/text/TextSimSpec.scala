@@ -127,6 +127,36 @@ class TextSimSpec extends SparkSpec {
     assert(out(3L)._2 == 1L && out(3L)._3 == 2L)
   }
 
+  test("PQ: encode is deterministic across partitionings; ADC ranks the identical vector first") {
+    import graft.sim.Pq
+    // clustered synthetic vectors (8-dim, m=4 × subDim 2): vec 0 and
+    // its exact duplicate 99 must share codes and top the ADC ranking
+    val base = (0 until 8).map(_.toDouble / 7).toArray
+    def vec(seed: Int): Seq[Float] =
+      (0 until 8).map(i => (base(i) + ((seed * 31 + i * 17) % 97) / 97.0).toFloat)
+    val rows = (1L to 60L).map(i => (i, vec(i.toInt))) ++
+      Seq((0L, vec(0)), (99L, vec(0))) // identical pair
+    val df = rows.toDF("vec_id", "embedding")
+    val model = Pq.fit(df, "embedding", dim = 8, m = 4, k = 8, seed = 7L)
+    val enc = Pq.encode(df, "embedding", model)
+    val codes3 = Pq.encode(df.repartition(3), "embedding", model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    val codes11 = Pq.encode(df.repartition(11), "embedding", model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    assert(codes3 == codes11) // partitioning-independent assignment
+    assert(codes3(0L) == codes3(99L)) // identical vectors, identical codes
+    val q = (0 until 8).map(i => vec(0)(i).toDouble).toArray
+    val all = Pq.adcTopK(enc, "vec_id", model, q, k = 62)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val byId = all.toMap
+    // ADC distance is a pure function of the codes: the query's exact
+    // copies share its (minimal) distance; id 0 leads by tie-break.
+    // Other vectors MAY tie (PQ is lossy — same cells, same distance).
+    assert(all.head._1 == 0L)
+    assert(byId(99L) == all.head._2)
+    assert(all.map(_._2).toSeq == all.map(_._2).toSeq.sorted)
+  }
+
   test("bigram LM: hand-computed conditional MLE, OOV penalty, occurrence counting") {
     val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo")).toDF("doc_id", "text")
     // occurrences: doc1 [a b, b a, a b], doc2 [a b, b c] →
