@@ -400,14 +400,18 @@ object TextQueries extends QueryProvider {
       val bookRows = (0 until model.m).flatMap { j =>
         model.codebooks(j).zipWithIndex.map { case (cArr, c) =>
           val c2 = cArr.foldLeft(0.0)((a, x) => a + x * x)
-          s"($j, $c, CAST([${cArr.mkString(", ")}] AS DOUBLE[]), CAST('$c2' AS DOUBLE))"
+          // element-wise CAST('..' AS DOUBLE): a bare numeral inside a
+          // list literal parses via DECIMAL and can lose the last bit
+          // (1-ulp drift) — strtod string casts are exact
+          val cv = cArr.map(x => s"CAST('$x' AS DOUBLE)").mkString("[", ", ", "]")
+          s"($j, $c, $cv, CAST('$c2' AS DOUBLE))"
         }
       }.mkString(",\n        ")
       val sub = s"e.v[(b.j * $sd + 1):(b.j * $sd + $sd)]"
       val codeCols = (0 until model.m)
         .map(j => s"MAX(CASE WHEN j = $j THEN c END) AS c$j").mkString(", ")
       val adc = (0 until model.m)
-        .map(j => s"(CAST([${lut(j).mkString(", ")}] AS DOUBLE[]))[c$j + 1]")
+        .map(j => s"(${lut(j).map(x => s"CAST('$x' AS DOUBLE)").mkString("[", ", ", "]")})[c$j + 1]")
         .mkString(" + ")
       s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -415,6 +419,76 @@ object TextQueries extends QueryProvider {
       dist AS (SELECT e.vec_id, b.j, b.c,
         ${dotSql(sub, sub)} - 2.0 * ${dotSql(sub, "b.cv")} + b.c2 AS dd
         FROM e CROSS JOIN books b),
+      code1 AS (SELECT vec_id, j, c FROM (
+        SELECT vec_id, j, c, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dd, c) AS rn
+        FROM dist) t WHERE rn = 1),
+      codes AS (SELECT vec_id, $codeCols FROM code1 GROUP BY vec_id)
+      SELECT vec_id, $adc AS adc_dist
+      FROM codes ORDER BY adc_dist, vec_id LIMIT 20"""
+    }))
+
+  // ---- full IVF-PQ: probe filter (IVF oracle's assigned CTE) over
+  //      ADC scoring (PQ oracle's code/lut chain) — both halves'
+  //      literal-injection machinery composed. ----
+  private val lastIvfPq = new java.util.concurrent.atomic.AtomicReference[
+    (Array[Array[Double]], Array[Int], graft.sim.Pq.PqModel, Array[Array[Double]])]()
+
+  private val qAnnIvfPq = Q(
+    "q_ann_ivfpq_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(transform(col("embedding"), _.cast("double")).as("q"))
+        .head().getSeq[Double](0).toArray
+      val (assigned, centroids) = Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 16)
+      val probes = Similarity.probeCells(centroids, q, nProbe = 4)
+      val model = graft.sim.Pq.fit(emb, "embedding", dim = q.length, m = 8, k = 16)
+      lastIvfPq.set((centroids, probes, model, model.adcLut(q)))
+      graft.sim.Pq.ivfPqTopK(
+        graft.sim.Pq.encode(assigned, "embedding", model),
+        "vec_id", model, q, probes, k = 20)
+    },
+    None,
+    oracleGen = Some(() => Option(lastIvfPq.get()).map { case (cents, probes, model, lut) =>
+      val sd = model.subDim
+      def dotSql(a: String, b: String) =
+        s"list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), (a, b) -> a + b)"
+      val cellRows = cents.zipWithIndex.map { case (cArr, i) =>
+        val c2 = cArr.foldLeft(0.0)((a, x) => a + x * x)
+        s"($i, CAST([${cArr.mkString(", ")}] AS DOUBLE[]), CAST('$c2' AS DOUBLE))"
+      }.mkString(",\n        ")
+      val bookRows = (0 until model.m).flatMap { j =>
+        model.codebooks(j).zipWithIndex.map { case (cArr, c) =>
+          val c2 = cArr.foldLeft(0.0)((a, x) => a + x * x)
+          // element-wise CAST('..' AS DOUBLE): a bare numeral inside a
+          // list literal parses via DECIMAL and can lose the last bit
+          // (1-ulp drift) — strtod string casts are exact
+          val cv = cArr.map(x => s"CAST('$x' AS DOUBLE)").mkString("[", ", ", "]")
+          s"($j, $c, $cv, CAST('$c2' AS DOUBLE))"
+        }
+      }.mkString(",\n        ")
+      val sub = s"a.v[(b.j * $sd + 1):(b.j * $sd + $sd)]"
+      val codeCols = (0 until model.m)
+        .map(j => s"MAX(CASE WHEN j = $j THEN c END) AS c$j").mkString(", ")
+      val adc = (0 until model.m)
+        .map(j => s"(${lut(j).map(x => s"CAST('$x' AS DOUBLE)").mkString("[", ", ", "]")})[c$j + 1]")
+        .mkString(" + ")
+      s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ev AS (SELECT vec_id, v, ${dotSql("v", "v")} AS vv FROM e),
+      cells(cell, cv, c2) AS (VALUES $cellRows),
+      celldist AS (SELECT ev.vec_id, ev.v, cells.cell,
+        ev.vv - 2.0 * ${dotSql("ev.v", "cells.cv")} + cells.c2 AS dd
+        FROM ev CROSS JOIN cells),
+      a AS (SELECT vec_id, v FROM (
+        SELECT vec_id, v, cell,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn
+        FROM celldist) t
+        WHERE rn = 1 AND cell IN (${probes.mkString(", ")})),
+      books(j, c, cv, c2) AS (VALUES $bookRows),
+      dist AS (SELECT a.vec_id, b.j, b.c,
+        ${dotSql(sub, sub)} - 2.0 * ${dotSql(sub, "b.cv")} + b.c2 AS dd
+        FROM a CROSS JOIN books b),
       code1 AS (SELECT vec_id, j, c FROM (
         SELECT vec_id, j, c, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dd, c) AS rn
         FROM dist) t WHERE rn = 1),
@@ -709,5 +783,5 @@ object TextQueries extends QueryProvider {
     qDedupExact, qFingerprint, qTokens, qQuality, qLangId, qJaccard, qAnn, qAnnLsh,
     qAnnIvf, qMinhash, qSimhash, qSimhashPairs, qWinnow, qLshPairs, qCurate,
     qTokenTopK, qStratSample, qMixSources, qContamination, qRepetition, qCurationSignals,
-    qPiiRedact, qLmScore, qAnnPq)
+    qPiiRedact, qLmScore, qAnnPq, qAnnIvfPq)
 }

@@ -91,6 +91,21 @@ object Pq {
     embeddings.withColumn(codeCol, array(codes: _*))
   }
 
+  /** IVF-PQ: the standard billion-scale ANN layout — probe the
+    * `probes` coarse cells (from Similarity.ivfIndex/probeCells), then
+    * ADC-score ONLY their members' codes. With storage partitioned by
+    * cell id the probe filter is partition pruning, and the scored
+    * data is m bytes/vector: the scan cost at 100 TB is
+    * (nProbe/nCells) × (m / 4d) of the raw corpus. */
+  def ivfPqTopK(
+      encodedAssigned: DataFrame, idCol: String, model: PqModel,
+      query: Array[Double], probes: Array[Int], k: Int,
+      cellCol: String = "_cell", codeCol: String = "pq_code",
+      distCol: String = "adc_dist"): DataFrame =
+    adcTopK(
+      encodedAssigned.filter(col(cellCol).isin(probes.map(Int.box).toIndexedSeq: _*)),
+      idCol, model, query, k, codeCol, distCol)
+
   /** ADC top-k: per row, Σ_j lut_j[code_j] (left-to-right over j — a
     * plain + chain of m literal-array lookups, whole-stage codegen'd),
     * then orderBy+limit (TakeOrderedAndProject — no global sort).

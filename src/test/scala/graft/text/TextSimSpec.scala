@@ -157,6 +157,24 @@ class TextSimSpec extends SparkSpec {
     assert(all.map(_._2).toSeq == all.map(_._2).toSeq.sorted)
   }
 
+  test("ivfPqTopK scores only members of the probed cells") {
+    import graft.sim.{Pq, Similarity}
+    val rows = (0L to 40L).map(i =>
+      (i, (0 until 8).map(j => ((i * 13 + j * 7) % 23).toFloat / 23f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val (assigned, centroids) = Similarity.ivfIndex(df, "vec_id", "embedding", nCells = 4)
+    val model = Pq.fit(df, "embedding", dim = 8, m = 4, k = 4, seed = 3L)
+    val q = rows.head._2.map(_.toDouble).toArray
+    val probes = Similarity.probeCells(centroids, q, nProbe = 2)
+    val top = Pq.ivfPqTopK(Pq.encode(assigned, "embedding", model),
+        "vec_id", model, q, probes, k = 50)
+      .collect().map(_.getLong(0)).toSet
+    val cellOf = assigned.select($"vec_id", $"_cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(top.nonEmpty && top.forall(id => probes.contains(cellOf(id))))
+    assert(cellOf.count { case (_, c) => probes.contains(c) } == top.size)
+  }
+
   test("bigram LM: hand-computed conditional MLE, OOV penalty, occurrence counting") {
     val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo")).toDF("doc_id", "text")
     // occurrences: doc1 [a b, b a, a b], doc2 [a b, b c] →
