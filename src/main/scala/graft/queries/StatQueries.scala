@@ -51,6 +51,45 @@ object StatQueries extends QueryProvider {
         CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0 AS df
       FROM g WHERE n_a >= 2 AND n_b >= 2"""))
 
+  // ---- Welch unequal-variance t (scipy equal_var=False) — extended
+  //      variant of ttest_ind; t and the Welch–Satterthwaite df are
+  //      pure arithmetic over the same exact moments ----
+  private val qTtestWelch = Q(
+    "q_ttest_welch",
+    (s, d) => StatTests.tTestWelch(
+        Tables.lineitem(s, d).select(col("l_suppkey"), col("l_returnflag"), col("l_quantity")),
+        Seq("l_suppkey"), "l_returnflag", "l_quantity", a = "A", b = "R")
+      .filter(col("n_a") >= 2 && col("n_b") >= 2)
+      .drop("p"),
+    Some {
+      val na = "CAST(n_a AS DOUBLE)"
+      val nb = "CAST(n_b AS DOUBLE)"
+      // fully parenthesized: an interpolated fragment ending in "/ x"
+      // re-associates under * (A/x * A/x parses as ((A/x)*A)/x) — a
+      // 1-ulp drift this oracle hit on first run
+      val vna = s"(((s2a - s1a * s1a / $na) / ($na - 1.0)) / $na)"
+      val vnb = s"(((s2b - s1b * s1b / $nb) / ($nb - 1.0)) / $nb)"
+      s"""
+      WITH g AS (
+        SELECT l_suppkey,
+          CAST(SUM(CASE WHEN l_returnflag = 'A' THEN $decQty END) AS DOUBLE) AS s1a,
+          CAST(SUM(CASE WHEN l_returnflag = 'A' THEN $decProdQty END) AS DOUBLE) AS s2a,
+          CAST(COUNT(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS BIGINT) AS n_a,
+          CAST(SUM(CASE WHEN l_returnflag = 'R' THEN $decQty END) AS DOUBLE) AS s1b,
+          CAST(SUM(CASE WHEN l_returnflag = 'R' THEN $decProdQty END) AS DOUBLE) AS s2b,
+          CAST(COUNT(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS BIGINT) AS n_b
+        FROM lineitem
+        WHERE l_returnflag = 'A' OR l_returnflag = 'R'
+        GROUP BY l_suppkey)
+      SELECT l_suppkey, n_a, n_b,
+        s1a / $na AS mean_a,
+        s1b / $nb AS mean_b,
+        (s1a / $na - s1b / $nb) / SQRT($vna + $vnb) AS t,
+        (($vna + $vnb) * ($vna + $vnb))
+          / (($vna * $vna) / ($na - 1.0) + ($vnb * $vnb) / ($nb - 1.0)) AS df
+      FROM g WHERE n_a >= 2 AND n_b >= 2"""
+    })
+
   // ---- §2.10 anova_1way: F across the three return flags ----
   // Fixed-group pivoted formulation: all cross-group arithmetic is a
   // fixed expression tree over exact decimal moments → deterministic
@@ -399,7 +438,7 @@ object StatQueries extends QueryProvider {
       FROM r"""
     }))
 
-  def all: Seq[Q] = Seq(qTtest, anovaBuild, qCorr, qQvalues, qQvaluesStorey,
+  def all: Seq[Q] = Seq(qTtest, qTtestWelch, anovaBuild, qCorr, qQvalues, qQvaluesStorey,
     qTtest1, qMedianCollapse, qNonZeroSum, qEventsWindow, qSessionize, qVolcano,
     qVolcanoSurface)
 }

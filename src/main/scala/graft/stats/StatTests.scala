@@ -53,6 +53,48 @@ object StatTests {
       .drop("_s1a", "_s2a", "_s1b", "_s2b")
   }
 
+  /** Welch unequal-variance two-sample t per feature — scipy
+    * `ttest_ind(equal_var=False)`, the variant every reference user
+    * reaches for when group variances differ. Same single
+    * partial-aggregated pass as [[tTestInd]]; t and the
+    * Welch–Satterthwaite df are pure +,-,*,/ over the moments
+    * (bitwise-portable), p the same closed-form beta.
+    * Output: idCols..., mean_a, mean_b, n_a, n_b, t, df, p. */
+  def tTestWelch(
+      df: DataFrame,
+      idCols: Seq[String],
+      groupCol: String,
+      valueCol: String,
+      a: String,
+      b: String): DataFrame = {
+    val inAB = df.filter(col(groupCol) === a || col(groupCol) === b)
+    val v = col(valueCol)
+    val g = inAB
+      .groupBy(idCols.map(col): _*)
+      .agg(
+        sum(when(col(groupCol) === a, dec(v))).cast("double").as("_s1a"),
+        sum(when(col(groupCol) === a, decProd(v, v))).cast("double").as("_s2a"),
+        count(when(col(groupCol) === a, v)).as("n_a"),
+        sum(when(col(groupCol) === b, dec(v))).cast("double").as("_s1b"),
+        sum(when(col(groupCol) === b, decProd(v, v))).cast("double").as("_s2b"),
+        count(when(col(groupCol) === b, v)).as("n_b"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val ma = meanOf(col("_s1a"), col("n_a"))
+    val mb = meanOf(col("_s1b"), col("n_b"))
+    val vna = div(varOf(col("_s1a"), col("_s2a"), col("n_a")), na)
+    val vnb = div(varOf(col("_s1b"), col("_s2b"), col("n_b")), nb)
+    val t = div(ma - mb, sqrt(vna + vnb))
+    val dfree = div((vna + vnb) * (vna + vnb),
+      div(vna * vna, na - 1.0) + div(vnb * vnb, nb - 1.0))
+    g.withColumn("mean_a", ma)
+      .withColumn("mean_b", mb)
+      .withColumn("t", t)
+      .withColumn("df", dfree)
+      .withColumn("p", Distributions.tPValueTwoSided(col("t"), col("df")))
+      .drop("_s1a", "_s2a", "_s1b", "_s2b")
+  }
+
   /** One-sample t-test vs popmean (default 0) per feature (intended
     * semantics of ref analysis.py:435-464 `ttest_1samp`, whose body
     * has an undefined-variable bug — SURVEY §4.1; semantics taken from

@@ -21,6 +21,18 @@ class StatTestsSpec extends SparkSpec {
     assert(approx(r.getAs[Double]("mean_b"), 14.1666666667, 1e-9))
   }
 
+  test("tTestWelch matches the unequal-variance golden (t, Welch df, p)") {
+    // golden from an independent double-precision incomplete-beta
+    // implementation (scipy ttest_ind(equal_var=False) semantics)
+    val a = Seq(3.1, 2.9, 3.4, 3.8).map(("f", "A", _))
+    val b = Seq(5.0, 5.5, 4.9).map(("f", "B", _))
+    val df = (a ++ b).toDF("id", "group", "value")
+    val r = StatTests.tTestWelch(df, Seq("id"), "group", "value", "A", "B").head()
+    assert(approx(r.getAs[Double]("t"), -6.795822695367374, 1e-9))
+    assert(approx(r.getAs[Double]("df"), 4.890567113137647, 1e-9))
+    assert(approx(r.getAs[Double]("p"), 0.0011460929933573359, 1e-9))
+  }
+
   test("tTest1Samp vs popmean 0") {
     val df = Seq(1.0, 2.0, 3.0).map(("f", _)).toDF("id", "value")
     val r = StatTests.tTest1Samp(df, Seq("id"), "value").head()
