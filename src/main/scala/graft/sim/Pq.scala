@@ -48,25 +48,79 @@ object Pq {
       }
   }
 
-  /** Fit m per-subspace codebooks: m seeded spark.ml KMeans fits over
-    * the sliced subvectors. Model size is m·k·(d/m) = k·d doubles —
-    * driver-tiny regardless of corpus size. */
+  /** Fit m per-subspace codebooks on a BOUNDED hash-ordered sample —
+    * one TakeOrdered job total, then driver-side Lloyd per subspace.
+    * This is production PQ practice (faiss trains codebooks on a
+    * sample): the model is k·d doubles, so full-corpus training buys
+    * nothing, while m distributed KMeans fits cost ~m·maxIter·2 Spark
+    * jobs (the first cut of this operator was the slowest query in
+    * the bench for exactly that reason). The sample is selected by
+    * (xxhash64(vector), vector) order — deterministic and
+    * partitioning-independent — and Lloyd runs a fixed `maxIter`
+    * sweeps from first-k-distinct init, so codebooks are reproducible
+    * and inject into oracles as literals like every fitted model. */
   def fit(
       embeddings: DataFrame, vecCol: String, dim: Int,
-      m: Int = 4, k: Int = 16, seed: Long = 42L, maxIter: Int = 5): PqModel = {
+      m: Int = 4, k: Int = 16, seed: Long = 42L, maxIter: Int = 5,
+      sampleN: Int = 4096): PqModel = {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val subDim = dim / m
     val v = transform(col(vecCol), _.cast("double"))
+    val sample = embeddings
+      .select(v.as("_v"))
+      .withColumn("_h", xxhash64(concat_ws(",", lit(seed.toString), col("_v").cast("string"))))
+      .orderBy(col("_h"), col("_v"))
+      .limit(sampleN)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "cannot fit PQ on an empty frame")
     val codebooks = (0 until m).map { j =>
-      val sub = embeddings.select(
-        array_to_vector(slice(v, j * subDim + 1, subDim)).as("_features"))
-      new KMeans().setK(k).setSeed(seed + j).setMaxIter(maxIter)
-        .setInitMode("random").setFeaturesCol("_features").setPredictionCol("_c")
-        .fit(sub).clusterCenters.map(_.toArray)
+      val subs = sample.map(_.slice(j * subDim, (j + 1) * subDim))
+      lloyd(subs, k, maxIter)
     }.toArray
     PqModel(codebooks)
+  }
+
+  /** Deterministic driver-side Lloyd: first-k-distinct init in sample
+    * order, fixed sweep count, argmin ties to the lowest centroid,
+    * means accumulated in sample order. Empty cells keep their
+    * previous centroid (standard small-sample fallback). */
+  private def lloyd(
+      points: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+    var i = 0
+    while (i < points.length && init.length < k) {
+      if (seen.add(points(i).toSeq)) init += points(i).clone()
+      i += 1
+    }
+    while (init.length < k) init += init(init.length % math.max(seen.size, 1)).clone()
+    var cents = init.toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](points.head.length))
+      val counts = new Array[Long](k)
+      points.foreach { p =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0
+          var x = 0
+          while (x < p.length) { val t = p(x) - cents(c)(x); d += t * t; x += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var x = 0
+        while (x < p.length) { sums(best)(x) += p(x); x += 1 }
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0L) old
+        else sums(c).map(_ / counts(c))
+      }
+      it += 1
+    }
+    cents
   }
 
   /** Deterministic encode: per subspace, argmin over the codebook of
