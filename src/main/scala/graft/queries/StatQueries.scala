@@ -90,6 +90,60 @@ object StatQueries extends QueryProvider {
       FROM g WHERE n_a >= 2 AND n_b >= 2"""
     })
 
+  // ---- chi-square independence (extended): returnflag × linestatus
+  //      contingency. The o²/(rt·ct) identity keeps absent cells free;
+  //      p (regularized gamma — no SQL image) is dropped from the
+  //      oracle and golden-tested. ----
+  private val qChiSq = Q(
+    "q_chisq_independence",
+    (s, d) => StatTests.chiSquareIndependence(
+        Tables.lineitem(s, d), "l_returnflag", "l_linestatus")
+      .drop("p"),
+    Some(s"""
+      WITH cells AS (
+        SELECT l_returnflag AS a, l_linestatus AS b, CAST(COUNT(1) AS BIGINT) AS o
+        FROM lineitem WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+        GROUP BY 1, 2),
+      rt AS (SELECT a, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY a),
+      ct AS (SELECT b, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY b),
+      g AS (
+        SELECT ${MS.sumExactFine(
+          "CAST(o AS DOUBLE) * CAST(o AS DOUBLE) / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))")} AS s,
+          CAST(SUM(o) AS BIGINT) AS n,
+          CAST(COUNT(DISTINCT cells.a) AS BIGINT) AS r_levels,
+          CAST(COUNT(DISTINCT cells.b) AS BIGINT) AS c_levels
+        FROM cells JOIN rt ON rt.a = cells.a JOIN ct ON ct.b = cells.b)
+      SELECT n, r_levels, c_levels,
+        CAST(n AS DOUBLE) * s - CAST(n AS DOUBLE) AS chi2,
+        (CAST(r_levels AS DOUBLE) - 1.0) * (CAST(c_levels AS DOUBLE) - 1.0) AS df
+      FROM g"""))
+
+  // ---- exact describe (pandas df.describe() contract): moments +
+  //      exact rank-selected quartiles per group ----
+  private val qDescribe = Q(
+    "q_describe",
+    (s, d) => graft.stats.Summaries.describe(
+      Tables.lineitem(s, d), "l_returnflag", "l_quantity",
+      tieCols = Seq("l_orderkey", "l_linenumber")),
+    Some {
+      val s1 = MS.sumExact("l_quantity")
+      val s2 = MS.sumSqExact("l_quantity")
+      s"""
+      WITH m AS (
+        SELECT l_returnflag, CAST(COUNT(l_quantity) AS BIGINT) AS n,
+          $s1 AS s1, $s2 AS s2,
+          MIN(l_quantity) AS min, MAX(l_quantity) AS max
+        FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY l_returnflag),
+      q AS (${graft.ops.Quantiles.oracleSql(
+        "lineitem", "l_returnflag", "l_quantity", Seq(0.25, 0.5, 0.75),
+        Seq("l_orderkey", "l_linenumber"))})
+      SELECT m.l_returnflag, n, min, max,
+        s1 / CAST(n AS DOUBLE) AS mean,
+        SQRT(${MS.varOf("s1", "s2", "n")}) AS std,
+        p25, p50, p75
+      FROM m JOIN q ON q.l_returnflag = m.l_returnflag"""
+    })
+
   // ---- §2.10 anova_1way: F across the three return flags ----
   // Fixed-group pivoted formulation: all cross-group arithmetic is a
   // fixed expression tree over exact decimal moments → deterministic
@@ -438,7 +492,7 @@ object StatQueries extends QueryProvider {
       FROM r"""
     }))
 
-  def all: Seq[Q] = Seq(qTtest, qTtestWelch, anovaBuild, qCorr, qQvalues, qQvaluesStorey,
+  def all: Seq[Q] = Seq(qTtest, qTtestWelch, qChiSq, qDescribe, anovaBuild, qCorr, qQvalues, qQvaluesStorey,
     qTtest1, qMedianCollapse, qNonZeroSum, qEventsWindow, qSessionize, qVolcano,
     qVolcanoSurface)
 }

@@ -26,6 +26,12 @@ object DistMath {
     else if (f <= 0.0) 1.0
     else 1.0 - org.apache.commons.math3.special.Beta.regularizedBeta(
       (d1 * f) / (d2 + d1 * f), 0.5 * d1, 0.5 * d2)
+
+  //   P(X² > x) = Q(df/2, x/2)  (upper regularized gamma)
+  def chiSqPUpper(x: Double, df: Double): Double =
+    if (df <= 0 || java.lang.Double.isNaN(x)) Double.NaN
+    else if (x <= 0.0) 1.0
+    else org.apache.commons.math3.special.Gamma.regularizedGammaQ(0.5 * df, 0.5 * x)
 }
 
 /** Two-sided Student-t p-value as a native Catalyst expression with
@@ -58,10 +64,25 @@ case class FPValueUpper(first: Expression, second: Expression, third: Expression
   override def prettyName: String = "f_pvalue_upper"
 }
 
+/** Upper-tail chi-square p-value, same design. */
+case class ChiSqPValueUpper(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(x: Any, df: Any): Any =
+    DistMath.chiSqPUpper(x.asInstanceOf[Double], df.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, df) => s"graft.stats.DistMath.chiSqPUpper($x, $df)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "chisq_pvalue_upper"
+}
+
 object DistExpressions {
   private def e(c: Column) = Bridge.expression(c.cast("double"))
   def tPValueTwoSided(t: Column, df: Column): Column =
     Bridge.column(TPValueTwoSided(e(t), e(df)))
   def fPValueUpper(f: Column, d1: Column, d2: Column): Column =
     Bridge.column(FPValueUpper(e(f), e(d1), e(d2)))
+  def chiSqPValueUpper(x: Column, df: Column): Column =
+    Bridge.column(ChiSqPValueUpper(e(x), e(df)))
 }

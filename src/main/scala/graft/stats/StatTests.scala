@@ -157,6 +157,41 @@ object StatTests {
       .drop("_ts1", "_ts2", "_ssw")
   }
 
+  /** Pearson chi-square test of independence over the 2-way
+    * contingency of (aCol, bCol). Uses the algebraic identity
+    * chi² = n·(Σ_cells o²/(rowTot·colTot)) − n, which makes ABSENT
+    * cells (o = 0) contribute exactly nothing — so one groupBy over
+    * observed pairs + two marginal aggregates is the whole plan, no
+    * dense cross of categories. The cell sum is an exact fine-decimal
+    * sum (order-independent); df = (R−1)(C−1); p is the closed-form
+    * upper regularized gamma. Output: one row
+    * (n, r_levels, c_levels, chi2, df, p). */
+  def chiSquareIndependence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+    val cells = obs.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("_o"))
+    val rowTot = cells.groupBy(col(aCol)).agg(sum(col("_o")).as("_rt"))
+    val colTot = cells.groupBy(col(bCol)).agg(sum(col("_o")).as("_ct"))
+    val joined = cells
+      .join(broadcast(rowTot), aCol)
+      .join(broadcast(colTot), bCol)
+    val term = div(col("_o").cast("double") * col("_o").cast("double"),
+      col("_rt").cast("double") * col("_ct").cast("double"))
+    val g = joined.agg(
+      sumExactFine(term).as("_s"),
+      sum(col("_o")).as("n"),
+      countDistinct(col(aCol)).as("r_levels"),
+      countDistinct(col(bCol)).as("c_levels"))
+    val nd = col("n").cast("double")
+    val chi2 = nd * col("_s") - nd
+    val dfree = (col("r_levels").cast("double") - lit(1.0)) *
+      (col("c_levels").cast("double") - lit(1.0))
+    g.withColumn("chi2", chi2)
+      .withColumn("df", dfree)
+      .withColumn("p", when(dfree <= 0 || DistExpressions.chiSqPValueUpper(col("chi2"), dfree).isNaN,
+        lit(null)).otherwise(DistExpressions.chiSqPValueUpper(col("chi2"), dfree)))
+      .drop("_s")
+  }
+
   /** One row per (feature, ordered sample pair, x, y) with BOTH values
     * observed — the pairwise-complete building block shared by the
     * correlation matrix, the PCA Gram matrix and Ward distances.

@@ -7,6 +7,35 @@ import org.apache.spark.sql.functions._
   * the covariance-ellipse helper from `visualize.py`. */
 object Summaries {
 
+  /** Exact per-group `describe` — the pandas `df.describe()` contract
+    * (count, mean, std, min, exact quartiles, max) that reference
+    * users run constantly. Percentiles are the EXACT rank-selected
+    * values via the skew-safe two-level stitch (ops.Quantiles), not
+    * approx_percentile's non-reproducible sketch; moments are exact
+    * decimal sums. One moment pass + the quantile stitch, joined on
+    * the group (group-cardinality frames — broadcastable). */
+  def describe(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      tieCols: Seq[String],
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    import Moments._
+    val m = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        count(col(valueCol)).as("n"),
+        sumExact(col(valueCol)).as("_s1"),
+        sumSqExact(col(valueCol)).as("_s2"),
+        min(col(valueCol)).as("min"),
+        max(col(valueCol)).as("max"))
+      .withColumn("mean", meanOf(col("_s1"), col("n")))
+      .withColumn("std", sqrt(varOf(col("_s1"), col("_s2"), col("n"))))
+      .drop("_s1", "_s2")
+    m.join(graft.ops.Quantiles.exactGroupQuantiles(df, groupCol, valueCol, qs, tieCols),
+      groupCol)
+  }
+
   /** `enrichment_from_msp` (ref analysis.py:263-287): zero → missing,
     * per-(sample, modified-flag) intensity sums, modified/total ratio
     * per sample. One pass: conditional sums after the flag projection. */

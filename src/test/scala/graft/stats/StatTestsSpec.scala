@@ -33,6 +33,33 @@ class StatTestsSpec extends SparkSpec {
     assert(approx(r.getAs[Double]("p"), 0.0011460929933573359, 1e-9))
   }
 
+  test("chiSquareIndependence matches hand-computed contingency golden") {
+    // 2x2: x:(20u,10v), y:(30u,40v) → expected 15/15/35/35,
+    // chi2 = 2·25/15 + 2·25/35 = 4.761904761904762; df=1;
+    // p = Q(1/2, chi2/2) = erfc(sqrt(chi2/2)) = 0.02909633174125221
+    val rows = Seq.fill(20)(("x", "u")) ++ Seq.fill(10)(("x", "v")) ++
+      Seq.fill(30)(("y", "u")) ++ Seq.fill(40)(("y", "v"))
+    val r = StatTests.chiSquareIndependence(rows.toDF("a", "b"), "a", "b").head()
+    assert(r.getAs[Long]("n") == 100L)
+    assert(r.getAs[Long]("r_levels") == 2L && r.getAs[Long]("c_levels") == 2L)
+    assert(approx(r.getAs[Double]("chi2"), 4.761904761904762, 1e-9))
+    assert(r.getAs[Double]("df") == 1.0)
+    assert(approx(r.getAs[Double]("p"), 0.02909633174125221, 1e-9))
+  }
+
+  test("describe: exact moments and rank-selected quartiles per group") {
+    val df = (1 to 11).map(i => ("g", i.toDouble, i.toLong)).toDF("grp", "v", "k")
+    val r = graft.stats.Summaries.describe(df, "grp", "v", Seq("k")).head()
+    assert(r.getAs[Long]("n") == 11L)
+    assert(approx(r.getAs[Double]("mean"), 6.0, 1e-12))
+    assert(approx(r.getAs[Double]("std"), math.sqrt(11.0), 1e-12)) // var of 1..11 = 11
+    assert(r.getAs[Double]("min") == 1.0 && r.getAs[Double]("max") == 11.0)
+    // ranks ceil(q*11): p25→3, p50→6, p75→9
+    assert(r.getAs[Double]("p25") == 3.0)
+    assert(r.getAs[Double]("p50") == 6.0)
+    assert(r.getAs[Double]("p75") == 9.0)
+  }
+
   test("tTest1Samp vs popmean 0") {
     val df = Seq(1.0, 2.0, 3.0).map(("f", _)).toDF("id", "value")
     val r = StatTests.tTest1Samp(df, Seq("id"), "value").head()
