@@ -90,6 +90,50 @@ object StatQueries extends QueryProvider {
       FROM g WHERE n_a >= 2 AND n_b >= 2"""
     })
 
+  // ---- Mann–Whitney U (extended): nonparametric A-vs-R per supplier.
+  //      Doubled rank sums keep everything long-exact until z; p
+  //      (erfc — no SQL image) drops from the oracle, golden-tested. ----
+  private val qMannWhitney = Q(
+    "q_mannwhitney_u",
+    (s, d) => StatTests.mannWhitneyU(
+        Tables.lineitem(s, d).select(col("l_suppkey"), col("l_returnflag"), col("l_quantity")),
+        Seq("l_suppkey"), "l_returnflag", "l_quantity", a = "A", b = "R")
+      .filter(col("n_a") >= 1 && col("n_b") >= 1)
+      .drop("p"),
+    Some {
+      val n1 = "CAST(n_a AS DOUBLE)"
+      val n2 = "CAST(n_b AS DOUBLE)"
+      val nd = s"($n1 + $n2)"
+      val u1 = s"((CAST(r1x2 AS DOUBLE) - $n1 * ($n1 + 1.0)) / 2.0)"
+      val sigma = s"SQRT($n1 * $n2 / 12.0 * (($nd + 1.0) - CAST(ties AS DOUBLE) / ($nd * ($nd - 1.0))))"
+      s"""
+      WITH pv AS (
+        SELECT l_suppkey, l_quantity,
+          CAST(COUNT(CASE WHEN l_returnflag = 'A' THEN 1 END) AS BIGINT) AS ta,
+          CAST(COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT) AS tb,
+          CAST(COUNT(1) AS BIGINT) AS t
+        FROM lineitem
+        WHERE (l_returnflag = 'A' OR l_returnflag = 'R') AND l_quantity IS NOT NULL
+        GROUP BY l_suppkey, l_quantity),
+      rk AS (
+        SELECT l_suppkey, ta, tb, t,
+          CAST(SUM(t) OVER (PARTITION BY l_suppkey ORDER BY l_quantity
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - t
+            AS below
+        FROM pv),
+      g AS (
+        SELECT l_suppkey,
+          CAST(SUM(ta) AS BIGINT) AS n_a,
+          CAST(SUM(tb) AS BIGINT) AS n_b,
+          CAST(SUM(ta * (2 * below + t + 1)) AS BIGINT) AS r1x2,
+          CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+        FROM rk GROUP BY l_suppkey)
+      SELECT l_suppkey, n_a, n_b,
+        $u1 AS u1,
+        ($u1 - $n1 * $n2 / 2.0) / NULLIF($sigma, 0.0) AS z
+      FROM g WHERE n_a >= 1 AND n_b >= 1"""
+    })
+
   // ---- chi-square independence (extended): returnflag × linestatus
   //      contingency. The o²/(rt·ct) identity keeps absent cells free;
   //      p (regularized gamma — no SQL image) is dropped from the
@@ -492,7 +536,7 @@ object StatQueries extends QueryProvider {
       FROM r"""
     }))
 
-  def all: Seq[Q] = Seq(qTtest, qTtestWelch, qChiSq, qDescribe, anovaBuild, qCorr, qQvalues, qQvaluesStorey,
+  def all: Seq[Q] = Seq(qTtest, qTtestWelch, qChiSq, qDescribe, qMannWhitney, anovaBuild, qCorr, qQvalues, qQvaluesStorey,
     qTtest1, qMedianCollapse, qNonZeroSum, qEventsWindow, qSessionize, qVolcano,
     qVolcanoSurface)
 }

@@ -32,6 +32,11 @@ object DistMath {
     if (df <= 0 || java.lang.Double.isNaN(x)) Double.NaN
     else if (x <= 0.0) 1.0
     else org.apache.commons.math3.special.Gamma.regularizedGammaQ(0.5 * df, 0.5 * x)
+
+  //   two-sided standard normal: P(|Z| > z) = erfc(|z|/√2)
+  def normPTwoSided(z: Double): Double =
+    if (java.lang.Double.isNaN(z)) Double.NaN
+    else org.apache.commons.math3.special.Erf.erfc(math.abs(z) / 1.4142135623730951)
 }
 
 /** Two-sided Student-t p-value as a native Catalyst expression with
@@ -77,6 +82,18 @@ case class ChiSqPValueUpper(left: Expression, right: Expression)
   override def prettyName: String = "chisq_pvalue_upper"
 }
 
+/** Two-sided standard-normal p-value, same design. */
+case class NormPValueTwoSided(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(z: Any): Any =
+    DistMath.normPTwoSided(z.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, z => s"graft.stats.DistMath.normPTwoSided($z)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "norm_pvalue_two_sided"
+}
+
 object DistExpressions {
   private def e(c: Column) = Bridge.expression(c.cast("double"))
   def tPValueTwoSided(t: Column, df: Column): Column =
@@ -85,4 +102,6 @@ object DistExpressions {
     Bridge.column(FPValueUpper(e(f), e(d1), e(d2)))
   def chiSqPValueUpper(x: Column, df: Column): Column =
     Bridge.column(ChiSqPValueUpper(e(x), e(df)))
+  def normPTwoSided(z: Column): Column =
+    Bridge.column(NormPValueTwoSided(e(z)))
 }

@@ -157,6 +157,62 @@ object StatTests {
       .drop("_ts1", "_ts2", "_ssw")
   }
 
+  /** Mann–Whitney U per feature (scipy `mannwhitneyu`, asymptotic
+    * method without continuity correction), the nonparametric
+    * complement of the t-tests.
+    *
+    * Rank bookkeeping is INTEGER-EXACT: per (feature, value) the
+    * tie-averaged rank is cumBelow + (n+1)/2, so the DOUBLED rank sum
+    * 2·R1 = Σ n_a·(2·cumBelow + n + 1) is a plain long sum —
+    * order-independent with no decimal scaffolding — and
+    * 2·U1 = 2·R1 − n1(n1+1) stays long until the z statistic. The
+    * value-cumulation window partitions BY FEATURE over the per-value
+    * summary (features are the high-cardinality axis, each partition
+    * is one feature's distinct values — the same scale class as the
+    * t-test aggregates). Tie correction Σ(t³−t) is likewise exact.
+    * Output: idCols..., n_a, n_b, u1, z, p. */
+  def mannWhitneyU(
+      df: DataFrame,
+      idCols: Seq[String],
+      groupCol: String,
+      valueCol: String,
+      a: String,
+      b: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inAB = df.filter(
+      (col(groupCol) === a || col(groupCol) === b) && col(valueCol).isNotNull)
+    val pv = inAB
+      .groupBy((idCols.map(col) :+ col(valueCol)): _*)
+      .agg(
+        count(when(col(groupCol) === a, lit(1))).as("_ta"),
+        count(when(col(groupCol) === b, lit(1))).as("_tb"))
+      .withColumn("_t", col("_ta") + col("_tb"))
+    val w = Window.partitionBy(idCols.map(col): _*).orderBy(col(valueCol))
+    val ranked = pv
+      .withColumn("_cum", sum(col("_t")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_below", col("_cum") - col("_t"))
+    val g = ranked
+      .groupBy(idCols.map(col): _*)
+      .agg(
+        sum(col("_ta")).as("n_a"),
+        sum(col("_tb")).as("n_b"),
+        sum(col("_ta") * (lit(2L) * col("_below") + col("_t") + lit(1L))).as("_r1x2"),
+        sum(col("_t") * col("_t") * col("_t") - col("_t")).as("_ties"))
+    val n1 = col("n_a").cast("double")
+    val n2 = col("n_b").cast("double")
+    val nd = n1 + n2
+    val u1 = (col("_r1x2").cast("double") - n1 * (n1 + lit(1.0))) / lit(2.0)
+    val sigma = sqrt(div(n1 * n2, lit(12.0)) *
+      ((nd + lit(1.0)) - div(col("_ties").cast("double"), nd * (nd - lit(1.0)))))
+    val z = div(col("u1") - div(n1 * n2, lit(2.0)), sigma)
+    val out = g.withColumn("u1", u1)
+      .withColumn("z", z)
+    out.withColumn("p",
+        when(col("z").isNaN, lit(null)).otherwise(
+          DistExpressions.normPTwoSided(col("z"))))
+      .drop("_r1x2", "_ties")
+  }
+
   /** Pearson chi-square test of independence over the 2-way
     * contingency of (aCol, bCol). Uses the algebraic identity
     * chi² = n·(Σ_cells o²/(rowTot·colTot)) − n, which makes ABSENT

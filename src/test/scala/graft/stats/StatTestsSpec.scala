@@ -33,6 +33,19 @@ class StatTestsSpec extends SparkSpec {
     assert(approx(r.getAs[Double]("p"), 0.0011460929933573359, 1e-9))
   }
 
+  test("mannWhitneyU: tie-averaged ranks, exact U, asymptotic z/p golden") {
+    // A=[1,2,4,4], B=[3,4,5]: ranks 1,2,3,(4,5,6→avg 5),7 →
+    // R1=13, U1=3, ties Σ(t³−t)=24, σ=√(1·(8−24/42)), z=−1.1006990785580142
+    val rows = Seq(("f","A",1.0),("f","A",2.0),("f","A",4.0),("f","A",4.0),
+      ("f","B",3.0),("f","B",4.0),("f","B",5.0))
+    val r = StatTests.mannWhitneyU(rows.toDF("id","grp","v"), Seq("id"), "grp", "v", "A", "B")
+      .head()
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Double]("u1") == 3.0)
+    assert(approx(r.getAs[Double]("z"), -1.1006990785580142, 1e-12))
+    assert(approx(r.getAs[Double]("p"), 0.27102764742937663, 1e-12))
+  }
+
   test("chiSquareIndependence matches hand-computed contingency golden") {
     // 2x2: x:(20u,10v), y:(30u,40v) → expected 15/15/35/35,
     // chi2 = 2·25/15 + 2·25/35 = 4.761904761904762; df=1;
