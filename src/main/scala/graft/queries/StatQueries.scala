@@ -134,6 +134,62 @@ object StatQueries extends QueryProvider {
       FROM g WHERE n_a >= 1 AND n_b >= 1"""
     })
 
+  // ---- Kruskal–Wallis H (extended): k-group nonparametric across all
+  //      return flags, same doubled-rank-sum exactness as MW-U; p
+  //      (regularized gamma) drops from the oracle. ----
+  private val qKruskal = Q(
+    "q_kruskal_wallis",
+    (s, d) => StatTests.kruskalWallis(
+        Tables.lineitem(s, d).select(col("l_suppkey"), col("l_returnflag"), col("l_quantity")),
+        Seq("l_suppkey"), "l_returnflag", "l_quantity")
+      .filter(col("k") >= 2)
+      .drop("p"),
+    Some {
+      val nd = "CAST(n AS DOUBLE)"
+      val hRaw = s"(12.0 / ($nd * ($nd + 1.0)) * (s / 4.0) - 3.0 * ($nd + 1.0))"
+      val tf = s"(1.0 - CAST(ties AS DOUBLE) / ($nd * $nd * $nd - $nd))"
+      s"""
+      WITH tg AS (
+        SELECT l_suppkey, l_returnflag, l_quantity, CAST(COUNT(1) AS BIGINT) AS tgc
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+        GROUP BY 1, 2, 3),
+      tv AS (
+        SELECT l_suppkey, l_quantity, CAST(SUM(tgc) AS BIGINT) AS t
+        FROM tg GROUP BY 1, 2),
+      below AS (
+        SELECT l_suppkey, l_quantity, t,
+          CAST(SUM(t) OVER (PARTITION BY l_suppkey ORDER BY l_quantity
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - t
+            AS b
+        FROM tv),
+      pg AS (
+        SELECT tg.l_suppkey, tg.l_returnflag,
+          CAST(SUM(tgc) AS BIGINT) AS ng,
+          CAST(SUM(tgc * (2 * b + below.t + 1)) AS BIGINT) AS r2
+        FROM tg JOIN below
+          ON below.l_suppkey = tg.l_suppkey AND below.l_quantity = tg.l_quantity
+        GROUP BY 1, 2),
+      ties AS (
+        SELECT l_suppkey, CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+        FROM below GROUP BY 1),
+      g AS (
+        SELECT pg.l_suppkey,
+          CAST(COUNT(1) AS BIGINT) AS k,
+          CAST(SUM(ng) AS BIGINT) AS n,
+          list_reduce(
+            list_prepend(0.0, list_transform(
+              list_sort(list({'g': l_returnflag, 'r2': r2, 'ng': ng})),
+              x -> CAST(x.r2 AS DOUBLE) * CAST(x.r2 AS DOUBLE) / CAST(x.ng AS DOUBLE))),
+            (a, b) -> a + b) AS s
+        FROM pg GROUP BY 1)
+      SELECT g.l_suppkey, k, n,
+        $hRaw / NULLIF($tf, 0.0) AS h,
+        CAST(k AS DOUBLE) - 1.0 AS df
+      FROM g JOIN ties ON ties.l_suppkey = g.l_suppkey
+      WHERE k >= 2"""
+    })
+
   // ---- chi-square independence (extended): returnflag × linestatus
   //      contingency. The o²/(rt·ct) identity keeps absent cells free;
   //      p (regularized gamma — no SQL image) is dropped from the
@@ -536,7 +592,7 @@ object StatQueries extends QueryProvider {
       FROM r"""
     }))
 
-  def all: Seq[Q] = Seq(qTtest, qTtestWelch, qChiSq, qDescribe, qMannWhitney, anovaBuild, qCorr, qQvalues, qQvaluesStorey,
+  def all: Seq[Q] = Seq(qTtest, qTtestWelch, qChiSq, qDescribe, qMannWhitney, qKruskal, anovaBuild, qCorr, qQvalues, qQvaluesStorey,
     qTtest1, qMedianCollapse, qNonZeroSum, qEventsWindow, qSessionize, qVolcano,
     qVolcanoSurface)
 }

@@ -213,6 +213,71 @@ object StatTests {
       .drop("_r1x2", "_ties")
   }
 
+  /** Kruskal–Wallis H per feature across ALL groups present (scipy
+    * `kruskal`, tie-corrected) — the k-group extension of
+    * [[mannWhitneyU]], sharing its integer-exact rank bookkeeping:
+    * per (feature, group) the DOUBLED rank sum
+    * 2·R_g = Σ_v t_g(v)·(2·cumBelow(v) + t(v) + 1) is a plain long
+    * sum; Σ_g R_g²/n_g then runs through an exact fine-decimal sum
+    * (the one cross-group reduction, made order-independent), and
+    *   H = (12/(n(n+1)) · ΣR_g²/n_g − 3(n+1)) / (1 − Σ(t³−t)/(n³−n))
+    * with p = chi-square upper tail at k−1 df (closed-form gamma).
+    * Output: idCols..., k, n, h, df, p. */
+  def kruskalWallis(
+      df: DataFrame,
+      idCols: Seq[String],
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val obs = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+    val tg = obs.groupBy((idCols.map(col) :+ col(groupCol) :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("_tg"))
+    val tv = tg.groupBy((idCols.map(col) :+ col(valueCol)): _*)
+      .agg(sum(col("_tg")).as("_t"))
+    val w = Window.partitionBy(idCols.map(col): _*).orderBy(col(valueCol))
+    val below = tv
+      .withColumn("_cum", sum(col("_t")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_below", col("_cum") - col("_t"))
+      .select((idCols.map(col) :+ col(valueCol) :+ col("_t") :+ col("_below")): _*)
+    val perGroup = tg.join(below, idCols :+ valueCol)
+      .groupBy((idCols.map(col) :+ col(groupCol)): _*)
+      .agg(
+        sum(col("_tg")).as("_ng"),
+        sum(col("_tg") * (lit(2L) * col("_below") + col("_t") + lit(1L))).as("_r2"))
+    val tiesPerFeature = below.groupBy(idCols.map(col): _*)
+      .agg(sum(col("_t") * col("_t") * col("_t") - col("_t")).as("_ties"))
+    // Σ_g R_g²/n_g: per-group terms are arbitrary rationals, so a
+    // decimal-cast sum is NOT engine-portable (Spark's double→decimal
+    // goes through the shortest repr, DuckDB rounds the exact binary
+    // value — they can disagree at the cast scale, and the H formula's
+    // cancellation amplifies it). Instead: deterministic left-to-right
+    // fold over the GROUP-SORTED term list (invariant 1's array-fold
+    // rule, mirrored by DuckDB list_sort + list_reduce). k terms per
+    // feature — bounded.
+    val g = perGroup.groupBy(idCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("k"),
+        sum(col("_ng")).as("n"),
+        array_sort(collect_list(struct(
+          col(groupCol).as("g"), col("_r2").as("r2"), col("_ng").as("ng")))).as("_lst"))
+      .withColumn("_s", aggregate(col("_lst"), lit(0.0), (acc, x) =>
+        acc + x.getField("r2").cast("double") * x.getField("r2").cast("double") /
+          x.getField("ng").cast("double")))
+      .drop("_lst")
+      .join(broadcast(tiesPerFeature), idCols)
+    val nd = col("n").cast("double")
+    // ΣR_g²/n_g = Σ(2R_g)²/n_g / 4
+    val hRaw = div(lit(12.0), nd * (nd + lit(1.0))) * div(col("_s"), lit(4.0)) -
+      lit(3.0) * (nd + lit(1.0))
+    val tieFactor = lit(1.0) - div(col("_ties").cast("double"), nd * nd * nd - nd)
+    val h = div(hRaw, tieFactor)
+    g.withColumn("h", h)
+      .withColumn("df", col("k").cast("double") - lit(1.0))
+      .withColumn("p", when(col("df") <= 0 || col("h").isNull, lit(null))
+        .otherwise(DistExpressions.chiSqPValueUpper(col("h"), col("df"))))
+      .drop("_s", "_ties")
+  }
+
   /** Pearson chi-square test of independence over the 2-way
     * contingency of (aCol, bCol). Uses the algebraic identity
     * chi² = n·(Σ_cells o²/(rowTot·colTot)) − n, which makes ABSENT

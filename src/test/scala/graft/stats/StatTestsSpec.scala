@@ -46,6 +46,19 @@ class StatTestsSpec extends SparkSpec {
     assert(approx(r.getAs[Double]("p"), 0.27102764742937663, 1e-12))
   }
 
+  test("kruskalWallis: tie-corrected H golden; p = exp(-H/2) at df=2") {
+    // g1=[1,2,4], g2=[4,5], g3=[3,4,6] → H = 2.916666666666664,
+    // df=2 → p = exp(-H/2) = 0.232623657917293
+    val rows = Seq(("f","g1",1.0),("f","g1",2.0),("f","g1",4.0),
+      ("f","g2",4.0),("f","g2",5.0),
+      ("f","g3",3.0),("f","g3",4.0),("f","g3",6.0))
+    val r = StatTests.kruskalWallis(rows.toDF("id","grp","v"), Seq("id"), "grp", "v").head()
+    assert(r.getAs[Long]("k") == 3L && r.getAs[Long]("n") == 8L)
+    assert(approx(r.getAs[Double]("h"), 2.916666666666664, 1e-12))
+    assert(r.getAs[Double]("df") == 2.0)
+    assert(approx(r.getAs[Double]("p"), 0.232623657917293, 1e-9))
+  }
+
   test("chiSquareIndependence matches hand-computed contingency golden") {
     // 2x2: x:(20u,10v), y:(30u,40v) → expected 15/15/35/35,
     // chi2 = 2·25/15 + 2·25/35 = 4.761904761904762; df=1;
