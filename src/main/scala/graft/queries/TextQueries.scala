@@ -703,6 +703,37 @@ object TextQueries extends QueryProvider {
              CAST(SUM(CAST(lp AS DECIMAL(15,6))) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE) AS lm_score
       FROM scored GROUP BY doc_id"""))
 
+  // ---- near-dup clusters: connected components over the simhash
+  //      pigeonhole pairs (themselves hash-green). The oracle computes
+  //      the same unique fixpoint — min id per component — via a
+  //      recursive transitive closure, a completely different
+  //      algorithm arriving at the same answer (stronger than a
+  //      same-shape replay). ----
+  private val qDedupClusters = Q(
+    "q_dedup_clusters",
+    (s, d) => Dedup.connectedComponents(
+      Dedup.simHashNearDupPairs(
+        Dedup.simHash(Tables.documents(s, d), "doc_id", "text"),
+        "doc_id", "simhash", maxHamming = 3, blocks = 4)
+        .select(col("id_a"), col("id_b"))),
+    Some(s"""
+      WITH RECURSIVE $simhashSql,
+      blk AS (SELECT doc_id, simhash, b AS block_idx,
+          (simhash >> (15 * b)) & 32767 AS block_val
+        FROM sim, (SELECT UNNEST([0, 1, 2, 3]) AS b) t),
+      pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM blk a JOIN blk b ON b.block_idx = a.block_idx
+          AND b.block_val = a.block_val AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+      e AS (SELECT id_a AS s, id_b AS d FROM pairs
+            UNION ALL SELECT id_b AS s, id_a AS d FROM pairs),
+      reach(s, d) AS (
+        SELECT s, d FROM e
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN e ON e.s = r.d)
+      SELECT s AS id, CAST(LEAST(s, MIN(d)) AS BIGINT) AS cluster
+      FROM reach GROUP BY s"""))
+
   // ---- PII redaction: replace-all email/URL tokens. The regex
   //      dialects (Java / RE2) agree on these class patterns — the
   //      count oracle above already proves them portable; the replace
@@ -783,5 +814,5 @@ object TextQueries extends QueryProvider {
     qDedupExact, qFingerprint, qTokens, qQuality, qLangId, qJaccard, qAnn, qAnnLsh,
     qAnnIvf, qMinhash, qSimhash, qSimhashPairs, qWinnow, qLshPairs, qCurate,
     qTokenTopK, qStratSample, qMixSources, qContamination, qRepetition, qCurationSignals,
-    qPiiRedact, qLmScore, qAnnPq, qAnnIvfPq)
+    qPiiRedact, qLmScore, qAnnPq, qAnnIvfPq, qDedupClusters)
 }

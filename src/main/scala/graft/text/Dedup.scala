@@ -162,6 +162,52 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over near-dup PAIRS → canonical clusters:
+    * every doc labeled with the MIN id of its component. Pairs are
+    * transitively inconsistent on their own (a~b, b~c says nothing
+    * about a,c); cluster ids are what a real pipeline keeps/reports.
+    *
+    * Min-label propagation: each round, every vertex takes the min of
+    * its own label and its neighbors' labels — one join + one keyed
+    * aggregate per round, O(component diameter) rounds (near-dup
+    * clusters are dense, so diameters are tiny). The driver loop
+    * checks convergence with a count per round; the RESULT is the
+    * unique fixpoint (min id per component), independent of iteration
+    * schedule — which is what makes it oracle-checkable. At extreme
+    * scale the same labels frame feeds the alternating-star variant;
+    * the per-round plan here (narrow (src,dst,label) shuffles keyed by
+    * vertex) is already the scalable shape. */
+  def connectedComponents(
+      pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    val verts = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = verts.withColumn("cluster", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val nm = edges.join(labels.select(col("id").as("dst"), col("cluster")), "dst")
+        .groupBy(col("src")).agg(min(col("cluster")).as("_nl"))
+      val next = labels
+        .join(nm.select(col("src").as("id"), col("_nl")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("_nl"), col("cluster"))).as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("cluster", "_old"), "id")
+        .filter(col("cluster") =!= col("_old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      done = changed == 0L
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Benchmark decontamination: per corpus document, the number of
     * distinct word n-grams shared with ANY probe (benchmark/test-set)
     * document. The probe side is small — its distinct shingle hashes

@@ -55,6 +55,18 @@ class DedupSpec extends SparkSpec {
       .combinations(2).take(5).forall(p => uncapped.contains((p(0), p(1)))))
   }
 
+  test("connectedComponents labels every vertex with its component's min id") {
+    val pairs = Seq((2L, 3L), (1L, 2L), (11L, 10L), (11L, 3L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    // {1,2,3,10,11} chain through 3~11, plus the separate {5,6}
+    val out = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+      5L -> 5L, 6L -> 5L))
+    // empty pairs → empty labeling, not a failure
+    assert(Dedup.connectedComponents(pairs.limit(0)).count() == 0L)
+  }
+
   test("wordShingles produces distinct n-grams") {
     val out = docs.filter($"doc_id" === 1)
       .select(Dedup.wordShingles($"text", 3).as("sh"))
