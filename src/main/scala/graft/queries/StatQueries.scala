@@ -8,10 +8,13 @@ import graft.stats.Moments.{Sql => MS}
 
 /** Statistics operators (SURVEY §2.10) on the driver testdata.
   *
-  * p-values (Student-t / F CDFs) are not expressible in DuckDB SQL, so
-  * oracled queries cover the deterministic statistic (t, F, r, q) and
-  * the full tables including p/significant ship as rows-only queries
-  * backed by ScalaTest golden tests.
+  * p-values (t/F/chi²/normal CDFs) have no DuckDB image, so most
+  * oracled queries cover the deterministic statistic (t, F, H, U, z,
+  * r, q — each bitwise-portable arithmetic) and drop p, with the p
+  * math locked by ScalaTest goldens against independent
+  * implementations. q_volcano keeps its p column end-to-end by
+  * recording Spark's values during the Verify run and joining them
+  * into the oracle as literals (Registry oracleGen).
   */
 object StatQueries extends QueryProvider {
 

@@ -167,39 +167,54 @@ object Dedup {
     * transitively inconsistent on their own (a~b, b~c says nothing
     * about a,c); cluster ids are what a real pipeline keeps/reports.
     *
-    * Min-label propagation: each round, every vertex takes the min of
-    * its own label and its neighbors' labels — one join + one keyed
-    * aggregate per round, O(component diameter) rounds (near-dup
-    * clusters are dense, so diameters are tiny). The driver loop
-    * checks convergence with a count per round; the RESULT is the
-    * unique fixpoint (min id per component), independent of iteration
-    * schedule — which is what makes it oracle-checkable. At extreme
-    * scale the same labels frame feeds the alternating-star variant;
-    * the per-round plan here (narrow (src,dst,label) shuffles keyed by
-    * vertex) is already the scalable shape. */
+    * Min-label propagation WITH POINTER JUMPING: each round a vertex
+    * takes the min of (its label, its neighbors' labels, its label's
+    * label). The neighbor step alone converges in O(component
+    * diameter) rounds — a chain-shaped near-dup component turns that
+    * into hundreds of Spark jobs (exactly what the first cut of this
+    * operator did at sf0.1: 1138s). The label-of-label step halves
+    * remaining distances every round (labels are vertex ids, so the
+    * lookup is a self-join), giving O(log diameter) rounds — the
+    * standard hash-to-min style scheme. Each round is two keyed joins
+    * + one aggregate over narrow (id, label) pairs; the driver loop
+    * stops at the fixpoint (min id per component — unique regardless
+    * of schedule, which is what makes it oracle-checkable against a
+    * recursive closure). */
   def connectedComponents(
       pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val spark = pairs.sparkSession
     val verts = pairs.select(col("id_a").as("id"))
       .unionByName(pairs.select(col("id_b").as("id"))).distinct()
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = verts.withColumn("cluster", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint each round: persist alone caches DATA but the
+    // logical plan still nests the whole previous round — with the
+    // pointer-jump self-join referencing `step` twice, plan size (and
+    // Catalyst's re-optimization work) grows ~3× per round, which is
+    // exactly how the first cut of this loop ate the driver heap.
+    // Checkpointing truncates the plan to the materialized partitions,
+    // so every round plans against a constant-size leaf.
+    var labels = verts.withColumn("cluster", col("id")).localCheckpoint(true)
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
       val nm = edges.join(labels.select(col("id").as("dst"), col("cluster")), "dst")
         .groupBy(col("src")).agg(min(col("cluster")).as("_nl"))
-      val next = labels
+      val step = labels
         .join(nm.select(col("src").as("id"), col("_nl")), Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("_nl"), col("cluster"))).as("cluster"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true) // read twice by the jump self-join below
+      // pointer jump: follow the label to ITS label (labels are vertex
+      // ids, so this is a self-join) — halves remaining chain depth
+      val next = step
+        .join(step.select(col("id").as("_lid"), col("cluster").as("_lc")),
+          col("cluster") === col("_lid"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("_lc"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("cluster", "_old"), "id")
         .filter(col("cluster") =!= col("_old")).limit(1).count()
-      labels.unpersist()
       labels = next
       done = changed == 0L
       iter += 1

@@ -67,6 +67,16 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponents(pairs.limit(0)).count() == 0L)
   }
 
+  test("connectedComponents converges on a long chain (pointer jumping, not O(diameter))") {
+    // a 300-vertex path has diameter 299: neighbor-only propagation
+    // needs 299 rounds and would exhaust maxIter=50 with wrong labels;
+    // the label-of-label jump converges in O(log n) rounds
+    val chain = (0L until 299L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(chain, maxIter = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 300 && out.values.forall(_ == 0L))
+  }
+
   test("wordShingles produces distinct n-grams") {
     val out = docs.filter($"doc_id" === 1)
       .select(Dedup.wordShingles($"text", 3).as("sh"))
