@@ -12,15 +12,13 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.001"
     if (args.headOption.contains("--scan-windows")) {
-      // flag any window whose spec has an EMPTY partition list (first
-      // element inside windowspecdefinition is a sort spec, not a
-      // partition expression) — the single-partition shape invariant 6
-      // forbids in data-plane operators
-      val bad = "windowspecdefinition\\([^(,]*(ASC|DESC)".r
+      // flag any window whose spec has an EMPTY partition list — the
+      // single-partition shape invariant 6 forbids in data-plane
+      // operators (shared detector: PlanChecks.unpartitionedWindowSpecs)
       for (name <- queries.Registry.queries.keys.toSeq.sorted) {
         val p = queries.Registry.queries(name)(spark, d)
           .queryExecution.explainString(ExplainMode.fromString("formatted"))
-        val hits = bad.findAllIn(p).toList
+        val hits = PlanChecks.unpartitionedWindowSpecs(p)
         if (hits.nonEmpty) println(s"UNPARTITIONED-WINDOW $name: ${hits.mkString(" | ")}")
       }
       println("scan done")

@@ -62,7 +62,11 @@ object Multimodal {
   def repartitionBySize(
       df: DataFrame, targetPartitions: Int, numBuckets: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sized = df.withColumn("_bytes", length(col("media")).cast("long"))
+    // NULL blobs cost 0 bytes (they land in whatever slice their offset
+    // falls in) — without the coalesce a partially-null media column
+    // yields NULL _slot and the RDD hop's getInt throws
+    val sized = df.withColumn("_bytes",
+      coalesce(length(col("media")).cast("long"), lit(0L)))
     val totalRow = sized.agg(sum(col("_bytes"))).head()
     if (totalRow.isNullAt(0)) return df.repartition(targetPartitions)
     val slice = math.max(1L, totalRow.getLong(0) / targetPartitions + 1L)

@@ -195,8 +195,11 @@ object StatQueries extends QueryProvider {
 
   // ---- chi-square independence (extended): returnflag × linestatus
   //      contingency. The o²/(rt·ct) identity keeps absent cells free;
-  //      p (regularized gamma — no SQL image) is dropped from the
-  //      oracle and golden-tested. ----
+  //      the cell terms are arbitrary rationals, so the sum is the
+  //      sorted-list left fold (invariant 1 bit-round-4 rule — a
+  //      decimal-cast sum is not engine-portable for this value
+  //      class), mirroring kruskalWallis. p (regularized gamma — no
+  //      SQL image) is dropped from the oracle and golden-tested. ----
   private val qChiSq = Q(
     "q_chisq_independence",
     (s, d) => StatTests.chiSquareIndependence(
@@ -210,8 +213,13 @@ object StatQueries extends QueryProvider {
       rt AS (SELECT a, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY a),
       ct AS (SELECT b, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY b),
       g AS (
-        SELECT ${MS.sumExactFine(
-          "CAST(o AS DOUBLE) * CAST(o AS DOUBLE) / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))")} AS s,
+        SELECT list_reduce(
+            list_prepend(0.0, list_transform(
+              list_sort(list({'a': cells.a, 'b': cells.b,
+                't': CAST(o AS DOUBLE) * CAST(o AS DOUBLE)
+                     / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))})),
+              x -> x.t)),
+            (a, b) -> a + b) AS s,
           CAST(SUM(o) AS BIGINT) AS n,
           CAST(COUNT(DISTINCT cells.a) AS BIGINT) AS r_levels,
           CAST(COUNT(DISTINCT cells.b) AS BIGINT) AS c_levels

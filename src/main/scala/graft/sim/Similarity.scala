@@ -86,11 +86,8 @@ object Similarity {
     val tables = (0 until numTables).map { t =>
       // the query's bucket is a driver-side constant — the per-row
       // predicate is bucket-expression === literal
-      val qBucket = (0 until numPlanes).map { p =>
-        val proj = planeCoefs(t, p, dim).zip(query).map { case (c, x) => c * x }.sum
-        if (proj > 0) 1L << p else 0L
-      }.sum
-      signLshTableBucket(col(vecCol), dim, numPlanes, t) === lit(qBucket)
+      signLshTableBucket(col(vecCol), dim, numPlanes, t) ===
+        lit(queryBucket(t, query, numPlanes))
     }
     embeddings
       .filter(tables.reduce(_ || _))
@@ -99,7 +96,18 @@ object Similarity {
       .limit(k)
   }
 
-  private def signLshTableBucket(vec: Column, dim: Int, numPlanes: Int, table: Int): Column = {
+  /** The query vector's bucket in table `t` — a pure driver-side
+    * constant (plane coefficients are (table, plane, dim) functions),
+    * shared by the scan filter in [[lshTopK]] and the partition probe
+    * in AnnIndex.lshTopKIndexed. */
+  def queryBucket(table: Int, query: Array[Double], numPlanes: Int): Long =
+    (0 until numPlanes).map { p =>
+      val proj = planeCoefs(table, p, query.length).zip(query)
+        .map { case (c, x) => c * x }.sum
+      if (proj > 0) 1L << p else 0L
+    }.sum
+
+  private[sim] def signLshTableBucket(vec: Column, dim: Int, numPlanes: Int, table: Int): Column = {
     val planes = (0 until numPlanes).map { p =>
       val coefs = array(planeCoefs(table, p, dim).map(lit).toIndexedSeq: _*)
       when(dot(vec, coefs) > 0, shiftleft(lit(1L), p)).otherwise(0L)
@@ -212,17 +220,31 @@ object Similarity {
     *    with ≥2 tables that chance is the product of per-table odds.
     *
     * Persist policy: the unit-vector frame is read three times
-    * (banding pass + two vector fetches); it is persisted for the
-    * lifetime of the returned plan's session (README scale rule 7 —
-    * callers owning a bounded session may `unpersist` via the frame's
-    * lineage after materializing).
+    * (banding pass + two vector fetches); it is persisted. Callers
+    * owning a bounded lifetime should use
+    * [[cosineNearDupPairsWithCleanup]] and call the hook after
+    * materializing — this convenience form leaves the cache to the
+    * session (LRU-evictable MEMORY_AND_DISK blocks).
     */
   def cosineNearDupPairs(
       embeddings: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double,
       numPlanes: Int = 10, numTables: Int = 2,
       maxBucketRows: Long = 100000L,
-      minPlanes: Int = 8): DataFrame = {
+      minPlanes: Int = 8): DataFrame =
+    cosineNearDupPairsWithCleanup(embeddings, idCol, vecCol, dim, threshold,
+      numPlanes, numTables, maxBucketRows, minPlanes)._1
+
+  /** [[cosineNearDupPairs]] plus a cleanup handle that unpersists the
+    * unit-vector working set (same contract as Impute.plsWithCleanup):
+    * call it ONLY after the returned frame is materialized — the plan
+    * reads the cache three times at execution. */
+  def cosineNearDupPairsWithCleanup(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double,
+      numPlanes: Int = 10, numTables: Int = 2,
+      maxBucketRows: Long = 100000L,
+      minPlanes: Int = 8): (DataFrame, () => Unit) = {
     require(numPlanes >= minPlanes,
       s"numPlanes=$numPlanes gives only ${1 << numPlanes} buckets/table — " +
         s"below the 2^$minPlanes scale floor; the bucket self-join would " +
@@ -255,11 +277,12 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct() // a pair colliding in several tables verifies once
-    candidates
+    val out = candidates
       .join(unitVecs.select(col(idCol).as("id_a"), col("_unit").as("_va")), "id_a")
       .join(unitVecs.select(col(idCol).as("id_b"), col("_unit").as("_vb")), "id_b")
       .withColumn("cosine", dot(col("_va"), col("_vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+    (out, () => { unitVecs.unpersist(); () })
   }
 }

@@ -264,7 +264,11 @@ object StatTests {
         acc + x.getField("r2").cast("double") * x.getField("r2").cast("double") /
           x.getField("ng").cast("double")))
       .drop("_lst")
-      .join(broadcast(tiesPerFeature), idCols)
+      // no broadcast hint: tiesPerFeature is one row per FEATURE — the
+      // high-cardinality axis — so forcing a broadcast would collect an
+      // unbounded frame to the driver. Both sides are keyed by idCols;
+      // AQE picks broadcast when the stats say it fits.
+      .join(tiesPerFeature, idCols)
     val nd = col("n").cast("double")
     // ΣR_g²/n_g = Σ(2R_g)²/n_g / 4
     val hRaw = div(lit(12.0), nd * (nd + lit(1.0))) * div(col("_s"), lit(4.0)) -
@@ -283,10 +287,13 @@ object StatTests {
     * chi² = n·(Σ_cells o²/(rowTot·colTot)) − n, which makes ABSENT
     * cells (o = 0) contribute exactly nothing — so one groupBy over
     * observed pairs + two marginal aggregates is the whole plan, no
-    * dense cross of categories. The cell sum is an exact fine-decimal
-    * sum (order-independent); df = (R−1)(C−1); p is the closed-form
-    * upper regularized gamma. Output: one row
-    * (n, r_levels, c_levels, chi2, df, p). */
+    * dense cross of categories. The cell terms o²/(rt·ct) are
+    * ARBITRARY RATIONALS, so (invariant 1, bit round 4) they sum via
+    * the deterministic left fold over the (a, b)-sorted cell list —
+    * never a double→decimal cast sum, whose engines can disagree at
+    * the cast scale. Cell count is r_levels·c_levels — bounded.
+    * df = (R−1)(C−1); p is the closed-form upper regularized gamma.
+    * Output: one row (n, r_levels, c_levels, chi2, df, p). */
   def chiSquareIndependence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val obs = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
     val cells = obs.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("_o"))
@@ -298,10 +305,14 @@ object StatTests {
     val term = div(col("_o").cast("double") * col("_o").cast("double"),
       col("_rt").cast("double") * col("_ct").cast("double"))
     val g = joined.agg(
-      sumExactFine(term).as("_s"),
+      array_sort(collect_list(struct(
+        col(aCol).as("a"), col(bCol).as("b"), term.as("t")))).as("_lst"),
       sum(col("_o")).as("n"),
       countDistinct(col(aCol)).as("r_levels"),
       countDistinct(col(bCol)).as("c_levels"))
+      .withColumn("_s", aggregate(col("_lst"), lit(0.0),
+        (acc, x) => acc + x.getField("t")))
+      .drop("_lst")
     val nd = col("n").cast("double")
     val chi2 = nd * col("_s") - nd
     val dfree = (col("r_levels").cast("double") - lit(1.0)) *

@@ -69,24 +69,17 @@ object Dedup {
     * an aggregate-only pre-pass, no extra data shuffle of the banded
     * triples (they re-shuffle on the same key either way, and AQE
     * reuses the exchange). Members of a dropped bucket are near-
-    * identical by construction; callers wanting them handled should
-    * route oversized buckets to exact dedup on the band hash instead
-    * of pair enumeration. */
+    * identical by construction; the pruning is NOT silent: route
+    * [[minHashOversizedBuckets]] (the exact dropped set, with member
+    * counts) to exact dedup on the band hash instead of pair
+    * enumeration. */
   def minHashCandidatePairs(
       signatures: DataFrame, idCol: String,
       numHashes: Int = 32, bands: Int = 8,
       maxBucketRows: Long = 100000L): DataFrame = {
-    val rows = numHashes / bands
-    val bandCols = (0 until bands).map { b =>
-      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh_$i"))
-      struct(lit(b).as("band_idx"), xxhash64(cols: _*).as("band_hash"))
-    }
-    val banded = signatures
-      .select(col(idCol), explode(array(bandCols: _*)).as("band"))
-      .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
+    val banded = bandedTriples(signatures, idCol, numHashes, bands)
     // hot-bucket guard: cap group size before the quadratic self-join
-    val okBuckets = banded.groupBy(col("band_idx"), col("band_hash"))
-      .agg(count(lit(1)).as("_bn"))
+    val okBuckets = bucketCounts(banded)
       .filter(col("_bn") <= maxBucketRows)
       .select(col("band_idx"), col("band_hash"))
     val pruned = banded.join(okBuckets, Seq("band_idx", "band_hash"), "left_semi")
@@ -97,6 +90,38 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .distinct()
   }
+
+  /** SIDE OUTPUT of [[minHashCandidatePairs]]' hot-bucket guard: the
+    * (band_idx, band_hash) buckets the SAME config would drop, with
+    * their member counts — so callers can observe that pruning
+    * happened (`.isEmpty` / count it into a metric) and route the
+    * members to the exact-dedup-on-band-hash path the cap's scaladoc
+    * recommends. Deterministic: a pure function of (signatures,
+    * config), so it reconstructs the dropped set exactly without the
+    * pair query having to carry it. */
+  def minHashOversizedBuckets(
+      signatures: DataFrame, idCol: String,
+      numHashes: Int = 32, bands: Int = 8,
+      maxBucketRows: Long = 100000L): DataFrame =
+    bucketCounts(bandedTriples(signatures, idCol, numHashes, bands))
+      .filter(col("_bn") > maxBucketRows)
+      .select(col("band_idx"), col("band_hash"), col("_bn").as("n_members"))
+
+  private def bandedTriples(
+      signatures: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh_$i"))
+      struct(lit(b).as("band_idx"), xxhash64(cols: _*).as("band_hash"))
+    }
+    signatures
+      .select(col(idCol), explode(array(bandCols: _*)).as("band"))
+      .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
+  }
+
+  private def bucketCounts(banded: DataFrame): DataFrame =
+    banded.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("_bn"))
 
   /** Estimated jaccard from signatures for candidate pairs: fraction of
     * agreeing minhashes. */
@@ -181,7 +206,17 @@ object Dedup {
     * of schedule, which is what makes it oracle-checkable against a
     * recursive closure). */
   def connectedComponents(
-      pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+      pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds the
+    * driver loop ran (fixpoint detection included). Exposed so the
+    * O(log diameter) convergence claim is TESTABLE — DedupSpec's
+    * property test locks a diameter-D path graph to ≤ ⌈log₂D⌉+2
+    * rounds, so an edit that silently drops the pointer-jump step
+    * (reverting to O(D) neighbor propagation) fails loudly. */
+  def connectedComponentsWithRounds(
+      pairs: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
     val verts = pairs.select(col("id_a").as("id"))
       .unionByName(pairs.select(col("id_b").as("id"))).distinct()
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -220,7 +255,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels
+    (labels, iter)
   }
 
   /** Benchmark decontamination: per corpus document, the number of
@@ -247,11 +282,23 @@ object Dedup {
   /** Exact word-set Jaccard for given candidate pairs (verification
     * stage after blocking): explode distinct words once, self-join on
     * word within pairs. `pairs` must be pre-blocked (LSH/banding) —
-    * this never computes all-pairs. */
+    * this never computes all-pairs.
+    *
+    * The corpus is left_semi-pruned against the candidate-member id
+    * set BEFORE the word explode: candidates from a blocking stage
+    * typically cover a small fraction of docs, and without the prune
+    * the ENTIRE exploded corpus (one row per distinct word per doc)
+    * would shuffle through the intersection join just to be dropped.
+    * The member set is distilled from the pre-blocked `pairs` (small),
+    * so the semi join broadcasts and the scan stays narrow. */
   def wordJaccard(
       df: DataFrame, pairs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = df.select(col(idCol),
-      explode(array_distinct(split(col(textCol), " "))).as("_w"))
+    val memberIds = pairs.select(col("id_a").as(idCol))
+      .unionByName(pairs.select(col("id_b").as(idCol)))
+      .distinct()
+    val words = df.join(memberIds, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        explode(array_distinct(split(col(textCol), " "))).as("_w"))
     val sizes = words.groupBy(col(idCol)).agg(count(lit(1)).as("_sz"))
     val wA = words.select(col(idCol).as("id_a"), col("_w"))
     val wB = words.select(col(idCol).as("id_b"), col("_w"))

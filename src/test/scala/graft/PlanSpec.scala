@@ -103,14 +103,33 @@ class PlanSpec extends SparkSpec {
 
   test("NO query plans an unpartitioned window — invariant 6 held structurally") {
     // the bounded offset stitches use Stitch's self-joins, so an empty
-    // partition spec anywhere is a regression (windowspecdefinition's
-    // first element being a sort spec means the partition list is empty)
-    val bad = "windowspecdefinition\\([^(,]*(ASC|DESC)".r
+    // partition spec anywhere is a regression (shared depth-aware
+    // detector — a regex stopping at the first paren would miss an
+    // unpartitioned window whose first sort key is an expression)
     for (name <- Registry.queries.keys.toSeq.sorted) {
       val p = Registry.queries(name)(spark, sf).queryExecution
         .explainString(ExplainMode.fromString("formatted"))
-      assert(bad.findFirstIn(p).isEmpty, s"$name plans an unpartitioned window")
+      val hits = PlanChecks.unpartitionedWindowSpecs(p)
+      assert(hits.isEmpty, s"$name plans an unpartitioned window: ${hits.mkString(" | ")}")
     }
+  }
+
+  test("the window detector catches expression-keyed unpartitioned windows (regex blind spot)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq("b", "a").toDF("x")
+    // unpartitioned window whose first sort key contains a paren —
+    // the old [^(,]* regex stopped at 'lower(' and missed it
+    val w = org.apache.spark.sql.expressions.Window.orderBy(lower(col("x")))
+    val p = df.withColumn("rn", row_number().over(w))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(PlanChecks.unpartitionedWindowSpecs(p).nonEmpty, p)
+    // and stays quiet on a properly partitioned window
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("x")).orderBy(lower(col("x")))
+    val p2 = df.withColumn("rn", row_number().over(w2))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(PlanChecks.unpartitionedWindowSpecs(p2).isEmpty, p2)
   }
 
   test("group quantiles rank inside (group, value-bucket) windows — no per-group sort partition") {
@@ -135,6 +154,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p)
     // the guard is an aggregate over (band_idx, band_hash) counts
     assert(p.contains("_bn"), p)
+  }
+
+  test("wordJaccard prunes the corpus with a semi-join before the word explode") {
+    val p = plan("q_jaccard_pairs")
+    // the exploded-words side must be fed by the candidate-member
+    // left_semi prune — without it the whole corpus' words shuffle
+    // even when candidates cover <1% of docs
+    assert(p.contains("LeftSemi"), p)
+    // formatted explain prints parent before child: the explode
+    // (Generate) must sit above a LeftSemi in its subtree
+    val gi = p.indexOf("Generate")
+    assert(gi >= 0 && p.indexOf("LeftSemi", gi) >= 0, p)
   }
 
   test("3-set venn is one keyed shuffle + single-row agg — no INTERSECT joins") {

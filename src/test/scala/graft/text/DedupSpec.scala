@@ -55,6 +55,49 @@ class DedupSpec extends SparkSpec {
       .combinations(2).take(5).forall(p => uncapped.contains((p(0), p(1)))))
   }
 
+  test("minHashOversizedBuckets reports exactly what the cap drops — pruning is observable") {
+    val cluster = (100L until 300L).map(i => (i, base + " boilerplate footer text"))
+    val skewed = (docs.collect().map(r => (r.getLong(0), r.getString(1))) ++ cluster)
+      .toSeq.toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(skewed, "doc_id", "text", numHashes = 16, shingleSize = 3)
+    // same config as the capped candidate query: the side output names
+    // the dropped buckets + member counts (the 200-doc cluster)
+    val dropped = Dedup.minHashOversizedBuckets(sigs, "doc_id", numHashes = 16,
+        bands = 4, maxBucketRows = 50)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(dropped.nonEmpty && dropped.values.forall(_ == 200L),
+      s"every oversized bucket is the 200-member cluster: $dropped")
+    // with the cap not binding, the side output is empty — no false alarms
+    assert(Dedup.minHashOversizedBuckets(sigs, "doc_id", numHashes = 16,
+      bands = 4, maxBucketRows = 100000L).count() == 0L)
+    // the side output covers the members the pair query lost: routing
+    // each dropped bucket to exact dedup on the band hash recovers them
+    val banded = Dedup.minHashCandidatePairs(sigs, "doc_id", numHashes = 16,
+      bands = 4, maxBucketRows = 50)
+    val pairIds = banded.select($"id_a").union(banded.select($"id_b"))
+      .collect().map(_.getLong(0)).toSet
+    assert((100L until 300L).forall(i => !pairIds.contains(i)))
+  }
+
+  test("wordJaccard with sparse candidates: prune keeps results exact at <1% coverage") {
+    // 500 docs, candidates touch only 4 of them (0.8%) — the semi-join
+    // prune must not change any value vs the dense formulation
+    val many = (0L until 500L).map { i =>
+      (i, s"word${i % 7} word${i % 11} word${i % 13} common filler text")
+    }.toDF("doc_id", "text")
+    val pairs = Seq((7L, 84L), (100L, 413L)).toDF("id_a", "id_b")
+    val out = Dedup.wordJaccard(many, pairs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def wordSet(i: Long) = Set(s"word${i % 7}", s"word${i % 11}", s"word${i % 13}",
+      "common", "filler", "text")
+    def jac(a: Long, b: Long) = {
+      val (sa, sb) = (wordSet(a), wordSet(b))
+      (sa & sb).size.toDouble / (sa | sb).size
+    }
+    assert(out.keySet == Set((7L, 84L), (100L, 413L)))
+    assert(out((7L, 84L)) == jac(7L, 84L) && out((100L, 413L)) == jac(100L, 413L))
+  }
+
   test("connectedComponents labels every vertex with its component's min id") {
     val pairs = Seq((2L, 3L), (1L, 2L), (11L, 10L), (11L, 3L), (5L, 6L))
       .toDF("id_a", "id_b")
@@ -75,6 +118,22 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.connectedComponents(chain, maxIter = 50)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.size == 300 && out.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents round count is O(log diameter) — pointer jump locked in") {
+    // a diameter-D path graph must converge in ≤ ⌈log₂D⌉+2 rounds
+    // (distance-to-min roughly doubles per round via label-of-label;
+    // +2 covers the first round's offset and the fixpoint-detection
+    // round). Neighbor-only propagation needs D rounds — dropping the
+    // jump step fails this at every D here.
+    for (d <- Seq(8L, 100L, 1000L)) {
+      val path = (0L until d).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val (labels, rounds) = Dedup.connectedComponentsWithRounds(path, maxIter = 50)
+      val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out.size == d + 1 && out.values.forall(_ == 0L), s"D=$d labels wrong")
+      val bound = math.ceil(math.log(d.toDouble) / math.log(2.0)).toInt + 2
+      assert(rounds <= bound, s"D=$d took $rounds rounds (bound $bound)")
+    }
   }
 
   test("wordShingles produces distinct n-grams") {

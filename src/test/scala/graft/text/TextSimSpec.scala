@@ -305,6 +305,27 @@ class TextSimSpec extends SparkSpec {
     assert(r104 >= r101, s"tables=4 recall $r104 < tables=1 recall $r101")
   }
 
+  test("cosineNearDupPairsWithCleanup: hook releases the unit-vector cache after materialization") {
+    // data distinct from every other suite/test: an identical plan
+    // would hit the CacheManager's already-cached entry and persist
+    // would be a no-op, making `added` empty
+    val vecs = Seq(
+      (41L, Array.fill(8)(0.31f)),
+      (42L, Array.fill(8)(0.3101f)),
+      (43L, Array.tabulate(8)(i => if (i % 2 == 0) 0.9f else -0.9f))
+    ).toDF("vec_id", "embedding")
+    // shared test session carries other suites' caches — diff the ids
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (out, cleanup) = Similarity.cosineNearDupPairsWithCleanup(vecs, "vec_id", "embedding",
+      dim = 8, threshold = 0.99, numPlanes = 4, minPlanes = 2)
+    val found = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((41L, 42L))) // materialized before cleanup
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty)
+    cleanup()
+    assert((spark.sparkContext.getPersistentRDDs.keySet & added).isEmpty)
+  }
+
   test("cosineNearDupPairs hot-bucket cap drops oversized groups") {
     // 30 identical vectors pile into one bucket per table; with the cap
     // below the pile size no pair from that bucket survives
