@@ -331,28 +331,20 @@ object TextQueries extends QueryProvider {
   private val lastIvf = new java.util.concurrent.atomic.AtomicReference[
     (Array[Array[Double]], Array[Int], Array[Double], Double)]()
 
-  private val qAnnIvf = Q(
-    "q_ann_ivf_topk",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val q = emb.filter(col("vec_id") === 0)
-        .select(transform(col("embedding"), _.cast("double")).as("q"))
-        .head().getSeq[Double](0).toArray
-      val (assigned, centroids) = Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 16)
-      val qNorm = math.sqrt(q.foldLeft(0.0)((acc, x) => acc + x * x))
-      lastIvf.set((centroids, Similarity.probeCells(centroids, q, nProbe = 4), q, qNorm))
-      Similarity.ivfTopK(assigned, centroids, "vec_id", "embedding", q, k = 20, nProbe = 4)
-    },
-    None,
-    oracleGen = Some(() => Option(lastIvf.get()).map { case (cents, probes, q, qNorm) =>
-      def dotSql(a: String, b: String) =
-        s"list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), (a, b) -> a + b)"
-      // ‖c‖² folds driver-side in assignCells → inject the scalar too
-      val cellRows = cents.zipWithIndex.map { case (cArr, i) =>
-        val c2 = cArr.foldLeft(0.0)((a, x) => a + x * x)
-        s"($i, CAST([${cArr.mkString(", ")}] AS DOUBLE[]), CAST('$c2' AS DOUBLE))"
-      }.mkString(",\n        ")
-      s"""
+  /** The IVF oracle SQL (assignment replay + probe filter + cosine
+    * top-k) — ONE builder shared by q_ann_ivf_topk and its
+    * partition-pruned serving twin q_ann_ivf_pruned, which must return
+    * byte-identical results. */
+  private def ivfOracleSql(
+      cents: Array[Array[Double]], probes: Array[Int], qNorm: Double): String = {
+    def dotSql(a: String, b: String) =
+      s"list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), (a, b) -> a + b)"
+    // ‖c‖² folds driver-side in assignCells → inject the scalar too
+    val cellRows = cents.zipWithIndex.map { case (cArr, i) =>
+      val c2 = cArr.foldLeft(0.0)((a, x) => a + x * x)
+      s"($i, CAST([${cArr.mkString(", ")}] AS DOUBLE[]), CAST('$c2' AS DOUBLE))"
+    }.mkString(",\n        ")
+    s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       ev AS (SELECT vec_id, v, ${dotSql("v", "v")} AS vv FROM e),
       cells(cell, cv, c2) AS (VALUES $cellRows),
@@ -369,6 +361,60 @@ object TextQueries extends QueryProvider {
       FROM assigned, q
       ORDER BY cosine DESC, vec_id
       LIMIT 20"""
+  }
+
+  private val qAnnIvf = Q(
+    "q_ann_ivf_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(transform(col("embedding"), _.cast("double")).as("q"))
+        .head().getSeq[Double](0).toArray
+      val (assigned, centroids) = Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 16)
+      val qNorm = math.sqrt(q.foldLeft(0.0)((acc, x) => acc + x * x))
+      lastIvf.set((centroids, Similarity.probeCells(centroids, q, nProbe = 4), q, qNorm))
+      Similarity.ivfTopK(assigned, centroids, "vec_id", "embedding", q, k = 20, nProbe = 4)
+    },
+    None,
+    oracleGen = Some(() => Option(lastIvf.get()).map { case (cents, probes, _, qNorm) =>
+      ivfOracleSql(cents, probes, qNorm)
+    }))
+
+  /** Scratch location for the serving-layout tables (partitioned
+    * writes the pruned ANN queries read back). Deterministic per
+    * (sf dir, kind); lives in tmp — an index is derived data. */
+  private def indexPath(sfDir: String, kind: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_annindex_${kind}_" +
+      sfDir.replaceAll("[^A-Za-z0-9]", "_")
+
+  // ---- the SERVING path: same IVF index, but materialized as a
+  //      cell-PARTITIONED table (AnnIndex.writeIvfIndexed) so the
+  //      probe filter is partition pruning — the scan lists only
+  //      nProbe of nCells directories (PlanSpec asserts the
+  //      PartitionFilters). Results must equal q_ann_ivf_topk
+  //      byte-for-byte; the oracle is the same SQL. ----
+  private val lastIvfPruned = new java.util.concurrent.atomic.AtomicReference[
+    (Array[Array[Double]], Array[Int], Double)]()
+
+  private val qAnnIvfPruned = Q(
+    "q_ann_ivf_pruned",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(transform(col("embedding"), _.cast("double")).as("q"))
+        .head().getSeq[Double](0).toArray
+      val (assigned, centroids) = Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 16)
+      val path = indexPath(d, "ivf")
+      graft.sim.AnnIndex.writeIvfIndexed(assigned, path)
+      val indexed = graft.sim.AnnIndex.readIvfIndexed(s, path)
+      val qNorm = math.sqrt(q.foldLeft(0.0)((acc, x) => acc + x * x))
+      lastIvfPruned.set((centroids, Similarity.probeCells(centroids, q, nProbe = 4), qNorm))
+      graft.sim.AnnIndex.ivfTopKIndexed(
+        indexed, centroids, "vec_id", "embedding", q, k = 20, nProbe = 4)
+    },
+    None,
+    oracleGen = Some(() => Option(lastIvfPruned.get()).map { case (cents, probes, qNorm) =>
+      ivfOracleSql(cents, probes, qNorm)
     }))
 
   // ---- IVF-PQ's PQ half: per-subspace argmin encode + ADC top-k.
@@ -500,18 +546,10 @@ object TextQueries extends QueryProvider {
   // Oracled: the hyperplanes are pure driver-side constants (SplitMix64
   // of (table, plane, i)), so the exact bucket filter + cosine rank is
   // SQL — the plane arrays are inlined once as literals in a CTE and
-  // every dot product mirrors the Spark left-to-right fold.
-  private val qAnnLsh = Q(
-    "q_ann_lsh_topk",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val q = emb.filter(col("vec_id") === 0)
-        .select(transform(col("embedding"), _.cast("double")).as("q"))
-        .head().getSeq[Double](0).toArray
-      Similarity.lshTopK(emb, "vec_id", "embedding", q, k = 20, dim = q.length,
-        numPlanes = 8, numTables = 4)
-    },
-    Some {
+  // every dot product mirrors the Spark left-to-right fold. The SQL is
+  // shared with q_ann_lsh_pruned: the (_t, _b)-partitioned serving
+  // layout must return the identical top-k.
+  private val lshOracleSql: String = {
       val (numPlanes, numTables, dim) = (8, 4, 64)
       // CAST(... AS DOUBLE[]): bare decimal literals type as DECIMAL in
       // DuckDB and the mixed-arithmetic fold drifts by ulps; the cast
@@ -539,7 +577,41 @@ object TextQueries extends QueryProvider {
       WHERE $pred
       ORDER BY cosine DESC, vec_id
       LIMIT 20"""
-    })
+  }
+
+  private val qAnnLsh = Q(
+    "q_ann_lsh_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(transform(col("embedding"), _.cast("double")).as("q"))
+        .head().getSeq[Double](0).toArray
+      Similarity.lshTopK(emb, "vec_id", "embedding", q, k = 20, dim = q.length,
+        numPlanes = 8, numTables = 4)
+    },
+    Some(lshOracleSql))
+
+  // ---- the LSH SERVING path: bucket ids materialized at ingest into a
+  //      (_t, _b)-partitioned table (one row per table per vector), so
+  //      the per-query probe is one partition per table — file-listing
+  //      pruning instead of 32 literal-plane dot products per row per
+  //      query (PlanSpec asserts the PartitionFilters). Same top-k as
+  //      q_ann_lsh_topk; same oracle. ----
+  private val qAnnLshPruned = Q(
+    "q_ann_lsh_pruned",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(transform(col("embedding"), _.cast("double")).as("q"))
+        .head().getSeq[Double](0).toArray
+      val path = indexPath(d, "lsh")
+      graft.sim.AnnIndex.writeLshIndexed(emb, "vec_id", "embedding", path,
+        dim = q.length, numPlanes = 8, numTables = 4)
+      graft.sim.AnnIndex.lshTopKIndexed(
+        graft.sim.AnnIndex.readLshIndexed(s, path), "vec_id", "embedding",
+        q, k = 20, numPlanes = 8, numTables = 4)
+    },
+    Some(lshOracleSql))
 
   // ---- the full curation pipeline (annotate -> gate -> exact dedup ->
   //      minhash near-dup dedup) as one lazy plan. Oracled: every stage
@@ -814,5 +886,5 @@ object TextQueries extends QueryProvider {
     qDedupExact, qFingerprint, qTokens, qQuality, qLangId, qJaccard, qAnn, qAnnLsh,
     qAnnIvf, qMinhash, qSimhash, qSimhashPairs, qWinnow, qLshPairs, qCurate,
     qTokenTopK, qStratSample, qMixSources, qContamination, qRepetition, qCurationSignals,
-    qPiiRedact, qLmScore, qAnnPq, qAnnIvfPq, qDedupClusters)
+    qPiiRedact, qLmScore, qAnnPq, qAnnIvfPq, qDedupClusters, qAnnIvfPruned, qAnnLshPruned)
 }

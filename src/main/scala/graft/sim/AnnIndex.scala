@@ -1,0 +1,98 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The ANN SERVING layout: index structures (IVF cells, LSH buckets)
+  * materialized as PARTITION COLUMNS of the stored embedding table, so
+  * a query's probe filter becomes directory-level partition pruning —
+  * the scan opens nProbe/nCells (IVF) or numTables/2^numPlanes (LSH)
+  * of the data instead of evaluating the assignment per row over the
+  * full corpus.
+  *
+  * This is the piece that makes [[Similarity.lshTopK]]/[[
+  * Similarity.ivfTopK]] an INDEX rather than a re-filtered full scan:
+  * computed on the fly, the LSH bucket filter costs numTables×numPlanes
+  * dot products per row (more than brute force's 2) and the IVF cell
+  * filter costs nCells distance evaluations per row. Partitioned
+  * storage moves that work to ingest (once) and turns every query's
+  * probe into file listing. PlanSpec asserts the pruned plans'
+  * PartitionFilters carry the probe predicate.
+  */
+object AnnIndex {
+
+  /** Write the IVF-assigned embedding table partitioned by coarse cell
+    * (from [[Similarity.assignCells]]). nCells is bounded (a coarse
+    * quantizer — 2^10..2^14 in practice), so the directory fan-out is
+    * safe; within a cell, files stay row-grouped for columnar reads. */
+  def writeIvfIndexed(assigned: DataFrame, path: String, cellCol: String = "_cell"): Unit =
+    // repartition on the partition column first: each cell's rows land
+    // in one task → one file per directory (otherwise every write task
+    // opens a file in every cell it sees — small-file explosion).
+    // File size within a cell is governed by maxRecordsPerFile.
+    assigned.repartition(col(cellCol))
+      .write.mode("overwrite").partitionBy(cellCol).parquet(path)
+
+  def readIvfIndexed(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** IVF top-k over the cell-partitioned table: same probe + scoring
+    * expressions as [[Similarity.ivfTopK]] (bitwise-identical results),
+    * but `_cell IN probes` is now a filter on a PARTITION column — the
+    * scan never lists the other cells' directories. */
+  def ivfTopKIndexed(
+      indexed: DataFrame, centroids: Array[Array[Double]],
+      idCol: String, vecCol: String,
+      query: Array[Double], k: Int, nProbe: Int): DataFrame =
+    Similarity.ivfTopK(indexed, centroids, idCol, vecCol, query, k, nProbe)
+
+  /** Write the multi-table LSH index: one row per (table, bucket,
+    * vector) — the classic T independent hash tables, materialized as
+    * one dataset partitioned by (_t, _b). Storage cost is numTables×
+    * the corpus (each table holds every vector once); bucket ids are
+    * computed ONCE at ingest instead of per query per row. */
+  def writeLshIndexed(
+      embeddings: DataFrame, idCol: String, vecCol: String, path: String,
+      dim: Int, numPlanes: Int = 8, numTables: Int = 4): Unit = {
+    val tb = (0 until numTables).map { t =>
+      struct(lit(t).as("t"),
+        Similarity.signLshTableBucket(col(vecCol), dim, numPlanes, t).as("b"))
+    }
+    embeddings
+      .select(col(idCol), col(vecCol), explode(array(tb: _*)).as("_tb"))
+      .select(col(idCol), col(vecCol),
+        col("_tb.t").as("_t"), col("_tb.b").as("_b"))
+      .repartition(col("_t"), col("_b")) // one writer per bucket dir
+      .write.mode("overwrite").partitionBy("_t", "_b").parquet(path)
+  }
+
+  def readLshIndexed(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** LSH top-k over the (_t, _b)-partitioned table: probe one bucket
+    * per table (the query's bucket — driver constants), dedup vectors
+    * found by several tables, score with the same cosine expression as
+    * [[Similarity.lshTopK]]. The probe predicate touches only
+    * partition columns → partition pruning; candidate cardinality is
+    * ≤ numTables·E[bucket size], so the dedup + top-k stage is tiny. */
+  def lshTopKIndexed(
+      indexed: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int,
+      numPlanes: Int = 8, numTables: Int = 4): DataFrame = {
+    val pred = (0 until numTables).map { t =>
+      col("_t") === lit(t) &&
+        col("_b") === lit(Similarity.queryBucket(t, query, numPlanes))
+    }.reduce(_ || _)
+    val qCol = array(query.toIndexedSeq.map(lit): _*)
+    indexed
+      .filter(pred)
+      .select(col(idCol), col(vecCol))
+      // a vector whose buckets match in >1 table appears once per
+      // table — rows are identical, so any-one-per-id is deterministic
+      .dropDuplicates(idCol)
+      .select(col(idCol),
+        Similarity.cosine(col(vecCol), qCol).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+}

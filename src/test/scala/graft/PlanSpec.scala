@@ -217,6 +217,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("ANN serving queries probe via PartitionFilters — the index is pruning, not a re-scan") {
+    // q_ann_ivf_pruned: `_cell IN probes` must be a partition filter on
+    // the cell-partitioned table (the (nProbe/nCells)·scan cost claim)
+    val ivf = plan("q_ann_ivf_pruned")
+    assert("PartitionFilters: \\[[^\\]]*_cell[^\\]]*IN".r.findFirstIn(ivf).nonEmpty, ivf)
+    // q_ann_lsh_pruned: the per-table (t, bucket) probe likewise
+    val lsh = plan("q_ann_lsh_pruned")
+    assert("PartitionFilters: \\[[^\\]]*_t".r.findFirstIn(lsh).nonEmpty, lsh)
+    assert(lsh.contains("_b"), lsh)
+  }
+
   test("similarity scans fold float embeddings directly (no transform-cast lambda)") {
     val p = plan("q_ann_cosine_topk")
     assert(!p.contains("lambdafunction"), p)

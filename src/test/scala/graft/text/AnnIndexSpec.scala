@@ -1,0 +1,81 @@
+package graft.text
+
+import graft.SparkSpec
+import graft.sim.{AnnIndex, Similarity}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.ExplainMode
+
+/** The ANN serving layout: index structure as partition columns →
+  * probe filters become partition pruning, results identical to the
+  * compute-on-scan formulations.
+  */
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(n: Int, dim: Int) =
+    (0 until n).map { i =>
+      (i.toLong, Array.tabulate(dim)(j => math.sin(i * 1.9 + j * 0.7).toFloat))
+    }.toDF("vec_id", "embedding")
+
+  test("IVF: cell-partitioned table returns identical top-k and prunes to probed cells") {
+    val emb = vecs(300, 8)
+    val q = emb.filter($"vec_id" === 0)
+      .select(transform($"embedding", _.cast("double")).as("q"))
+      .head().getSeq[Double](0).toArray
+    val (assigned, cents) = Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 8)
+    val dir = java.nio.file.Files.createTempDirectory("annivf").toString + "/idx"
+    AnnIndex.writeIvfIndexed(assigned, dir)
+    val indexed = AnnIndex.readIvfIndexed(spark, dir)
+    val pruned = AnnIndex.ivfTopKIndexed(indexed, cents, "vec_id", "embedding", q,
+      k = 10, nProbe = 3)
+    val direct = Similarity.ivfTopK(assigned, cents, "vec_id", "embedding", q,
+      k = 10, nProbe = 3)
+    assert(pruned.collect().toSeq == direct.collect().toSeq)
+    // the probe predicate reaches the scan as a PARTITION filter —
+    // unprobed cell directories are never listed
+    val p = pruned.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert("PartitionFilters: \\[[^\\]]*_cell[^\\]]*IN".r.findFirstIn(p).nonEmpty, p)
+    // one directory per cell, one file per directory (repartition-by-cell write)
+    val cellDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("_cell="))
+    assert(cellDirs.length == 8, cellDirs.mkString(","))
+    cellDirs.foreach { cd =>
+      assert(cd.listFiles().count(_.getName.endsWith(".parquet")) == 1, cd)
+    }
+  }
+
+  test("LSH: (_t,_b)-partitioned table returns the same top-k as the scan-filter form") {
+    val emb = vecs(300, 8)
+    val q = emb.filter($"vec_id" === 0)
+      .select(transform($"embedding", _.cast("double")).as("q"))
+      .head().getSeq[Double](0).toArray
+    val dir = java.nio.file.Files.createTempDirectory("annlsh").toString + "/idx"
+    AnnIndex.writeLshIndexed(emb, "vec_id", "embedding", dir,
+      dim = 8, numPlanes = 4, numTables = 2)
+    val indexed = AnnIndex.readLshIndexed(spark, dir)
+    val pruned = AnnIndex.lshTopKIndexed(indexed, "vec_id", "embedding", q,
+      k = 10, numPlanes = 4, numTables = 2)
+    val direct = Similarity.lshTopK(emb, "vec_id", "embedding", q,
+      k = 10, dim = 8, numPlanes = 4, numTables = 2)
+    assert(pruned.collect().toSeq == direct.collect().toSeq)
+    val p = pruned.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert("PartitionFilters: \\[[^\\]]*_t[^\\]]*".r.findFirstIn(p).nonEmpty, p)
+    assert(p.contains("_b"), p)
+    // partition dirs exist per table; probing reads 1 bucket per table
+    val tDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("_t="))
+    assert(tDirs.length == 2, tDirs.mkString(","))
+  }
+
+  test("LSH indexed probe dedups vectors found by several tables") {
+    // identical vectors share every bucket → each appears in both
+    // tables' probed partitions; scoring must see each id once
+    val emb = (0L until 20L).map(i => (i, Array.fill(8)(0.4f))).toDF("vec_id", "embedding")
+    val q = Array.fill(8)(0.4)
+    val dir = java.nio.file.Files.createTempDirectory("annlshdup").toString + "/idx"
+    AnnIndex.writeLshIndexed(emb, "vec_id", "embedding", dir,
+      dim = 8, numPlanes = 4, numTables = 2)
+    val out = AnnIndex.lshTopKIndexed(AnnIndex.readLshIndexed(spark, dir),
+      "vec_id", "embedding", q, k = 50, numPlanes = 4, numTables = 2).collect()
+    assert(out.length == 20, s"got ${out.length} rows")
+    assert(out.map(_.getLong(0)).distinct.length == 20)
+  }
+}
