@@ -6,12 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling (north-star surface): image/audio/video
   * as opaque `binary` columns with typed metadata.
   *
-  * The decode step is STUBBED (no media libraries in this
-  * environment — see the builder contract): `DecodeStub` produces
-  * deterministic fake features from the bytes. Everything around it —
-  * schema, batched partition processing, size-aware repartitioning,
-  * frame-sample explode — is real Spark plumbing, tested in
-  * MultimodalSpec.
+  * Decode is dispatched on the declared mime type ([[MediaDecode]]):
+  * binary PPM images and PCM WAV audio are REALLY parsed
+  * (dependency-free header + sample decoding, exact integer moments);
+  * anything else — including corrupt blobs of a declared format —
+  * falls back to the deterministic [[DecodeStub]] so a bad blob
+  * degrades instead of failing the stage. Everything around the
+  * decoders — schema, batched partition processing, size-aware
+  * repartitioning, frame-sample explode — is ordinary Spark plumbing.
   */
 object Multimodal {
 
@@ -97,19 +99,68 @@ object Multimodal {
     spark.createDataFrame(rdd, df.schema)
   }
 
-  /** Batched "decode": mapPartitions over typed rows — the Scala
-    * analogue of mapInPandas batch processing. The real decoder would
-    * go where DecodeStub.decode is called; its signature (bytes →
-    * fixed-width feature vector) is the production contract. */
+  /** Batched decode: mapPartitions over typed rows — the Scala
+    * analogue of mapInPandas batch processing. Dispatches on mime_type
+    * ([[MediaDecode.features]]): PPM/WAV payloads are really parsed;
+    * opaque octet-streams (and unparseable blobs) take the
+    * deterministic stub path. */
   def decodeFeatures(spark: SparkSession, df: DataFrame, dim: Int = 8): Dataset[MediaFeatures] = {
     import spark.implicits._
     df.as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
-        val feats = DecodeStub.decode(r.media, dim)
+        val feats = MediaDecode.features(r.media, r.mime_type, dim)
         MediaFeatures(r.media_id, r.media.length.toLong,
           DecodeStub.contentHash(r.media), feats)
       }
     }
+  }
+
+  final case class ImageRow(
+      media_id: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      r_sum: Long,
+      g_sum: Long,
+      b_sum: Long)
+
+  /** Typed raster decode: REALLY parses each blob's PPM header +
+    * pixel area ([[MediaDecode.decodePpm]] — the parser knows nothing
+    * about how the blob was built) and emits exact per-channel byte
+    * sums. Unparseable blobs are dropped (flatMap) — the strict form
+    * for pipelines that route corrupt media to a dead-letter side. */
+  def decodeImages(spark: SparkSession, df: DataFrame): Dataset[ImageRow] = {
+    import spark.implicits._
+    df.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaDecode.decodePpm(r.media).map(img =>
+          ImageRow(r.media_id, "ppm", img.width, img.height,
+            img.rSum, img.gSum, img.bSum))
+      }
+    }
+  }
+
+  /** Test-harness ingest: pack a payload column into a REAL binary PPM
+    * (P6) blob — fixed width 16, height ⌈bytes/48⌉, payload bytes as
+    * the raster row-major with zero padding. Real pipelines read actual
+    * image bytes from storage; this gives the decoder genuine headers
+    * to parse from the text-only testdata. The construction is exactly
+    * replayable in SQL (hex + rpad), which is what lets
+    * q_multimodal_real oracle the REAL parse. */
+  def packPpm(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val nb = length(col(payloadCol).cast("binary")).cast("long")
+    val h = greatest(floor((nb + lit(47L)) / lit(48.0)).cast("long"), lit(1L))
+    val hexPix = rpad(hex(col(payloadCol).cast("binary")), (h * lit(96L)).cast("int"), lit("00"))
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      concat(
+        lit("P6\n16 ").cast("binary"),
+        h.cast("string").cast("binary"),
+        lit("\n255\n").cast("binary"),
+        unhex(hexPix)).as("media"),
+      lit("image/x-portable-pixmap").as("mime_type"),
+      lit(16).as("meta_width"),
+      h.cast("int").as("meta_height"))
   }
 
   /** Video-style frame sampling: one row per sampled "frame" (explode

@@ -90,5 +90,50 @@ object MediaQueries extends QueryProvider {
       JOIN ch c ON c.doc_id = d.doc_id"""
     })
 
-  def all: Seq[Q] = Seq(qMeta, qFrames, qDecode)
+  // REAL decode: pack each doc's bytes into a genuine binary PPM (P6)
+  // blob — header + raster — and run the dependency-free parser
+  // (MediaDecode.decodePpm) over it. The parser reads width/height/
+  // maxval from the HEADER BYTES (it knows nothing of the packing);
+  // the oracle replays the packing arithmetic (fixed width 16, height
+  // ⌈bytes/48⌉, channel j = byte position mod 3) over the hex image of
+  // the same payload. Means are exact integer channel sums divided
+  // once — portable double division.
+  private val qReal = Q(
+    "q_multimodal_real",
+    (s, d) => {
+      val packed = Multimodal.packPpm(Tables.documents(s, d), "doc_id", "text")
+      val nPix = (col("width").cast("long") * col("height").cast("long"))
+      Multimodal.decodeImages(s, packed).toDF()
+        .select(
+          col("media_id"), col("format"), col("width"), col("height"),
+          nPix.as("n_pixels"),
+          (col("r_sum").cast("double") / nPix.cast("double")).as("r_mean"),
+          (col("g_sum").cast("double") / nPix.cast("double")).as("g_mean"),
+          (col("b_sum").cast("double") / nPix.cast("double")).as("b_mean"))
+    },
+    Some("""
+      WITH b AS (SELECT doc_id, encode(text) AS blob FROM documents),
+      hx AS (SELECT doc_id, hex(blob) AS hs, octet_length(blob) AS nb FROM b),
+      pos AS (SELECT doc_id, nb, hs, UNNEST(generate_series(1, nb)) AS i FROM hx),
+      byt AS (SELECT doc_id, i,
+          CAST(CONCAT('0x', SUBSTR(hs, 2 * i - 1, 2)) AS BIGINT) AS ub FROM pos),
+      cs AS (SELECT doc_id,
+          SUM(CASE WHEN (i - 1) % 3 = 0 THEN ub END) AS s0,
+          SUM(CASE WHEN (i - 1) % 3 = 1 THEN ub END) AS s1,
+          SUM(CASE WHEN (i - 1) % 3 = 2 THEN ub END) AS s2
+        FROM byt GROUP BY doc_id),
+      dims AS (SELECT doc_id,
+          GREATEST(CAST(FLOOR((CAST(nb AS DOUBLE) + 47.0) / 48.0) AS BIGINT), 1) AS h
+        FROM hx)
+      SELECT d.doc_id AS media_id, 'ppm' AS format,
+        CAST(16 AS INT) AS width, CAST(dims.h AS INT) AS height,
+        CAST(16 * dims.h AS BIGINT) AS n_pixels,
+        CAST(COALESCE(cs.s0, 0) AS DOUBLE) / CAST(16 * dims.h AS DOUBLE) AS r_mean,
+        CAST(COALESCE(cs.s1, 0) AS DOUBLE) / CAST(16 * dims.h AS DOUBLE) AS g_mean,
+        CAST(COALESCE(cs.s2, 0) AS DOUBLE) / CAST(16 * dims.h AS DOUBLE) AS b_mean
+      FROM documents d
+      JOIN dims ON dims.doc_id = d.doc_id
+      LEFT JOIN cs ON cs.doc_id = d.doc_id"""))
+
+  def all: Seq[Q] = Seq(qMeta, qFrames, qDecode, qReal)
 }

@@ -219,6 +219,63 @@ class IoStreamingSpec extends SparkSpec {
     assert(spark.table("doc_curate").count() == batchFps.size)
   }
 
+  test("stream ingest + batch near-dup compaction ≡ one-shot batch curation") {
+    // the production split: the stream gates + exact-dedups within the
+    // watermark; the periodic batch compaction (TrainingData.curateFull
+    // over the streamed-in table) owns near-dup dedup. Its result must
+    // match running curateFull over the raw fixture in one shot.
+    //
+    // Fixture design: exact-dup groups are KEPT DISJOINT from near-dup
+    // clusters — the stream keeps the first-seen representative of an
+    // exact group, batch the min-id one; same CONTENT, possibly a
+    // different id, so a near-dup pair straddling an exact group could
+    // legitimately resolve differently by id order. Content-level
+    // equivalence is the contract; ids are asserted where they are
+    // deterministic.
+    def base(i: Int) =
+      s"the quick brown fox u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f jumps over the lazy dog today"
+    val bases = (1 to 20).map(i => (i.toLong, base(i)))
+    // near-dup partners of bases 1..8: one distinguishing token changed
+    val partners = (1 to 8).map(i => (20L + i, base(i).replace(s"u${i}f", s"v${i}f")))
+    // exact copies of bases 15..18 (no near-dup partners)
+    val copies = (15 to 18).map(i => (100L + i, base(i)))
+    val fixture = (bases ++ partners ++ copies).toDF("doc_id", "text")
+    val cfg = graft.pipeline.TrainingData.CurationConfig(
+      minQuality = 0.05, langs = Set("en"), minTokens = 3)
+
+    val dir = Files.createTempDirectory("docs_compact")
+    fixture.write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(fixture.schema).parquet(dir.toString)
+      .withColumn("ingest_ts", current_timestamp())
+    val q = EventStream.runToMemory(
+      graft.streaming.DocStream.curateStream(stream, "doc_id", "text", "ingest_ts", cfg),
+      "doc_ingested", outputMode = "append")
+    q.stop()
+    val ingested = spark.table("doc_ingested").select($"doc_id", $"text")
+
+    val compacted = graft.pipeline.TrainingData.curateFull(ingested, "doc_id", "text", cfg)
+    val oneShot = graft.pipeline.TrainingData.curateFull(fixture, "doc_id", "text", cfg)
+    def fps(df: org.apache.spark.sql.DataFrame) =
+      df.select("fingerprint").collect().map(_.getString(0)).toSet
+    assert(fps(compacted.kept) == fps(oneShot.kept))
+    assert(compacted.kept.count() == oneShot.kept.count())
+    // the near-dup stage must have dropped the same CONTENT both ways
+    def removedTexts(removed: org.apache.spark.sql.DataFrame,
+        corpus: org.apache.spark.sql.DataFrame) =
+      removed.join(corpus, "doc_id").select("text")
+        .collect().map(_.getString(0)).toSet
+    assert(removedTexts(compacted.nearDupRemoved, ingested)
+      == removedTexts(oneShot.nearDupRemoved, fixture))
+    assert(removedTexts(oneShot.nearDupRemoved, fixture).nonEmpty,
+      "fixture must exercise the near-dup stage")
+    // outside exact-dup groups ids are deterministic: every kept id that
+    // is not an exact-group member must agree exactly
+    val dupIds = Set(15L, 16L, 17L, 18L, 115L, 116L, 117L, 118L)
+    def keptIds(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds(compacted.kept) -- dupIds == keptIds(oneShot.kept) -- dupIds)
+  }
+
   test("repartitionBySize bounds partition byte-skew under a heavy-tail payload") {
     import org.apache.spark.sql.functions.spark_partition_id
     // 400 small rows (~100 B) + 8 jumbo rows (~50 KB): hash-by-id alone
