@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Prints the measured ANN recall@k matrix (graft.sim.AnnRecall) for a
+  * SF dir — one JSON line per config. Numbers are recorded per round in
+  * BENCH_NOTES.md. Usage: runMain graft.RecallAudit [sfDir] */
+object RecallAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = Tables.embeddings(spark, sfDir)
+    val queryIds = Seq(0L, 7L, 42L, 99L, 123L, 250L, 333L, 444L)
+    import graft.sim.AnnRecall.AnnConfig
+    val configs = Seq(
+      "defaults" -> AnnConfig(),
+      "recall-leaning" -> AnnConfig(numPlanes = 6, numTables = 6, nProbe = 8),
+      "speed-leaning" -> AnnConfig(numPlanes = 10, numTables = 2, nProbe = 2))
+    for ((label, cfg) <- configs) {
+      val r = graft.sim.AnnRecall.measure(
+        emb, "vec_id", "embedding", dim = 64, queryIds, k = 20, cfg)
+      val js = r.toSeq.sortBy(_._1)
+        .map { case (m, v) => s""""$m":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }
+        .mkString(",")
+      println(s"""{"config":"$label","planes":${cfg.numPlanes},"tables":${cfg.numTables},"nProbe":${cfg.nProbe},"k":20,$js,"sf":"$sfDir"}""")
+    }
+    spark.stop()
+  }
+}
