@@ -28,6 +28,20 @@ object Bench {
         try consume(fn(spark, sfDir)) catch { case _: Throwable => }
       }
     }
+    // Per-query fixed floor (job scheduling + codegen compile + noop
+    // sink commit) measured on an EMPTY plan through the same consume
+    // path — median of 5. Reported alongside the raw total so the 2×
+    // oracle gate can track the DATA-BOUND cost as SF grows: on
+    // sub-100ms oracle queries the floor dominates the ratio and
+    // amortizes away with volume.
+    val floor = {
+      val ts = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        consume(spark.range(0).toDF("i"))
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(2)
+    }
     // Optional args = query-name filter for local iteration; the driver
     // passes none, so its runs always cover the full registry.
     val selected =
@@ -46,10 +60,12 @@ object Bench {
     // it and the driver recorded parsed=null).
     val full = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
+    val dataBound = math.max(0.0, total - floor * results.size)
     try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
       java.nio.file.Files.write(p, java.util.Arrays.asList(
-        s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$full,"sf":"$sfDir"}"""))
+        s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$full,"sf":"$sfDir"}""",
+        s"""{"metric":"data_bound","value":${f(dataBound)},"unit":"sec","floor_per_query":${f(floor)},"n_queries":${results.size},"sf":"$sfDir"}"""))
     } catch { case _: Throwable => }
     val top = results.sortBy(-_._2).take(40).sortBy(_._1)
     val other = total - top.map(_._2).sum

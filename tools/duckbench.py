@@ -29,7 +29,9 @@ def main(sf_dir, out_dir, bench_path=None):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     spark = {}
     if bench_path:
-        spark = json.load(open(bench_path))["queries"]
+        # BENCH_FULL.json is JSON-lines (totals line + data-bound line)
+        with open(bench_path) as fh:
+            spark = json.loads(fh.readline())["queries"]
     times = {}
     for name, sql in sorted(oracle.items()):
         t0 = time.time()
