@@ -74,6 +74,44 @@ object DistributedRank {
       .drop("_rb", "_lrn", "_off"), mm.getLong(2))
   }
 
+  /** Append `outCol` = INCLUSIVE global running sum of `sumCol` in
+    * `orderCol` order, without a single-partition window: the same
+    * two-level shape as [[rowNumberCounted]] — range-bucket the order
+    * key, window-sum WITHIN each bucket in parallel, add per-bucket
+    * byte offsets from the ≤numBuckets-row Stitch summary. Exact for
+    * integer `sumCol` (long sums throughout). `orderCol` must be
+    * unique-ish numeric (ties break arbitrarily WITHIN the running
+    * order — callers needing determinism pass a unique key); null
+    * order keys are excluded. */
+  def cumulativeSum(
+      df: DataFrame,
+      orderCol: String,
+      sumCol: String,
+      outCol: String = "cumsum",
+      numBuckets: Int = 1024): DataFrame = {
+    val data = df.filter(col(orderCol).isNotNull)
+    val mm = data.agg(
+      min(col(orderCol)).cast("double").as("mn"),
+      max(col(orderCol)).cast("double").as("mx")).head()
+    if (mm.isNullAt(0))
+      return data.withColumn(outCol, lit(null).cast("long")).limit(0)
+    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    val span = if (mx > mn) mx - mn else 1.0
+    val bucket = floor(least(greatest(
+        (col(orderCol).cast("double") - mn) / span * numBuckets, lit(0.0)),
+      lit((numBuckets - 1).toDouble))).cast("int")
+    val wBkt = Window.partitionBy(col("_rb")).orderBy(col(orderCol).asc)
+    val local = data.withColumn("_rb", bucket)
+      .withColumn("_lcs",
+        sum(col(sumCol)).over(wBkt.rowsBetween(Window.unboundedPreceding, 0)))
+    val offsets = Stitch.cumulativeBefore(
+        local.groupBy(col("_rb")).agg(sum(col(sumCol)).as("_bb")), "_rb", "_bb", "_off")
+      .select(col("_rb"), col("_off"))
+    local.join(broadcast(offsets), Seq("_rb"))
+      .withColumn(outCol, (col("_off") + col("_lcs")).cast("long"))
+      .drop("_rb", "_lcs", "_off")
+  }
+
   /** Per-key top-k: row_number over a window PARTITIONED by the key
     * (scales — state per task is one key-group, unlike a global
     * orderBy) then filter rank <= k. The grouped complement of the

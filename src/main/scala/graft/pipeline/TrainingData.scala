@@ -163,4 +163,36 @@ object TrainingData {
       }
     }.reduce(_ unionByName _)
   }
+
+  /** Deterministic SEQUENCE PACKING for LLM training: documents are
+    * conceptually concatenated in `orderCol` order into one token
+    * stream, and the stream is cut every `targetTokens` tokens; each
+    * document is assigned the bin its FIRST token falls in, plus its
+    * offset within that bin (the contiguous-stream packing used by
+    * fixed-length training pipelines — a doc longer than the target
+    * spills into following bins at read time).
+    *
+    * The global token cumsum is the ONLY cross-row dependency and runs
+    * as the two-level bucketed stitch ([[graft.ops.DistributedRank
+    * .cumulativeSum]]) — exact long arithmetic, no single-partition
+    * window, scales like every other rank operator here. bin/offset
+    * derive from the EXCLUSIVE cumsum with pure integer arithmetic
+    * ((cb − cb mod T)/T is an exact multiple — no float-floor hazard),
+    * so the assignment replays bit-exactly in any engine.
+    *
+    * Output: input columns + `bin`, `bin_offset`. */
+  def packSequences(
+      docs: DataFrame,
+      orderCol: String,
+      tokenCol: String,
+      targetTokens: Long): DataFrame = {
+    require(targetTokens > 0, "targetTokens must be positive")
+    val t = lit(targetTokens)
+    graft.ops.DistributedRank.cumulativeSum(docs, orderCol, tokenCol, "_cs")
+      .withColumn("_cb", col("_cs") - col(tokenCol).cast("long"))
+      .withColumn("bin",
+        ((col("_cb") - col("_cb") % t).cast("double") / t.cast("double")).cast("long"))
+      .withColumn("bin_offset", (col("_cb") % t).cast("long"))
+      .drop("_cs", "_cb")
+  }
 }

@@ -86,4 +86,40 @@ class TrainingDataSpec extends SparkSpec {
       TrainingData.mixSources(Seq.empty, "doc_id", seed = 1L)
     }
   }
+
+  test("cumulativeSum equals a sequential running sum, independent of partitioning") {
+    val rng = new scala.util.Random(17)
+    val rows = (1 to 5000).map(i => (i.toLong, rng.nextInt(100).toLong))
+    val expected = rows.scanLeft((0L, 0L)) { case ((_, acc), (id, v)) => (id, acc + v) }
+      .tail.toMap
+    for (parts <- Seq(1, 7)) {
+      val got = graft.ops.DistributedRank.cumulativeSum(
+          rows.toDF("id", "v").repartition(parts), "id", "v", "cs")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == expected, s"parts=$parts")
+    }
+    // empty input: empty output with the column present
+    val empty = graft.ops.DistributedRank.cumulativeSum(
+      Seq.empty[(Long, Long)].toDF("id", "v"), "id", "v", "cs")
+    assert(empty.columns.contains("cs") && empty.count() == 0)
+  }
+
+  test("packSequences: contiguous-stream bins match the sequential reference") {
+    // token counts engineered around the target: exact fits, spills,
+    // zero-token docs
+    val docs = Seq(
+      (1L, 100L), (2L, 924L), // fills bin 0 exactly
+      (3L, 50L), (4L, 2000L), // doc 4 starts in bin 1, spills
+      (5L, 0L), (6L, 10L)
+    ).toDF("doc_id", "n_tokens")
+    val out = TrainingData.packSequences(docs, "doc_id", "n_tokens", targetTokens = 1024L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // exclusive cumsums: 0, 100, 1024, 1074, 3074, 3074
+    assert(out(1L) == (0L, 0L))
+    assert(out(2L) == (0L, 100L))
+    assert(out(3L) == (1L, 0L)) // starts exactly at the bin-1 boundary
+    assert(out(4L) == (1L, 50L))
+    assert(out(5L) == (3L, 2L)) // after the spilling doc: 3074 = 3*1024 + 2
+    assert(out(6L) == (3L, 2L)) // zero-token doc occupies no stream space
+  }
 }
