@@ -429,11 +429,10 @@ object TextQueries extends QueryProvider {
           try c.foreach(row => w.println(row.mkString(" "))) finally w.close()
           c
         }
-      val indexed = graft.sim.AnnIndex.readIvfIndexed(s, path)
       val qNorm = math.sqrt(q.foldLeft(0.0)((acc, x) => acc + x * x))
       lastIvfPruned.set((centroids, Similarity.probeCells(centroids, q, nProbe = 4), qNorm))
-      graft.sim.AnnIndex.ivfTopKIndexed(
-        indexed, centroids, "vec_id", "embedding", q, k = 20, nProbe = 4)
+      graft.sim.AnnIndex.ivfTopKServe(
+        s, path, centroids, "vec_id", "embedding", q, k = 20, nProbe = 4)
     },
     None,
     oracleGen = Some(() => Option(lastIvfPruned.get()).map { case (cents, probes, qNorm) =>
@@ -630,9 +629,8 @@ object TextQueries extends QueryProvider {
       val path = indexPath(d, "lsh")
       ensureIndex(path)(graft.sim.AnnIndex.writeLshIndexed(emb, "vec_id", "embedding", path,
         dim = q.length, numPlanes = 8, numTables = 4))
-      graft.sim.AnnIndex.lshTopKIndexed(
-        graft.sim.AnnIndex.readLshIndexed(s, path), "vec_id", "embedding",
-        q, k = 20, numPlanes = 8, numTables = 4)
+      graft.sim.AnnIndex.lshTopKServe(
+        s, path, "vec_id", "embedding", q, k = 20, numPlanes = 8, numTables = 4)
     },
     Some(lshOracleSql))
 

@@ -69,6 +69,50 @@ object AnnIndex {
   def readLshIndexed(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Open ONLY the named partition directories of a partitioned table
+    * (basePath keeps the partition columns in the schema). Directory
+    * listing — the hidden cost of a many-partition index at query
+    * time — touches just the probed dirs instead of the whole tree;
+    * missing dirs (empty buckets) are skipped. Returns None when every
+    * probed dir is empty. */
+  private def readPartitions(
+      spark: SparkSession, base: String, subDirs: Seq[String]): Option[DataFrame] = {
+    val existing = subDirs.map(d => s"$base/$d")
+      .filter(p => new java.io.File(p).exists())
+    if (existing.isEmpty) None
+    else Some(spark.read.option("basePath", base).parquet(existing: _*))
+  }
+
+  /** The LSH SERVING read: the probe buckets are driver-side constants,
+    * so only numTables directories are listed and scanned. Same
+    * scoring as [[lshTopKIndexed]]. */
+  def lshTopKServe(
+      spark: SparkSession, path: String, idCol: String, vecCol: String,
+      query: Array[Double], k: Int,
+      numPlanes: Int = 8, numTables: Int = 4): DataFrame = {
+    val dirs = (0 until numTables).map { t =>
+      s"_t=$t/_b=${Similarity.queryBucket(t, query, numPlanes)}"
+    }
+    readPartitions(spark, path, dirs) match {
+      case Some(df) => lshTopKIndexed(df, idCol, vecCol, query, k, numPlanes, numTables)
+      case None => lshTopKIndexed(readLshIndexed(spark, path).limit(0),
+        idCol, vecCol, query, k, numPlanes, numTables)
+    }
+  }
+
+  /** The IVF SERVING read: list + scan only the probed cell dirs. */
+  def ivfTopKServe(
+      spark: SparkSession, path: String, centroids: Array[Array[Double]],
+      idCol: String, vecCol: String,
+      query: Array[Double], k: Int, nProbe: Int): DataFrame = {
+    val probes = Similarity.probeCells(centroids, query, nProbe)
+    readPartitions(spark, path, probes.toSeq.map(c => s"_cell=$c")) match {
+      case Some(df) => ivfTopKIndexed(df, centroids, idCol, vecCol, query, k, nProbe)
+      case None => ivfTopKIndexed(readIvfIndexed(spark, path).limit(0),
+        centroids, idCol, vecCol, query, k, nProbe)
+    }
+  }
+
   /** LSH top-k over the (_t, _b)-partitioned table: probe one bucket
     * per table (the query's bucket — driver constants), dedup vectors
     * found by several tables, score with the same cosine expression as
