@@ -25,6 +25,12 @@ object TrainingData {
       bands: Int = 8,
       shingleSize: Int = 3,
       nearDupJaccard: Double = 0.7,
+      // hot-bucket cap for the LSH band join (Dedup.minHashCandidatePairs):
+      // buckets above it skip pair enumeration and take the
+      // exact-dedup-on-band-hash fallback instead — a mega duplicate
+      // cluster is still deduped (keep min id per bucket), it just never
+      // costs n² pairs
+      maxBucketRows: Long = 100000L,
       // The annotated frame feeds the dedup semi-join (which reads it
       // twice), the signature build, the final anti-join, AND the
       // reasons breakdown — ~5 evaluations of the regex-heavy
@@ -95,11 +101,26 @@ object TrainingData {
       if (cfg.persistStages)
         sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else sigs0
-    val nearDups = Dedup.minHashJaccard(
-        Dedup.minHashCandidatePairs(sigs, idCol, cfg.minHashes, cfg.bands),
+    val pairDups = Dedup.minHashJaccard(
+        Dedup.minHashCandidatePairs(sigs, idCol, cfg.minHashes, cfg.bands,
+          cfg.maxBucketRows),
         sigs, idCol, cfg.minHashes)
       .filter(col("est_jaccard") >= cfg.nearDupJaccard)
-      .select(col("id_b").as(idCol)).distinct()
+      .select(col("id_b").as(idCol))
+    // oversized-bucket fallback: members beyond the cap share a whole
+    // band of minhashes — dedup them as one cluster (keep min id per
+    // bucket) instead of enumerating n² pairs. The guard no longer
+    // silently KEEPS mega duplicate clusters; it just changes how they
+    // are collapsed.
+    val members = Dedup.oversizedBucketMembers(sigs, idCol,
+      cfg.minHashes, cfg.bands, cfg.maxBucketRows)
+    val bucketDups = members.join(
+        members.groupBy(col("band_idx"), col("band_hash"))
+          .agg(min(col(idCol)).as("_keep")),
+        Seq("band_idx", "band_hash"))
+      .filter(col(idCol) =!= col("_keep"))
+      .select(col(idCol))
+    val nearDups = pairDups.unionByName(bucketDups).distinct()
     val kept = exactDeduped.join(nearDups, Seq(idCol), "left_anti")
 
     val reasons = ann

@@ -107,6 +107,22 @@ object Dedup {
       .filter(col("_bn") > maxBucketRows)
       .select(col("band_idx"), col("band_hash"), col("_bn").as("n_members"))
 
+  /** The MEMBERS of the oversized buckets (one row per (bucket, id)) —
+    * the input to the exact-dedup-on-band-hash fallback: members of one
+    * bucket share `numHashes/bands` consecutive minhashes, so beyond
+    * the cap they are treated as one duplicate cluster (keep the min
+    * id per bucket) instead of being pair-enumerated. */
+  def oversizedBucketMembers(
+      signatures: DataFrame, idCol: String,
+      numHashes: Int = 32, bands: Int = 8,
+      maxBucketRows: Long = 100000L): DataFrame = {
+    val banded = bandedTriples(signatures, idCol, numHashes, bands)
+    val oversized = bucketCounts(banded)
+      .filter(col("_bn") > maxBucketRows)
+      .select(col("band_idx"), col("band_hash"))
+    banded.join(oversized, Seq("band_idx", "band_hash"), "left_semi")
+  }
+
   private def bandedTriples(
       signatures: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands

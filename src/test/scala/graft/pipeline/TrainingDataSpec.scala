@@ -87,6 +87,31 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("curateFull dedups a mega near-dup cluster even when the hot-bucket cap binds") {
+    // 200 near-identical docs (one distinguishing token each): with the
+    // cap below the cluster size, the pair path skips their buckets —
+    // the oversized-bucket fallback must still collapse the cluster
+    // (keep ~min id per band bucket), not silently keep all 200
+    val base = ("the quick brown fox jumps over the lazy dog and then " * 6).trim
+    val cluster = (1000L until 1200L).map(i => (i, s"$base tail$i"))
+    val distinct = (1L to 20L).map(i =>
+      (i, s"completely different document number $i about unrelated engine topics here"))
+    val docs = (cluster ++ distinct).toDF("doc_id", "text")
+    val cfg = TrainingData.CurationConfig(
+      minQuality = 0.0, langs = Set("en"), minTokens = 1, maxBucketRows = 50L)
+    val kept = TrainingData.curateFull(docs, "doc_id", "text", cfg).kept
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptCluster = kept.count(_ >= 1000L)
+    assert(kept.contains(1000L), "the cluster's min id must survive")
+    assert(keptCluster <= 10, s"fallback must collapse the cluster, kept $keptCluster")
+    // without the cap binding, the pair path handles it — results agree
+    // on the cluster being collapsed
+    val uncapped = TrainingData.curateFull(docs, "doc_id", "text",
+        cfg.copy(maxBucketRows = 100000L)).kept
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(uncapped.count(_ >= 1000L) <= 10)
+  }
+
   test("cumulativeSum equals a sequential running sum, independent of partitioning") {
     val rng = new scala.util.Random(17)
     val rows = (1 to 5000).map(i => (i.toLong, rng.nextInt(100).toLong))
