@@ -927,10 +927,32 @@ object TextQueries extends QueryProvider {
         CAST(cb % 1024 AS BIGINT) AS bin_offset
       FROM c"""))
 
+  // ---- corpus TF-IDF, top-5 terms per doc. The idf ln is the one
+  //      transcendental: round(_, 9) on BOTH sides (invariant 1); the
+  //      tf·idf product then multiplies identical doubles. Ranking is
+  //      the per-key window (partitioned by doc — no global sort). ----
+  private val qTfIdf = Q(
+    "q_tfidf_topk",
+    (s, d) => TextAnalysis.tfIdfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 5),
+    Some("""
+      WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, CAST(COUNT(1) AS BIGINT) AS tf
+             FROM w WHERE term <> '' GROUP BY 1, 2),
+      n AS (SELECT CAST(COUNT(1) AS DOUBLE) AS n FROM documents),
+      idf AS (SELECT term, ROUND(LN(n.n / CAST(COUNT(1) AS DOUBLE)), 9) AS idf
+              FROM tf, n GROUP BY term, n.n),
+      s AS (SELECT tf.doc_id, tf.term, tf.tf, CAST(tf.tf AS DOUBLE) * idf.idf AS tfidf
+            FROM tf JOIN idf ON idf.term = tf.term),
+      r AS (SELECT doc_id, term, tf, tfidf,
+              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+            FROM s)
+      SELECT doc_id, term, tf, tfidf, CAST(rn AS BIGINT) AS rn
+      FROM r WHERE rn <= 5"""))
+
   def all: Seq[Q] = Seq(
     qDedupExact, qFingerprint, qTokens, qQuality, qLangId, qJaccard, qAnn, qAnnLsh,
     qAnnIvf, qMinhash, qSimhash, qSimhashPairs, qWinnow, qLshPairs, qCurate,
     qTokenTopK, qStratSample, qMixSources, qContamination, qRepetition, qCurationSignals,
     qPiiRedact, qLmScore, qAnnPq, qAnnIvfPq, qDedupClusters, qAnnIvfPruned, qAnnLshPruned,
-    qPack)
+    qPack, qTfIdf)
 }

@@ -227,4 +227,36 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(k)
+
+  /** Corpus TF-IDF with per-document top-k terms — the classic
+    * keyword/feature extractor over a training corpus. Plan shape:
+    * one explode→(doc, term) count shuffle builds TF; DF is a second
+    * agg over the SAME grouped frame (term keys — uniform); idf joins
+    * back keyed by term; the top-k is a per-document window
+    * ([[graft.ops.DistributedRank.topKPerKey]] — partitioned by doc,
+    * never a global sort). `n` (total docs) is the one driver scalar.
+    *
+    * Oracle parity: idf = round(ln(N/df), 9) — the transcendental is
+    * rounded identically on both sides (invariant 1); tf·idf then
+    * multiplies identical doubles. Output: idCol, term, tf, tfidf, rn.
+    */
+  def tfIdfTopTerms(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val n = docs.count()
+    val tf = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("_df"))
+      .withColumn("idf",
+        round(log(lit(n.toDouble) / col("_df").cast("double")), 9))
+      .select(col("term"), col("idf"))
+    val scored = tf.join(idf, "term")
+      .withColumn("tfidf", col("tf").cast("double") * col("idf"))
+      .select(col(idCol), col("term"), col("tf"), col("tfidf"))
+    graft.ops.DistributedRank.topKPerKey(
+      scored, Seq(idCol), "tfidf", ascending = false, tieCols = Seq("term"), k)
+  }
 }

@@ -305,6 +305,28 @@ class TextSimSpec extends SparkSpec {
     assert(r104 >= r101, s"tables=4 recall $r104 < tables=1 recall $r101")
   }
 
+  test("tfIdfTopTerms matches a hand-computed reference and ranks rare terms first") {
+    val docs = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana cherry cherry"),
+      (3L, "apple banana")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(4)) -> (r.getString(1), r.getDouble(3))).toMap
+    // df: apple 2, banana 3, cherry 2; idf = round(ln(3/df), 9)
+    def idf(df: Int) = BigDecimal(math.log(3.0 / df))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: apple tf=2 -> 2*idf(2) beats cherry 1*idf(2) beats banana 1*idf(3)=0
+    assert(out((1L, 1L))._1 == "apple")
+    assert(out((1L, 1L))._2 == 2.0 * idf(2))
+    assert(out((1L, 2L))._1 == "cherry")
+    // doc 2: cherry tf=2 wins; banana idf(3)=0 ranks below
+    assert(out((2L, 1L))._1 == "cherry" && out((2L, 2L))._1 == "banana")
+    // doc 3: apple (idf>0) above banana (idf=0)
+    assert(out((3L, 1L))._1 == "apple")
+    assert(out((3L, 2L))._2 == 0.0) // ubiquitous term scores zero
+  }
+
   test("cosineNearDupPairsWithCleanup: hook releases the unit-vector cache after materialization") {
     // data distinct from every other suite/test: an identical plan
     // would hit the CacheManager's already-cached entry and persist
