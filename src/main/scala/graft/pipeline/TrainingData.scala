@@ -185,6 +185,28 @@ object TrainingData {
     }.reduce(_ unionByName _)
   }
 
+  /** Materialize [[packSequences]]' bins into actual training
+    * sequences: one row per bin with the member documents'
+    * concatenated text (in stream order) plus bookkeeping. One keyed
+    * groupBy(bin); per-bin state is bounded by the token target (a bin
+    * holds ~targetTokens tokens of text — zero-token members are the
+    * only unbounded corner, gate them upstream). Ordering inside the
+    * bin is (bin_offset, orderCol) — deterministic, SQL-replayable via
+    * string_agg ORDER BY. */
+  def packBins(
+      packed: DataFrame, orderCol: String, textCol: String, tokenCol: String): DataFrame =
+    packed
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokenCol)).as("bin_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(
+              col("bin_offset"), col(orderCol), col(textCol).as("t")))),
+            x => x.getField("t")),
+          " ").as("seq_text"))
+
   /** Deterministic SEQUENCE PACKING for LLM training: documents are
     * conceptually concatenated in `orderCol` order into one token
     * stream, and the stream is cut every `targetTokens` tokens; each

@@ -927,6 +927,58 @@ object TextQueries extends QueryProvider {
         CAST(cb % 1024 AS BIGINT) AS bin_offset
       FROM c"""))
 
+  // ---- token-window chunking: 64-token chunks, 16-token overlap.
+  //      Row-local explode; chunk count is integer arithmetic and the
+  //      chunk text is list slicing — both replay exactly. ----
+  private val qChunk = Q(
+    "q_chunk_docs",
+    (s, d) => TextAnalysis.chunkByTokens(
+      Tables.documents(s, d), "doc_id", "text", chunkTokens = 64, overlap = 16),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS words,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+                 FROM documents),
+      k AS (SELECT doc_id, words, nw,
+              CASE WHEN nw <= 64 THEN 1
+                   ELSE 1 + (nw - 64 + 48 - 1) // 48 END AS nc
+            FROM w),
+      e AS (SELECT doc_id, words, nw,
+              UNNEST(generate_series(0, nc - 1)) AS chunk_idx
+            FROM k)
+      SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        array_to_string(words[(chunk_idx * 48 + 1):(chunk_idx * 48 + 64)], ' ') AS chunk_text,
+        CAST(LEAST(64, nw - chunk_idx * 48) AS BIGINT) AS n_chunk_tokens
+      FROM e"""))
+
+  // ---- packed-bin materialization: the packSequences consumer —
+  //      one row per bin with member texts concatenated in stream
+  //      order (string_agg ORDER BY mirror). ----
+  private val qPackBins = Q(
+    "q_pack_bins",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("text"),
+        TextAnalysis.tokenCountWhitespace(col("text")).as("n_tokens"))
+      graft.pipeline.TrainingData.packBins(
+        graft.pipeline.TrainingData.packSequences(docs, "doc_id", "n_tokens",
+          targetTokens = 1024L),
+        "doc_id", "text", "n_tokens")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, text, $tokensWsSqlExpr AS n_tokens FROM documents),
+      c AS (SELECT doc_id, text, n_tokens,
+          CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS cb
+        FROM t),
+      p AS (SELECT doc_id, text, n_tokens,
+          CAST(CAST(cb - (cb % 1024) AS DOUBLE) / CAST(1024 AS DOUBLE) AS BIGINT) AS bin,
+          CAST(cb % 1024 AS BIGINT) AS bin_offset
+        FROM c)
+      SELECT bin, CAST(COUNT(1) AS BIGINT) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+        string_agg(text, ' ' ORDER BY bin_offset, doc_id) AS seq_text
+      FROM p GROUP BY bin"""))
+
   // ---- corpus TF-IDF, top-5 terms per doc. The idf ln is the one
   //      transcendental: round(_, 9) on BOTH sides (invariant 1); the
   //      tf·idf product then multiplies identical doubles. Ranking is
@@ -954,5 +1006,5 @@ object TextQueries extends QueryProvider {
     qAnnIvf, qMinhash, qSimhash, qSimhashPairs, qWinnow, qLshPairs, qCurate,
     qTokenTopK, qStratSample, qMixSources, qContamination, qRepetition, qCurationSignals,
     qPiiRedact, qLmScore, qAnnPq, qAnnIvfPq, qDedupClusters, qAnnIvfPruned, qAnnLshPruned,
-    qPack, qTfIdf)
+    qPack, qTfIdf, qChunk, qPackBins)
 }

@@ -228,6 +228,36 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Token-window CHUNKING: split each document into overlapping
+    * word-window chunks (RAG / fixed-context training prep). Entirely
+    * row-local — one explode per doc, no shuffle; chunk k covers
+    * 1-indexed words [k·stride+1, k·stride+chunkTokens] with
+    * stride = chunkTokens − overlap, and the chunk count
+    * 1 + ⌈(nw − chunkTokens)/stride⌉ (min 1) is pure integer
+    * arithmetic — the whole operator replays in SQL via list slicing.
+    * Output: input id + (chunk_idx, chunk_text, n_chunk_tokens). */
+  def chunkByTokens(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens ($overlap, $chunkTokens)")
+    val stride = chunkTokens - overlap
+    val words = split(col(textCol), " ")
+    val nw = size(words).cast("long")
+    val nChunks = when(nw <= chunkTokens, lit(1L))
+      .otherwise(lit(1L) + expr(s"(size(split($textCol, ' ')) - $chunkTokens + $stride - 1) div $stride"))
+    docs
+      .withColumn("_nc", nChunks)
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("_nc") - 1)))
+      .select(
+        col(idCol),
+        col("chunk_idx"),
+        array_join(slice(words, (col("chunk_idx") * stride + 1).cast("int"),
+          lit(chunkTokens)), " ").as("chunk_text"),
+        least(lit(chunkTokens.toLong), nw - col("chunk_idx") * stride)
+          .as("n_chunk_tokens"))
+  }
+
   /** Corpus TF-IDF with per-document top-k terms — the classic
     * keyword/feature extractor over a training corpus. Plan shape:
     * one explode→(doc, term) count shuffle builds TF; DF is a second

@@ -129,6 +129,41 @@ class TrainingDataSpec extends SparkSpec {
     assert(empty.columns.contains("cs") && empty.count() == 0)
   }
 
+  test("chunkByTokens: overlapping word windows with exact boundaries") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words, 1 chunk
+      (2L, (1 to 130).map(i => s"w$i").mkString(" ")), // 2 full + 1 tail chunk
+      (3L, "") // empty -> single 1-token chunk of ""
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextAnalysis
+      .chunkByTokens(docs, "doc_id", "text", chunkTokens = 64, overlap = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3)))
+      .toMap
+    assert(out.keySet.count(_._1 == 1L) == 1)
+    assert(out((1L, 0L)) == ((1 to 10).map(i => s"w$i").mkString(" "), 10L))
+    // 130 words, stride 48: chunks start at 0, 48, 96 -> 3 chunks
+    assert(out.keySet.count(_._1 == 2L) == 3)
+    assert(out((2L, 1L))._1.startsWith("w49 ") && out((2L, 1L))._2 == 64L)
+    assert(out((2L, 2L))._2 == 130L - 96L) // tail chunk
+    // consecutive chunks overlap by exactly 16 words
+    val c0 = out((2L, 0L))._1.split(" ")
+    val c1 = out((2L, 1L))._1.split(" ")
+    assert(c0.takeRight(16).toSeq == c1.take(16).toSeq)
+    assert(out((3L, 0L)) == ("", 1L))
+  }
+
+  test("packBins concatenates member texts in stream order") {
+    val docs = Seq(
+      (1L, "a b", 2L), (2L, "c d e", 3L), (3L, "f", 1L), (4L, "g h", 2L)
+    ).toDF("doc_id", "text", "n_tokens")
+    val packed = TrainingData.packSequences(docs, "doc_id", "n_tokens", targetTokens = 5L)
+    val bins = TrainingData.packBins(packed, "doc_id", "text", "n_tokens")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // exclusive cumsums: 0, 2, 5, 6 -> bins 0, 0, 1, 1
+    assert(bins(0L) == (2L, 5L, "a b c d e"))
+    assert(bins(1L) == (2L, 3L, "f g h"))
+  }
+
   test("packSequences: contiguous-stream bins match the sequential reference") {
     // token counts engineered around the target: exact fits, spills,
     // zero-token docs
