@@ -251,10 +251,14 @@ object Dedup {
     while (!done && iter < maxIter) {
       val nm = edges.join(labels.select(col("id").as("dst"), col("cluster")), "dst")
         .groupBy(col("src")).agg(min(col("cluster")).as("_nl"))
+      // _prev rides through the round so the fixpoint check below is a
+      // filter over the already-checkpointed frame — no extra join
+      // against the previous labels (one fewer exchange per round)
       val step = labels
         .join(nm.select(col("src").as("id"), col("_nl")), Seq("id"), "left")
         .select(col("id"),
-          least(col("cluster"), coalesce(col("_nl"), col("cluster"))).as("cluster"))
+          least(col("cluster"), coalesce(col("_nl"), col("cluster"))).as("cluster"),
+          col("cluster").as("_prev"))
         .localCheckpoint(true) // read twice by the jump self-join below
       // pointer jump: follow the label to ITS label (labels are vertex
       // ids, so this is a self-join) — halves remaining chain depth
@@ -262,11 +266,11 @@ object Dedup {
         .join(step.select(col("id").as("_lid"), col("cluster").as("_lc")),
           col("cluster") === col("_lid"), "left")
         .select(col("id"),
-          least(col("cluster"), coalesce(col("_lc"), col("cluster"))).as("cluster"))
+          least(col("cluster"), coalesce(col("_lc"), col("cluster"))).as("cluster"),
+          col("_prev"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("cluster", "_old"), "id")
-        .filter(col("cluster") =!= col("_old")).limit(1).count()
-      labels = next
+      val changed = next.filter(col("cluster") =!= col("_prev")).limit(1).count()
+      labels = next.select(col("id"), col("cluster"))
       done = changed == 0L
       iter += 1
     }
