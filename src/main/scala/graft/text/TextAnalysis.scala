@@ -269,6 +269,13 @@ object TextAnalysis {
     * Oracle parity: idf = round(ln(N/df), 9) — the transcendental is
     * rounded identically on both sides (invariant 1); tf·idf then
     * multiplies identical doubles. Output: idCol, term, tf, tfidf, rn.
+    *
+    * The DF branch re-derives the (doc, term) counts (Catalyst plans a
+    * second scan — the two aggregations key differently, so the
+    * exchange is not reusable). At warehouse scale, materialize the
+    * term-count stage once (ops.Storage) and feed both branches from
+    * it instead of re-scanning the corpus; here the corpus scan is the
+    * cheap part and a persist would cache the widest intermediate.
     */
   def tfIdfTopTerms(
       docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
