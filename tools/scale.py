@@ -50,6 +50,30 @@ def main() -> None:
             con.execute(
                 f"COPY (SELECT * FROM read_parquet('{src_file}')) TO '{dst_file}' (FORMAT PARQUET)")
             continue
+        if table == "events":
+            # events.ts is TIMESTAMP(NANOS) in the pristine testdata;
+            # DuckDB's parquet writer coerces timestamps to micros (even
+            # through a TIMESTAMP_NS cast), which changes the physical
+            # type the Spark side reads (nanosAsLong) and breaks every
+            # events query. Scale this table with pyarrow, which
+            # round-trips ns exactly.
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+            t = pq.read_table(src_file)
+            chunks = []
+            for i in range(copies):
+                tt = t
+                for k in keys:
+                    off = i * DOMAIN_OFF[k]
+                    if off:
+                        tt = tt.set_column(tt.column_names.index(k), k,
+                                           pc.add(tt.column(k), off))
+                chunks.append(tt)
+            pq.write_table(pa.concat_tables(chunks), dst_file)
+            n = pq.read_metadata(dst_file).num_rows
+            print(f"{table}: {n} rows (pyarrow, ns preserved)")
+            continue
         selects = []
         for i in range(copies):
             repl = ", ".join(f"{k} + {i * DOMAIN_OFF[k]} AS {k}" for k in keys)
