@@ -136,17 +136,9 @@ object TextQueries extends QueryProvider {
       JOIN sizes sa ON sa.doc_id = p.id_a
       JOIN sizes sb ON sb.doc_id = p.id_b"""))
 
-  // ---- ANN: brute-force cosine top-k vs vec_id=0 (left-fold dot) ----
-  private val qAnn = Q(
-    "q_ann_cosine_topk",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val q = emb.filter(col("vec_id") === 0)
-        .select(transform(col("embedding"), _.cast("double")).as("q"))
-        .head().getSeq[Double](0).toArray
-      Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 20)
-    },
-    Some("""
+  // ---- ANN: brute-force cosine top-k vs vec_id=0 (left-fold dot).
+  //      The SQL body is shared with q_ann_recall (as a subquery). ----
+  private val bruteOracleSql = """
       WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
       SELECT vec_id,
@@ -156,7 +148,18 @@ object TextQueries extends QueryProvider {
           AS cosine
       FROM e, q
       ORDER BY cosine DESC, vec_id
-      LIMIT 20"""))
+      LIMIT 20"""
+
+  private val qAnn = Q(
+    "q_ann_cosine_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(transform(col("embedding"), _.cast("double")).as("q"))
+        .head().getSeq[Double](0).toArray
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 20)
+    },
+    Some(bruteOracleSql))
 
   // ---- MinHash signatures + SimHash + winnowing, all ORACLED: the
   //      base hash is md5Top60 (= the digest's first 15 hex digits,
@@ -927,6 +930,32 @@ object TextQueries extends QueryProvider {
         CAST(cb % 1024 AS BIGINT) AS bin_offset
       FROM c"""))
 
+  // ---- ANN recall as a FIRST-CLASS ORACLED METRIC: |LSH top-20 ∩
+  //      exact top-20| / 20 against the same query vector. Both sides
+  //      are deterministic (seed-fixed hyperplanes, exact cosine
+  //      scoring), so the DuckDB oracle recomputes the two top-k sets
+  //      from their shared SQL bodies and intersects — the measured
+  //      quality number itself hash-checks. ----
+  private val qAnnRecall = Q(
+    "q_ann_recall",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(transform(col("embedding"), _.cast("double")).as("q"))
+        .head().getSeq[Double](0).toArray
+      val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 20)
+        .select(col("vec_id"))
+      val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", q, k = 20,
+          dim = q.length, numPlanes = 8, numTables = 4)
+        .select(col("vec_id"))
+      truth.join(lsh, "vec_id")
+        .agg((count(lit(1)).cast("double") / lit(20.0)).as("recall_at_20"))
+    },
+    Some(s"""
+      SELECT CAST(COUNT(1) AS DOUBLE) / 20.0 AS recall_at_20
+      FROM ($bruteOracleSql) t
+      JOIN ($lshOracleSql) l ON l.vec_id = t.vec_id"""))
+
   // ---- token-window chunking: 64-token chunks, 16-token overlap.
   //      Row-local explode; chunk count is integer arithmetic and the
   //      chunk text is list slicing — both replay exactly. ----
@@ -1006,5 +1035,5 @@ object TextQueries extends QueryProvider {
     qAnnIvf, qMinhash, qSimhash, qSimhashPairs, qWinnow, qLshPairs, qCurate,
     qTokenTopK, qStratSample, qMixSources, qContamination, qRepetition, qCurationSignals,
     qPiiRedact, qLmScore, qAnnPq, qAnnIvfPq, qDedupClusters, qAnnIvfPruned, qAnnLshPruned,
-    qPack, qTfIdf, qChunk, qPackBins)
+    qPack, qTfIdf, qChunk, qPackBins, qAnnRecall)
 }
