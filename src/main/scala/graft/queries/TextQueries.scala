@@ -383,22 +383,46 @@ object TextQueries extends QueryProvider {
       ivfOracleSql(cents, probes, qNorm)
     }))
 
+  private def sourceMtime(sfDir: String): Long =
+    new java.io.File(s"$sfDir/embeddings.parquet").lastModified()
+
   /** Scratch location for the serving-layout tables (partitioned
     * writes the pruned ANN queries read back). Keyed by (sf dir, kind,
-    * source-table mtime) so a stale index self-invalidates when the
-    * source changes; lives in tmp — an index is derived data. */
-  private def indexPath(sfDir: String, kind: String): String = {
-    val mtime = new java.io.File(s"$sfDir/embeddings.parquet").lastModified()
-    s"${System.getProperty("java.io.tmpdir")}/graft_annindex_${kind}_" +
-      sfDir.replaceAll("[^A-Za-z0-9]", "_") + s"_$mtime"
-  }
+    * LAYOUT knobs, source-table mtime): the layout segment ("c16",
+    * "p8t4") means changing nCells/numPlanes/numTables in the query
+    * code lands in a fresh directory instead of silently reusing an
+    * index whose cell/bucket layout no longer matches the probe
+    * computation; the mtime key self-invalidates when the source
+    * changes. Lives in tmp — an index is derived data. */
+  private def indexPath(sfDir: String, kind: String, layout: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_annindex_${kind}_${layout}_" +
+      sfDir.replaceAll("[^A-Za-z0-9]", "_") + s"_${sourceMtime(sfDir)}"
 
   /** Serving indexes are built ONCE and queried many times — skip the
     * rebuild when a completed write for the same source already exists
-    * (parquet's _SUCCESS marker; the mtime key above guarantees
-    * freshness). */
-  private def ensureIndex(path: String)(write: => Unit): Unit =
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) write
+    * (parquet's _SUCCESS marker; the path key above guarantees
+    * freshness). mtime == 0 means lastModified() could not see the
+    * source file at all — never a valid cache key, so that path
+    * rebuilds unconditionally. Completed builds sweep same-key
+    * siblings from older source mtimes, so tmp holds at most one
+    * index per (kind, layout, sf dir). */
+  private def ensureIndex(sfDir: String, path: String)(write: => Unit): Unit = {
+    if (sourceMtime(sfDir) == 0L || !new java.io.File(s"$path/_SUCCESS").exists()) write
+    sweepStaleSiblings(sfDir, path)
+  }
+
+  /** Delete same-(kind, layout, sf dir) index dirs keyed by an OLDER
+    * source mtime than `path`'s — they can never be read again (the
+    * path key embeds the current mtime) and would otherwise pile up in
+    * tmp across source regenerations. */
+  private def sweepStaleSiblings(sfDir: String, path: String): Unit = {
+    val dir = new java.io.File(path)
+    val prefix = dir.getName.stripSuffix(s"_${sourceMtime(sfDir)}")
+    Option(dir.getParentFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix + "_") && f.getName != dir.getName)
+      .foreach(stale => scala.reflect.io.Directory(
+        scala.reflect.io.Path(stale)).deleteRecursively())
+  }
 
   // ---- the SERVING path: same IVF index, but materialized as a
   //      cell-PARTITIONED table (AnnIndex.writeIvfIndexed) so the
@@ -416,13 +440,14 @@ object TextQueries extends QueryProvider {
       val q = emb.filter(col("vec_id") === 0)
         .select(transform(col("embedding"), _.cast("double")).as("q"))
         .head().getSeq[Double](0).toArray
-      val path = indexPath(d, "ivf")
+      val path = indexPath(d, "ivf", "c16")
       // centroids are part of the stored index: a cache hit skips the
       // KMeans fit too (Double.toString/parseDouble roundtrips exactly,
       // so replayed probes/assignments are bit-identical to a refit)
       val centFile = new java.io.File(s"$path/_centroids.txt")
       val centroids =
-        if (new java.io.File(s"$path/_SUCCESS").exists() && centFile.exists()) {
+        if (sourceMtime(d) != 0L &&
+            new java.io.File(s"$path/_SUCCESS").exists() && centFile.exists()) {
           val src = scala.io.Source.fromFile(centFile)
           try src.getLines().map(_.split(" ").map(_.toDouble)).toArray finally src.close()
         } else {
@@ -432,6 +457,7 @@ object TextQueries extends QueryProvider {
           try c.foreach(row => w.println(row.mkString(" "))) finally w.close()
           c
         }
+      sweepStaleSiblings(d, path)
       val qNorm = math.sqrt(q.foldLeft(0.0)((acc, x) => acc + x * x))
       lastIvfPruned.set((centroids, Similarity.probeCells(centroids, q, nProbe = 4), qNorm))
       graft.sim.AnnIndex.ivfTopKServe(
@@ -629,8 +655,8 @@ object TextQueries extends QueryProvider {
       val q = emb.filter(col("vec_id") === 0)
         .select(transform(col("embedding"), _.cast("double")).as("q"))
         .head().getSeq[Double](0).toArray
-      val path = indexPath(d, "lsh")
-      ensureIndex(path)(graft.sim.AnnIndex.writeLshIndexed(emb, "vec_id", "embedding", path,
+      val path = indexPath(d, "lsh", "p8t4")
+      ensureIndex(d, path)(graft.sim.AnnIndex.writeLshIndexed(emb, "vec_id", "embedding", path,
         dim = q.length, numPlanes = 8, numTables = 4))
       graft.sim.AnnIndex.lshTopKServe(
         s, path, "vec_id", "embedding", q, k = 20, numPlanes = 8, numTables = 4)

@@ -74,11 +74,22 @@ object AnnIndex {
     * listing — the hidden cost of a many-partition index at query
     * time — touches just the probed dirs instead of the whole tree;
     * missing dirs (empty buckets) are skipped. Returns None when every
-    * probed dir is empty. */
+    * probed dir is empty.
+    *
+    * Existence is probed through Hadoop's FileSystem resolved from the
+    * session conf, not java.io.File — the index lives on whatever
+    * filesystem the path's scheme names (file:/, hdfs://, s3a://...),
+    * and a local-only probe would see every remote dir as missing and
+    * silently serve an empty top-k. */
   private def readPartitions(
       spark: SparkSession, base: String, subDirs: Seq[String]): Option[DataFrame] = {
-    val existing = subDirs.map(d => s"$base/$d")
-      .filter(p => new java.io.File(p).exists())
+    val hconf = spark.sessionState.newHadoopConf()
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(hconf)
+    val existing = subDirs
+      .map(d => new org.apache.hadoop.fs.Path(basePath, d))
+      .filter(fs.exists)
+      .map(_.toString)
     if (existing.isEmpty) None
     else Some(spark.read.option("basePath", base).parquet(existing: _*))
   }

@@ -93,6 +93,35 @@ class AnnIndexSpec extends SparkSpec {
       off, k = 10, numPlanes = 4, numTables = 2).collect() != null)
   }
 
+  test("serve-path probes work through URI-schemed paths (file:/)") {
+    // readPartitions must resolve existence via Hadoop FileSystem, not
+    // java.io.File — a local-only probe sees every `file:/...` dir as
+    // missing and silently serves an empty top-k
+    val emb = vecs(300, 8)
+    val q = emb.filter($"vec_id" === 0)
+      .select(transform($"embedding", _.cast("double")).as("q"))
+      .head().getSeq[Double](0).toArray
+    val rawDir = java.nio.file.Files.createTempDirectory("annuri").toString + "/idx"
+    val (assigned, cents) = Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 8)
+    AnnIndex.writeIvfIndexed(assigned, rawDir)
+    val uriDir = "file:" + rawDir
+    val servedUri = AnnIndex.ivfTopKServe(spark, uriDir, cents, "vec_id", "embedding",
+      q, k = 10, nProbe = 3).collect().toSeq
+    val servedBare = AnnIndex.ivfTopKServe(spark, rawDir, cents, "vec_id", "embedding",
+      q, k = 10, nProbe = 3).collect().toSeq
+    assert(servedUri.nonEmpty, "URI-schemed serve returned an empty top-k")
+    assert(servedUri == servedBare)
+
+    val lshRaw = java.nio.file.Files.createTempDirectory("annurilsh").toString + "/idx"
+    AnnIndex.writeLshIndexed(emb, "vec_id", "embedding", lshRaw,
+      dim = 8, numPlanes = 4, numTables = 2)
+    val lshUri = AnnIndex.lshTopKServe(spark, "file:" + lshRaw, "vec_id", "embedding",
+      q, k = 10, numPlanes = 4, numTables = 2).collect().toSeq
+    val lshBare = AnnIndex.lshTopKServe(spark, lshRaw, "vec_id", "embedding",
+      q, k = 10, numPlanes = 4, numTables = 2).collect().toSeq
+    assert(lshUri.nonEmpty && lshUri == lshBare)
+  }
+
   test("LSH indexed probe dedups vectors found by several tables") {
     // identical vectors share every bucket → each appears in both
     // tables' probed partitions; scoring must see each id once
