@@ -136,9 +136,12 @@ object MediaDecode {
 
   /** The decodeFeatures dispatch: a REAL decode for declared,
     * parseable formats; [[DecodeStub]] otherwise. Image features are
-    * per-channel means repeated across slots; audio features are
-    * (mean, rms, peak)-derived — both scaled to the stub's [0, dim]
-    * range so downstream consumers see one contract. */
+    * per-channel means repeated across slots, scaled to the stub's
+    * [0, dim] range. Audio features are (mean, rms, peak)-derived and
+    * scaled by the same dim factor, but the MEAN slot keeps its sign:
+    * a PCM mean sample can be negative, so audio slots land in
+    * [-dim, dim] (rms/peak slots stay in [0, dim]) — consumers must
+    * not assume the stub's non-negative range for audio. */
   def features(bytes: Array[Byte], mimeType: String, dim: Int): Array[Double] =
     (mimeType match {
       case "image/x-portable-pixmap" => decodePpm(bytes).map { img =>

@@ -108,9 +108,13 @@ object Multimodal {
     import spark.implicits._
     df.as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
-        val feats = MediaDecode.features(r.media, r.mime_type, dim)
-        MediaFeatures(r.media_id, r.media.length.toLong,
-          DecodeStub.contentHash(r.media), feats)
+        // null blob ≡ empty blob: same contract as repartitionBySize's
+        // 0-byte accounting — the row flows through with the stub's
+        // n==0 zero features instead of NPEing the decode stage
+        val bytes = if (r.media == null) Array.emptyByteArray else r.media
+        val feats = MediaDecode.features(bytes, r.mime_type, dim)
+        MediaFeatures(r.media_id, bytes.length.toLong,
+          DecodeStub.contentHash(bytes), feats)
       }
     }
   }

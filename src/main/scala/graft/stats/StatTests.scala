@@ -291,10 +291,21 @@ object StatTests {
     * ARBITRARY RATIONALS, so (invariant 1, bit round 4) they sum via
     * the deterministic left fold over the (a, b)-sorted cell list —
     * never a double→decimal cast sum, whose engines can disagree at
-    * the cast scale. Cell count is r_levels·c_levels — bounded.
+    * the cast scale.
+    *
+    * The sorted fold materializes every observed cell in ONE aggregate
+    * row, so it is only safe for bounded contingencies: the operator
+    * first counts observed cells (one extra partial-agg job over the
+    * same groupBy — the guard's price on a one-row-output test) and
+    * above `maxExactCells` falls back to the STREAMED fine-decimal sum
+    * (order-independent, never collects; its double→decimal cast can
+    * disagree with another engine in the last ulp — acceptable where
+    * the cardinality already rules out a bitwise oracle).
     * df = (R−1)(C−1); p is the closed-form upper regularized gamma.
     * Output: one row (n, r_levels, c_levels, chi2, df, p). */
-  def chiSquareIndependence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def chiSquareIndependence(
+      df: DataFrame, aCol: String, bCol: String,
+      maxExactCells: Long = 1L << 20): DataFrame = {
     val obs = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
     val cells = obs.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("_o"))
     val rowTot = cells.groupBy(col(aCol)).agg(sum(col("_o")).as("_rt"))
@@ -304,15 +315,24 @@ object StatTests {
       .join(broadcast(colTot), bCol)
     val term = div(col("_o").cast("double") * col("_o").cast("double"),
       col("_rt").cast("double") * col("_ct").cast("double"))
-    val g = joined.agg(
-      array_sort(collect_list(struct(
-        col(aCol).as("a"), col(bCol).as("b"), term.as("t")))).as("_lst"),
-      sum(col("_o")).as("n"),
-      countDistinct(col(aCol)).as("r_levels"),
-      countDistinct(col(bCol)).as("c_levels"))
-      .withColumn("_s", aggregate(col("_lst"), lit(0.0),
-        (acc, x) => acc + x.getField("t")))
-      .drop("_lst")
+    val nCells = cells.count()
+    val g =
+      if (nCells <= maxExactCells)
+        joined.agg(
+          array_sort(collect_list(struct(
+            col(aCol).as("a"), col(bCol).as("b"), term.as("t")))).as("_lst"),
+          sum(col("_o")).as("n"),
+          countDistinct(col(aCol)).as("r_levels"),
+          countDistinct(col(bCol)).as("c_levels"))
+          .withColumn("_s", aggregate(col("_lst"), lit(0.0),
+            (acc, x) => acc + x.getField("t")))
+          .drop("_lst")
+      else
+        joined.agg(
+          Moments.sumExactFine(term).as("_s"),
+          sum(col("_o")).as("n"),
+          countDistinct(col(aCol)).as("r_levels"),
+          countDistinct(col(bCol)).as("c_levels"))
     val nd = col("n").cast("double")
     val chi2 = nd * col("_s") - nd
     val dfree = (col("r_levels").cast("double") - lit(1.0)) *

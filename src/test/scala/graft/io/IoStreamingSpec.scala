@@ -314,6 +314,21 @@ class IoStreamingSpec extends SparkSpec {
     assert(f1(1).features.forall(_ == 0.0)) // empty payload
   }
 
+  test("null media blobs decode to empty-blob features, not NPE") {
+    // null ≡ empty contract end-to-end: the null row must survive both
+    // the byte-weighted repartition (0-byte accounting) and the decode
+    // stage (stub's n==0 zero features)
+    val media = Seq((1L, "payload"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val attached = Multimodal.attachBinary(media, "doc_id", "text")
+    val f = Multimodal.decodeFeatures(
+      spark, Multimodal.repartitionBySize(attached, 2)).collect().sortBy(_.media_id)
+    assert(f.length == 2)
+    assert(f(1).n_bytes == 0L)
+    assert(f(1).features.forall(_ == 0.0))
+    assert(f(1).content_hash == graft.multimodal.DecodeStub.contentHash(Array.emptyByteArray))
+  }
+
   test("sampleFrames explodes deterministic frame indices") {
     val docs = Seq((1L, "x" * 200)).toDF("doc_id", "text")
     val out = Multimodal.sampleFrames(Multimodal.attachBinary(docs, "doc_id", "text"))

@@ -73,6 +73,19 @@ class StatTestsSpec extends SparkSpec {
     assert(approx(r.getAs[Double]("p"), 0.02909633174125221, 1e-9))
   }
 
+  test("chiSquareIndependence streamed fallback above maxExactCells matches exact path") {
+    // 4 observed cells > maxExactCells=1 → the guard takes the
+    // streamed fine-decimal branch; statistically identical to the
+    // sorted-fold result (only last-ulp cast behavior can differ)
+    val rows = Seq.fill(20)(("x", "u")) ++ Seq.fill(10)(("x", "v")) ++
+      Seq.fill(30)(("y", "u")) ++ Seq.fill(40)(("y", "v"))
+    val r = StatTests.chiSquareIndependence(
+      rows.toDF("a", "b"), "a", "b", maxExactCells = 1L).head()
+    assert(r.getAs[Long]("n") == 100L)
+    assert(approx(r.getAs[Double]("chi2"), 4.761904761904762, 1e-9))
+    assert(approx(r.getAs[Double]("p"), 0.02909633174125221, 1e-9))
+  }
+
   test("describe: exact moments and rank-selected quartiles per group") {
     val df = (1 to 11).map(i => ("g", i.toDouble, i.toLong)).toDF("grp", "v", "k")
     val r = graft.stats.Summaries.describe(df, "grp", "v", Seq("k")).head()
