@@ -222,30 +222,53 @@ object Dedup {
     * of schedule, which is what makes it oracle-checkable against a
     * recursive closure). */
   def connectedComponents(
-      pairs: DataFrame, maxIter: Int = 50): DataFrame =
-    connectedComponentsWithRounds(pairs, maxIter)._1
+      pairs: DataFrame, maxIter: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter, checkpointDir)._1
 
   /** [[connectedComponents]] plus the number of propagation rounds the
     * driver loop ran (fixpoint detection included). Exposed so the
     * O(log diameter) convergence claim is TESTABLE — DedupSpec's
     * property test locks a diameter-D path graph to ≤ ⌈log₂D⌉+2
     * rounds, so an edit that silently drops the pointer-jump step
-    * (reverting to O(D) neighbor propagation) fails loudly. */
+    * (reverting to O(D) neighbor propagation) fails loudly.
+    *
+    * Fault tolerance: with `checkpointDir = None` (the default) rounds
+    * truncate their plans via `localCheckpoint(true)`, which pins the
+    * materialized blocks to executors — fastest, right for local/test
+    * runs, but on a real cluster losing ONE executor mid-fixpoint
+    * loses blocks with no lineage to rebuild them and kills the job
+    * (at 100 TB, round 40 of 50 is exactly when an executor dies).
+    * Pass `Some(dir)` on a fault-tolerant filesystem (HDFS/object
+    * store) to use RELIABLE `checkpoint()` instead: each round's
+    * labels are written to `dir`, survive executor loss, and the loop
+    * resumes from the last completed round's files. The price is one
+    * FS write+read of the narrow (id, cluster) table per round —
+    * O(rounds · |V|) bytes, bounded and flat. Intermediate round files
+    * accumulate under `dir` until context stop (set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` to let
+    * the ContextCleaner reclaim superseded rounds). */
   def connectedComponentsWithRounds(
-      pairs: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+      pairs: DataFrame, maxIter: Int = 50,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
     val verts = pairs.select(col("id_a").as("id"))
       .unionByName(pairs.select(col("id_b").as("id"))).distinct()
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // localCheckpoint each round: persist alone caches DATA but the
+    // plan truncation each round: persist alone caches DATA but the
     // logical plan still nests the whole previous round — with the
     // pointer-jump self-join referencing `step` twice, plan size (and
     // Catalyst's re-optimization work) grows ~3× per round, which is
     // exactly how the first cut of this loop ate the driver heap.
     // Checkpointing truncates the plan to the materialized partitions,
     // so every round plans against a constant-size leaf.
-    var labels = verts.withColumn("cluster", col("id")).localCheckpoint(true)
+    var labels = truncate(verts.withColumn("cluster", col("id")))
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -254,21 +277,20 @@ object Dedup {
       // _prev rides through the round so the fixpoint check below is a
       // filter over the already-checkpointed frame — no extra join
       // against the previous labels (one fewer exchange per round)
-      val step = labels
+      // read twice by the jump self-join below → truncated first
+      val step = truncate(labels
         .join(nm.select(col("src").as("id"), col("_nl")), Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("_nl"), col("cluster"))).as("cluster"),
-          col("cluster").as("_prev"))
-        .localCheckpoint(true) // read twice by the jump self-join below
+          col("cluster").as("_prev")))
       // pointer jump: follow the label to ITS label (labels are vertex
       // ids, so this is a self-join) — halves remaining chain depth
-      val next = step
+      val next = truncate(step
         .join(step.select(col("id").as("_lid"), col("cluster").as("_lc")),
           col("cluster") === col("_lid"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("_lc"), col("cluster"))).as("cluster"),
-          col("_prev"))
-        .localCheckpoint(true)
+          col("_prev")))
       val changed = next.filter(col("cluster") =!= col("_prev")).limit(1).count()
       labels = next.select(col("id"), col("cluster"))
       done = changed == 0L

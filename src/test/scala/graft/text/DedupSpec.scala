@@ -136,6 +136,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents reliable-checkpoint mode reaches the same fixpoint") {
+    // Some(dir) swaps localCheckpoint for reliable checkpoint() — the
+    // cluster-fault-tolerant mode (local blocks die with an executor;
+    // checkpoint files survive). Labels, and the round count, must be
+    // identical to the local mode's.
+    val dir = java.nio.file.Files.createTempDirectory("ccchk").toString
+    val pairs = (Seq((2L, 3L), (1L, 2L), (11L, 10L), (11L, 3L), (5L, 6L)) ++
+      (20L until 50L).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    val (localLabels, localRounds) = Dedup.connectedComponentsWithRounds(pairs)
+    val (relLabels, relRounds) =
+      Dedup.connectedComponentsWithRounds(pairs, checkpointDir = Some(dir))
+    val lm = localLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rm = relLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lm == rm)
+    assert(localRounds == relRounds)
+    // the reliable mode actually wrote checkpoint files
+    assert(new java.io.File(dir).listFiles().nonEmpty)
+  }
+
   test("wordShingles produces distinct n-grams") {
     val out = docs.filter($"doc_id" === 1)
       .select(Dedup.wordShingles($"text", 3).as("sh"))
