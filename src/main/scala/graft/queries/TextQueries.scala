@@ -106,35 +106,61 @@ object TextQueries extends QueryProvider {
       TextAnalysis.langId(col("text")).as("predicted")),
     Some(s"WITH $langSqlCtes SELECT doc_id, lang, predicted FROM langp"))
 
-  // ---- exact word-set Jaccard on blocked pairs (consecutive ids) ----
+  // ---- exact word-set Jaccard verify over LSH-BLOCKED candidate
+  //      pairs — the operator's documented contract (pairs come from a
+  //      blocking stage touching a small fraction of the corpus, so
+  //      wordJaccard's left_semi prune actually prunes; a spec asserts
+  //      the fraction on real testdata). The oracle replays the whole
+  //      chain statically: minhash signatures (shared CTEs) → band
+  //      candidates by TUPLE equality on each band's 4 slots (Spark
+  //      groups on xxhash64 of the same tuple — equal iff the tuple
+  //      is, modulo a 2⁻⁶⁴ collision) → the jaccard verify. Docs with
+  //      <3 words have no shingles → null signature: filtered before
+  //      banding on BOTH sides (they cannot be near-dup candidates;
+  //      unfiltered, Spark's null-skipping xxhash64 would hash every
+  //      all-null tuple into ONE mega-bucket). ----
   private val qJaccard = Q(
     "q_jaccard_pairs",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = docs.select(col("doc_id").as("id_a"))
-        .join(docs.select(col("doc_id").as("id_b")),
-          col("id_b") === col("id_a") + 1)
+      val sigs = Dedup.minHashSignatures(docs, "doc_id", "text")
+        .filter(col("mh_0").isNotNull)
+      val pairs = Dedup.minHashCandidatePairs(sigs, "doc_id")
       Dedup.wordJaccard(docs, pairs, "doc_id", "text")
     },
-    Some("""
-      WITH words AS (
+    Some {
+      val bandCase = (0 until 8).map(b =>
+        s"WHEN $b THEN [${(4 * b until 4 * b + 4).map(i => s"mh_$i").mkString(", ")}]")
+        .mkString(" ")
+      s"""
+      WITH $minhashCtes,
+      mm AS (SELECT * FROM m WHERE mh_0 IS NOT NULL),
+      bnd AS (SELECT doc_id, b AS band_idx,
+          CASE b $bandCase END AS bv
+        FROM mm, (SELECT UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS b) t),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bnd a JOIN bnd b ON b.band_idx = a.band_idx
+          AND b.bv = a.bv AND a.doc_id < b.doc_id),
+      members AS (SELECT id_a AS doc_id FROM cand
+                  UNION SELECT id_b AS doc_id FROM cand),
+      words AS (
         SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
-        FROM documents),
+        FROM documents WHERE doc_id IN (SELECT doc_id FROM members)),
       sizes AS (SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS sz FROM words GROUP BY doc_id),
-      pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
       inter AS (
-        SELECT wa.doc_id AS id_a, wb.doc_id AS id_b, CAST(COUNT(1) AS BIGINT) AS i
-        FROM words wa JOIN words wb ON wa.w = wb.w AND wb.doc_id = wa.doc_id + 1
+        SELECT p.id_a, p.id_b, CAST(COUNT(1) AS BIGINT) AS i
+        FROM cand p
+        JOIN words wa ON wa.doc_id = p.id_a
+        JOIN words wb ON wb.doc_id = p.id_b AND wb.w = wa.w
         GROUP BY 1, 2)
       SELECT p.id_a, p.id_b,
         CAST(COALESCE(i.i, 0) AS DOUBLE)
           / CAST(sa.sz + sb.sz - COALESCE(i.i, 0) AS DOUBLE) AS jaccard
-      FROM pairs p
+      FROM cand p
       LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
       JOIN sizes sa ON sa.doc_id = p.id_a
-      JOIN sizes sb ON sb.doc_id = p.id_b"""))
+      JOIN sizes sb ON sb.doc_id = p.id_b"""
+    })
 
   // ---- ANN: brute-force cosine top-k vs vec_id=0 (left-fold dot).
   //      The SQL body is shared with q_ann_recall (as a subquery). ----
@@ -169,26 +195,31 @@ object TextQueries extends QueryProvider {
   /** The md5Top60 image in DuckDB SQL (shared definition). */
   private def h60Sql(expr: String) = OracleSql.md5Top60(expr)
 
-  private val qMinhash = Q(
-    "q_minhash_signatures",
-    (s, d) => Dedup.minHashSignatures(Tables.documents(s, d), "doc_id", "text"),
-    Some {
-      val p = graft.functions.TextHash.P61
-      val minCols = graft.functions.TextHash.slotCoefs(32).zipWithIndex
-        .map { case ((a, b), i) =>
-          s"CAST(MIN((CAST($a AS HUGEINT) * h + $b) % $p) AS BIGINT) AS mh_$i"
-        }.mkString(",\n            ")
-      s"""
-      WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+  /** The 32-slot minhash chain as SQL CTEs ending in
+    * m(doc_id, mh_0..mh_31) — shared by q_minhash_signatures and the
+    * LSH-candidate jaccard oracle. */
+  private def minhashCtes: String = {
+    val p = graft.functions.TextHash.P61
+    val minCols = graft.functions.TextHash.slotCoefs(32).zipWithIndex
+      .map { case ((a, b), i) =>
+        s"CAST(MIN((CAST($a AS HUGEINT) * h + $b) % $p) AS BIGINT) AS mh_$i"
+      }.mkString(",\n            ")
+    s"""w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
       g0 AS (SELECT doc_id, ws, UNNEST(generate_series(1, len(ws) - 2)) AS i FROM w),
       g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s FROM g0),
       hh AS (SELECT doc_id, ${h60Sql("s")} AS h FROM g),
       m AS (SELECT doc_id,
             $minCols
-          FROM hh GROUP BY doc_id)
+          FROM hh GROUP BY doc_id)"""
+  }
+
+  private val qMinhash = Q(
+    "q_minhash_signatures",
+    (s, d) => Dedup.minHashSignatures(Tables.documents(s, d), "doc_id", "text"),
+    Some(s"""
+      WITH $minhashCtes
       SELECT d.doc_id, ${(0 until 32).map(i => s"m.mh_$i").mkString(", ")}
-      FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id"""
-    })
+      FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id"""))
 
   /** The simhash chain as SQL CTEs ending in sim(doc_id, simhash) —
     * shared by q_simhash and the near-dup pair oracle. */

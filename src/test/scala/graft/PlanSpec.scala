@@ -168,6 +168,23 @@ class PlanSpec extends SparkSpec {
     assert(gi >= 0 && p.indexOf("LeftSemi", gi) >= 0, p)
   }
 
+  test("q_jaccard_pairs fixture honors the pre-blocked contract: candidates cover a small corpus fraction") {
+    // the operator's contract is pairs from a BLOCKING stage — the
+    // semi-join prune only earns its keep if candidates touch a small
+    // fraction of docs. The old fixture paired every consecutive id
+    // (prune kept 100% of the corpus); the LSH-derived fixture must
+    // keep the member set well under the corpus size on real testdata.
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val nDocs = docs.count()
+    val pairs = Registry.queries("q_jaccard_pairs")(spark, sf)
+    val members = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id"))).distinct().count()
+    assert(members > 0, "fixture yields no candidate pairs — nothing exercised")
+    assert(members.toDouble / nDocs < 0.2,
+      s"candidates cover $members of $nDocs docs — prune has nothing to do")
+  }
+
   test("3-set venn is one keyed shuffle + single-row agg — no INTERSECT joins") {
     val p = plan("q_venn3")
     // membership formulation: exactly one hash-partition exchange (on
