@@ -36,6 +36,62 @@ object AnnIndex {
   def readIvfIndexed(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Incremental index maintenance: assign a NEW batch of vectors with
+    * the STORED centroids and append it into the existing cell
+    * directories — the growing-corpus path that avoids rebuilding the
+    * whole index per ingest. Results are byte-identical to a full
+    * rebuild with the same centroids (assignment is a pure function of
+    * (vector, centroids); which FILE inside a cell dir holds a row is
+    * invisible to the probe). The centroids do NOT move — over many
+    * appends the partitioning drifts away from the data's true
+    * clustering, degrading the (nProbe/nCells) recall contract;
+    * monitor [[ivfStaleness]] and rebuild past a threshold. */
+  def appendIvfIndexed(
+      newVectors: DataFrame, centroids: Array[Array[Double]],
+      path: String, vecCol: String = "embedding",
+      cellCol: String = "_cell"): Unit =
+    Similarity.assignCells(newVectors, vecCol, centroids, cellCol)
+      .repartition(col(cellCol))
+      .write.mode("append").partitionBy(cellCol).parquet(path)
+
+  /** Staleness of a stored IVF index: run ONE Lloyd update step on the
+    * current contents (per-cell mean = the updated centroid estimate;
+    * empty cells keep their stored centroid) and return the fraction
+    * of indexed vectors whose nearest updated centroid differs from
+    * their stored cell. 0 means the stored partitioning is still the
+    * fixpoint of the current data; rising values mean appended batches
+    * have drifted the distribution and queries are paying recall for
+    * it — rebuild when it crosses the operator's tolerance (a few
+    * percent in practice). Cost: one scan for the means (nCells·dim
+    * rows collected — coarse-quantizer bounded) + one scan for the
+    * reassignment fraction. */
+  def ivfStaleness(
+      spark: SparkSession, path: String, centroids: Array[Array[Double]],
+      vecCol: String = "embedding", cellCol: String = "_cell"): Double = {
+    val idx = readIvfIndexed(spark, path)
+    val meanRows = idx
+      .select(col(cellCol).cast("int").as("_c"),
+        posexplode(col(vecCol)).as(Seq("_p", "_x")))
+      .groupBy(col("_c"), col("_p"))
+      .agg(avg(col("_x").cast("double")).as("_m"))
+      .collect()
+    if (meanRows.isEmpty) return 0.0
+    val byCell = meanRows.groupBy(_.getInt(0))
+    val updated = centroids.indices.map { c =>
+      byCell.get(c) match {
+        case Some(rows) =>
+          val m = centroids(c).clone()
+          rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+          m
+        case None => centroids(c)
+      }
+    }.toArray
+    idx.select(col(cellCol).cast("int").as("_stored"), col(vecCol))
+      .transform(df => Similarity.assignCells(df, vecCol, updated, "_re"))
+      .agg(avg(when(col("_re") =!= col("_stored"), 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+  }
+
   /** IVF top-k over the cell-partitioned table: same probe + scoring
     * expressions as [[Similarity.ivfTopK]] (bitwise-identical results),
     * but `_cell IN probes` is now a filter on a PARTITION column — the

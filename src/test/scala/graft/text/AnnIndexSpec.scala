@@ -93,6 +93,52 @@ class AnnIndexSpec extends SparkSpec {
       off, k = 10, numPlanes = 4, numTables = 2).collect() != null)
   }
 
+  test("appendIvfIndexed: pruned read of the appended index == full rebuild for the probed cells") {
+    val base = vecs(300, 8)
+    val batch = (300 until 400).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 1.9 + j * 0.7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = base.filter($"vec_id" === 0)
+      .select(transform($"embedding", _.cast("double")).as("q"))
+      .head().getSeq[Double](0).toArray
+    val (assigned, cents) = Similarity.ivfIndex(base, "vec_id", "embedding", nCells = 8)
+    val appendDir = java.nio.file.Files.createTempDirectory("annappend").toString + "/idx"
+    AnnIndex.writeIvfIndexed(assigned, appendDir)
+    AnnIndex.appendIvfIndexed(batch, cents, appendDir)
+    // full rebuild over the union, same stored centroids
+    val rebuildDir = java.nio.file.Files.createTempDirectory("annrebuild").toString + "/idx"
+    AnnIndex.writeIvfIndexed(
+      Similarity.assignCells(base.unionByName(batch), "embedding", cents), rebuildDir)
+    val servedAppend = AnnIndex.ivfTopKServe(spark, appendDir, cents,
+      "vec_id", "embedding", q, k = 15, nProbe = 3).collect().toSeq
+    val servedRebuild = AnnIndex.ivfTopKServe(spark, rebuildDir, cents,
+      "vec_id", "embedding", q, k = 15, nProbe = 3).collect().toSeq
+    assert(servedAppend == servedRebuild)
+    // the appended batch is actually visible to the serve path
+    val all = AnnIndex.readIvfIndexed(spark, appendDir)
+    assert(all.count() == 400)
+    assert(all.filter($"vec_id" >= 300).count() == 100)
+  }
+
+  test("ivfStaleness: 0-ish on assignment-consistent contents, grows when the data drifts") {
+    val base = vecs(300, 8)
+    val (assigned, cents) = Similarity.ivfIndex(base, "vec_id", "embedding", nCells = 4)
+    val dir = java.nio.file.Files.createTempDirectory("annstale").toString + "/idx"
+    AnnIndex.writeIvfIndexed(assigned, dir)
+    val fresh = AnnIndex.ivfStaleness(spark, dir, cents)
+    assert(fresh >= 0.0 && fresh <= 1.0)
+    // append a far-away cluster: every appended vector lands in ONE
+    // stored cell, dragging that cell's mean off — reassignment
+    // fraction must not decrease, and the metric stays in [0, 1]
+    val drift = (300 until 500).map { i =>
+      (i.toLong, Array.tabulate(8)(j => (50.0 + i % 3 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    AnnIndex.appendIvfIndexed(drift, cents, dir)
+    val stale = AnnIndex.ivfStaleness(spark, dir, cents)
+    assert(stale >= 0.0 && stale <= 1.0)
+    assert(stale >= fresh - 1e-9, s"staleness fell after drift: $fresh -> $stale")
+  }
+
   test("serve-path probes work through URI-schemed paths (file:/)") {
     // readPartitions must resolve existence via Hadoop FileSystem, not
     // java.io.File — a local-only probe sees every `file:/...` dir as
