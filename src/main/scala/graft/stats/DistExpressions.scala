@@ -10,22 +10,29 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * inside whole-stage codegen as a plain static invocation (no UDF
   * serialization, no InternalRow boxing). */
 object DistMath {
-  // Closed forms over the static regularized incomplete beta — bitwise
-  // identical to commons-math3's TDistribution/FDistribution CDFs (which
-  // compute exactly these expressions) but with zero per-row allocation:
+  // Closed forms over the static regularized incomplete beta — the
+  // same expressions commons-math3's TDistribution/FDistribution CDFs
+  // compute, but with zero per-row allocation, and with every TAIL
+  // evaluated DIRECTLY (no `1 - CDF`): a `1.0 - I_x` subtraction has
+  // absolute error ~1e-16, so a 1e-40 upper tail would come out as 0
+  // or garbage sign — and tiny p-values are exactly where volcano /
+  // ANOVA results get interesting. Tail-precision goldens vs mpmath:
+  // DistMathTailSpec.
   //   P(|T|>t) = I_{df/(df+t^2)}(df/2, 1/2)        [2*0.5*I == I exactly]
-  //   P(F>f)   = 1 - I_{d1 f/(d2+d1 f)}(d1/2, d2/2)
   def tPTwoSided(t: Double, df: Double): Double =
     if (df <= 0 || java.lang.Double.isNaN(t)) Double.NaN
     else if (t == 0.0) 1.0
     else org.apache.commons.math3.special.Beta.regularizedBeta(
       df / (df + t * t), 0.5 * df, 0.5)
 
+  //   P(F>f) = 1 - I_{d1 f/(d2+d1 f)}(d1/2, d2/2)
+  //          = I_{d2/(d2+d1 f)}(d2/2, d1/2)   [beta symmetry — direct,
+  //            full relative precision in the far upper tail]
   def fPUpper(f: Double, d1: Double, d2: Double): Double =
     if (d1 <= 0 || d2 <= 0 || java.lang.Double.isNaN(f)) Double.NaN
     else if (f <= 0.0) 1.0
-    else 1.0 - org.apache.commons.math3.special.Beta.regularizedBeta(
-      (d1 * f) / (d2 + d1 * f), 0.5 * d1, 0.5 * d2)
+    else org.apache.commons.math3.special.Beta.regularizedBeta(
+      d2 / (d2 + d1 * f), 0.5 * d2, 0.5 * d1)
 
   //   P(X² > x) = Q(df/2, x/2)  (upper regularized gamma)
   def chiSqPUpper(x: Double, df: Double): Double =
