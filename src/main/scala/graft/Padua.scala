@@ -17,6 +17,12 @@ object Padua {
   // ---- io (padua/io.py) ----
   def read_maxquant(spark: SparkSession, f: String): DataFrame = MaxQuant.readMaxQuant(spark, f)
   def read_perseus(spark: SparkSession, f: String): DataFrame = MaxQuant.readPerseus(spark, f)
+  /** Distributed form (part files + header sidecar) — THE scale path.
+    * The reference's exact one-file output is
+    * [[MaxQuant.writePerseusFile]], which coalesces to a single task
+    * and therefore carries a size guard (default 4 GiB): notebook
+    * ports exporting a warehouse table get an error pointing back
+    * here, not a one-executor funnel. */
   def write_perseus(f: String, df: DataFrame): Unit = MaxQuant.writePerseus(df, f)
   def write_phosphopath(df: DataFrame, f: String): Unit = MaxQuant.writePhosphopath(df, f)
   def write_phosphopath_ratio(long: DataFrame, groupCol: String, tpCol: String,

@@ -104,8 +104,27 @@ object MaxQuant {
     * coalesce(1) distributed write (this is a small-export interop
     * path; large tables belong in [[writePerseus]]'s partitioned form);
     * the header block is injected by a driver-side stream concat of
-    * the single part file, never by buffering the data in memory. */
-  def writePerseusFile(df: DataFrame, path: String): Unit = {
+    * the single part file, never by buffering the data in memory.
+    *
+    * SIZE GUARD: coalesce(1) funnels the whole table through one task
+    * — correct for notebook-scale exports, catastrophic for a
+    * warehouse table. The write refuses when Catalyst's optimized-plan
+    * size estimate exceeds `maxBytes` (default 4 GiB) and points at
+    * [[writePerseus]] instead; raise the cap explicitly for a
+    * deliberate large single-file export. The estimate is pre-shuffle
+    * logical size, not the TSV byte count — it is a tripwire against
+    * the 100 TB notebook port, not an exact quota. */
+  def writePerseusFile(
+      df: DataFrame,
+      path: String,
+      maxBytes: Long = 4L << 30): Unit = {
+    val estimated = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    require(
+      estimated <= BigInt(maxBytes),
+      s"writePerseusFile coalesces to ONE file; plan size estimate " +
+        s"$estimated B exceeds maxBytes=$maxBytes. Use writePerseus " +
+        s"(partitioned, header sidecar) for large tables, or pass an " +
+        s"explicit higher maxBytes for a deliberate single-file export.")
     val tmp = path + "._perseus_tmp"
     df.coalesce(1).write.mode("overwrite")
       .option("sep", "\t").option("header", "false").csv(tmp)
