@@ -71,6 +71,21 @@ class IoStreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("P1", 0.9, 1.5, Some("+")), ("P2", 0.4, 2.5, None)))
   }
 
+  test("writePerseusFile size guard refuses warehouse-scale single-file exports") {
+    val tmp = Files.createTempDirectory("persguard").toString
+    val df = spark.range(10000).selectExpr(
+      "concat('P', id) AS Proteins", "CAST(id AS DOUBLE) AS `Intensity A`")
+    val e = intercept[IllegalArgumentException] {
+      MaxQuant.writePerseusFile(df, s"$tmp/too_big.txt", maxBytes = 1024L)
+    }
+    assert(e.getMessage.contains("writePerseus"))
+    assert(!Files.exists(java.nio.file.Paths.get(tmp, "too_big.txt")),
+      "guard must fire before any write")
+    // the same frame sails through at the default cap
+    MaxQuant.writePerseusFile(df.limit(3), s"$tmp/small.txt")
+    assert(Files.readAllLines(java.nio.file.Paths.get(tmp, "small.txt")).size() == 5)
+  }
+
   test("phosphopathFrame string surgery matches reference format") {
     val df = Seq(
       ("Q13619;P999", "S", "10;22", "___1"),
@@ -274,6 +289,91 @@ class IoStreamingSpec extends SparkSpec {
     def keptIds(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(keptIds(compacted.kept) -- dupIds == keptIds(oneShot.kept) -- dupIds)
+  }
+
+  test("3-cycle ingest/compaction: checkpointed stream restarts + prefix one-shot equivalence") {
+    // the production loop at scale: the stream ingests (gates +
+    // watermark-bounded exact dedup, state carried across restarts via
+    // the checkpoint), and a periodic batch compaction derives the
+    // near-dup-free view over the WHOLE streamed-in table. After every
+    // cycle k, that view must equal one-shot curateFull over the raw
+    // prefix — including exact copies and near-dup partners that
+    // arrive cycles after their originals (the watermark-state ×
+    // periodic-LSH interaction the one-cycle test cannot see).
+    // 40-token docs: a 1-token edit gives true shingle-Jaccard ≈ 35/41
+    // ≈ 0.85 — safely above the 0.7 gate even under 32-hash minhash
+    // estimation noise (the 21-token docs of the one-cycle test sit at
+    // ≈0.73, inside the noise band, fine there because that test only
+    // asserts SOME pair fires)
+    def base(i: Int) =
+      s"the quick brown fox u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f jumps over " +
+        "the lazy dog today and then it ran away into the green forest near the " +
+        "old river bank where tall trees lean over the cold clear water"
+    // cycle 1: originals 1..12
+    val c1 = (1 to 12).map(i => (i.toLong, base(i)))
+    // cycle 2: near-dup partners of 1..4 (one token changed), an EXACT
+    // copy of doc 7 (higher id — both paths keep the original), fresh 13..14
+    val c2 = (1 to 4).map(i => (100L + i, base(i).replace(s"u${i}f", s"v${i}f"))) ++
+      Seq((107L, base(7))) ++ (13 to 14).map(i => (i.toLong, base(i)))
+    // cycle 3: a second-hop near-dup (chain: 1 ~ 101 ~ 201), partners of
+    // cycle-2's OWN docs (13..14), and exact copies of 2 and 101 —
+    // copies straddling two cycle boundaries
+    val c3 = Seq((201L, base(1).replace("u1f", "v1f").replace("u1e", "w1e"))) ++
+      (13 to 14).map(i => (110L + i, base(i).replace(s"u${i}f", s"v${i}f"))) ++
+      Seq((202L, base(2)), (203L, base(1).replace("u1f", "v1f")))
+    val cfg = graft.pipeline.TrainingData.CurationConfig(
+      minQuality = 0.05, langs = Set("en"), minTokens = 3)
+
+    val srcDir = Files.createTempDirectory("docs_mc_src").toString
+    val outDir = Files.createTempDirectory("docs_mc_out").toString + "/ingested"
+    val ckpt = Files.createTempDirectory("docs_mc_ck").toString
+    var rawSoFar = Seq.empty[(Long, String)]
+    val exactCopyIds = Set(107L, 202L, 203L)
+
+    for ((batch, k) <- Seq(c1, c2, c3).zipWithIndex) {
+      batch.toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+      rawSoFar ++= batch
+      val stream = spark.readStream
+        .schema(new org.apache.spark.sql.types.StructType()
+          .add("doc_id", "long").add("text", "string"))
+        .parquet(srcDir)
+        .withColumn("ingest_ts", current_timestamp())
+      val q = graft.streaming.DocStream
+        .curateStream(stream, "doc_id", "text", "ingest_ts", cfg)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+
+      val ingested = spark.read.parquet(outDir).select($"doc_id", $"text")
+      // cross-cycle exact copies never reach the table: checkpointed
+      // dedup state recognizes cycle-1 fingerprints in cycle 2 and 3
+      assert(ingested.filter($"doc_id".isin(exactCopyIds.toSeq: _*)).isEmpty,
+        s"cycle $k: stream must drop exact copies across restarts")
+      val compacted = graft.pipeline.TrainingData.curateFull(ingested, "doc_id", "text", cfg)
+      val oneShot = graft.pipeline.TrainingData
+        .curateFull(rawSoFar.toDF("doc_id", "text"), "doc_id", "text", cfg)
+      def keptIds(c: graft.pipeline.TrainingData.Curated) =
+        c.kept.select("doc_id").collect().map(_.getLong(0)).toSet
+      // copies are higher-id than their originals, so batch exact-dedup
+      // picks the same representatives the stream kept → ids (not just
+      // content) must agree at every cycle
+      assert(keptIds(compacted) == keptIds(oneShot), s"cycle $k kept-id divergence")
+      def removedIds(c: graft.pipeline.TrainingData.Curated) =
+        c.nearDupRemoved.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(removedIds(compacted) == removedIds(oneShot) -- exactCopyIds,
+        s"cycle $k near-dup set divergence")
+    }
+    // the fixture must actually exercise the straddling cases
+    val finalOneShot = graft.pipeline.TrainingData
+      .curateFull(rawSoFar.toDF("doc_id", "text"), "doc_id", "text", cfg)
+    val removed = finalOneShot.nearDupRemoved
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(Set(101L, 102L, 103L, 104L, 123L, 124L).subsetOf(removed),
+      s"cross-cycle near-dup partners must be dropped, got $removed")
+    assert(removed.contains(201L),
+      s"second-hop chain member must be dropped, got $removed")
   }
 
   test("repartitionBySize bounds partition byte-skew under a heavy-tail payload") {
