@@ -23,7 +23,13 @@ object Bench {
     // column and discards rows at the sink — honest per-query cost.
     def consume(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    Seq("q1_agg", "q_pca_scores", "q_ann_ivf_topk").foreach { name =>
+    // The two serving queries also go through warmup: their first touch
+    // builds the partitioned ANN index (a one-time layout cost, 18s-class
+    // at sf0.1 — reported separately in BENCH_NOTES), so timing them cold
+    // would measure the build and then flag the warm re-run as
+    // "contended". Steady-state serve IS the claim those queries make.
+    Seq("q1_agg", "q_pca_scores", "q_ann_ivf_topk",
+        "q_ann_ivf_pruned", "q_ann_lsh_pruned").foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try consume(fn(spark, sfDir)) catch { case _: Throwable => }
       }
