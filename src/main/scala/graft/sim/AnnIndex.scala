@@ -122,6 +122,32 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("_t", "_b").parquet(path)
   }
 
+  /** Incremental LSH maintenance, the partner of [[appendIvfIndexed]].
+    * Unlike IVF there is NO drift: bucket assignment is a pure
+    * function of (vector, table, plane index) — the hyperplanes are
+    * replayable constants, never fitted — so an append-grown index is
+    * semantically identical to a rebuild forever. The only thing that
+    * grows is per-bucket row count (probe cost scales with E[bucket
+    * size] = N/2^numPlanes); re-layout with more planes when buckets
+    * outgrow the serving budget. Must be called with the SAME
+    * (dim, numPlanes, numTables) the index was built with — the
+    * layout-keyed path convention (see TextQueries.indexPath) makes a
+    * mismatch structurally impossible for the registered queries. */
+  def appendLshIndexed(
+      newVectors: DataFrame, idCol: String, vecCol: String, path: String,
+      dim: Int, numPlanes: Int = 8, numTables: Int = 4): Unit = {
+    val tb = (0 until numTables).map { t =>
+      struct(lit(t).as("t"),
+        Similarity.signLshTableBucket(col(vecCol), dim, numPlanes, t).as("b"))
+    }
+    newVectors
+      .select(col(idCol), col(vecCol), explode(array(tb: _*)).as("_tb"))
+      .select(col(idCol), col(vecCol),
+        col("_tb.t").as("_t"), col("_tb.b").as("_b"))
+      .repartition(col("_t"), col("_b"))
+      .write.mode("append").partitionBy("_t", "_b").parquet(path)
+  }
+
   def readLshIndexed(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

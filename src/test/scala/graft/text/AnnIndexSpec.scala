@@ -120,6 +120,33 @@ class AnnIndexSpec extends SparkSpec {
     assert(all.filter($"vec_id" >= 300).count() == 100)
   }
 
+  test("appendLshIndexed: append-grown index serves identically to a full rebuild") {
+    val base = vecs(300, 8)
+    val batch = (300 until 400).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 1.9 + j * 0.7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = base.filter($"vec_id" === 0)
+      .select(transform($"embedding", _.cast("double")).as("q"))
+      .head().getSeq[Double](0).toArray
+    val appendDir = java.nio.file.Files.createTempDirectory("lshappend").toString + "/idx"
+    AnnIndex.writeLshIndexed(base, "vec_id", "embedding", appendDir, dim = 8)
+    AnnIndex.appendLshIndexed(batch, "vec_id", "embedding", appendDir, dim = 8)
+    val rebuildDir = java.nio.file.Files.createTempDirectory("lshrebuild").toString + "/idx"
+    AnnIndex.writeLshIndexed(base.unionByName(batch), "vec_id", "embedding",
+      rebuildDir, dim = 8)
+    val servedAppend = AnnIndex.lshTopKServe(spark, appendDir,
+      "vec_id", "embedding", q, k = 15).collect().toSeq
+    val servedRebuild = AnnIndex.lshTopKServe(spark, rebuildDir,
+      "vec_id", "embedding", q, k = 15).collect().toSeq
+    assert(servedAppend == servedRebuild)
+    assert(servedAppend.nonEmpty)
+    // batch rows landed in their (table, bucket) dirs: every id appears
+    // once per table across the merged index
+    val all = AnnIndex.readLshIndexed(spark, appendDir)
+    assert(all.count() == 400L * 4)
+    assert(all.filter($"vec_id" >= 300).count() == 100L * 4)
+  }
+
   test("ivfStaleness: 0-ish on assignment-consistent contents, grows when the data drifts") {
     val base = vecs(300, 8)
     val (assigned, cents) = Similarity.ivfIndex(base, "vec_id", "embedding", nCells = 4)
