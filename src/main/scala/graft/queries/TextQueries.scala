@@ -356,6 +356,61 @@ object TextQueries extends QueryProvider {
       WHERE ${dotVec("ua.u", "ub.u")} >= 0.2"""
     })
 
+  // ---- SemDeDup (cell-scoped semantic near-dup): candidates share a
+  //      LEARNED k-means cell instead of a static hyperplane bucket.
+  //      nCells=64 keeps cells at ~N/64 rows so the within-cell
+  //      quadratic stays linear-in-N in aggregate — the operator's
+  //      scale lever (the paper runs 10^4-10^5 cells at web scale).
+  //      Oracle: recorded centroids → argmin assignment replay → cell
+  //      self-join → unit-cosine verify, all structurally locked to
+  //      the Spark folds. Centroid literals may ride the bare-numeral
+  //      DOUBLE[] cast (they feed the argmin, which has margin); the
+  //      OUTPUT cosine is the proven q_embedding_neardup_pairs
+  //      fold mirror. maxCellRows rides at MaxValue so the no-cap
+  //      assumption in the oracle is enforced, not assumed. ----
+  private val lastSemCells = new java.util.concurrent.atomic.AtomicReference[
+    Array[Array[Double]]]()
+
+  private val qSemanticPairs = Q(
+    "q_semantic_neardup_pairs",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val (_, centroids) = Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 64)
+      lastSemCells.set(centroids)
+      Similarity.semanticNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.2, centroids, maxCellRows = Long.MaxValue)
+    },
+    None,
+    oracleGen = Some(() => Option(lastSemCells.get()).map { cents =>
+      def dotSql(a: String, b: String) =
+        s"list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), (a, b) -> a + b)"
+      val cellRows = cents.zipWithIndex.map { case (cArr, i) =>
+        val c2 = cArr.foldLeft(0.0)((a, x) => a + x * x)
+        s"($i, CAST([${cArr.mkString(", ")}] AS DOUBLE[]), CAST('$c2' AS DOUBLE))"
+      }.mkString(",\n        ")
+      s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ev AS (SELECT vec_id, v, ${dotSql("v", "v")} AS vv FROM e),
+      cells(cell, cv, c2) AS (VALUES $cellRows),
+      dist AS (SELECT ev.vec_id, cells.cell,
+        ev.vv - 2.0 * ${dotSql("ev.v", "cells.cv")} + cells.c2 AS dd
+        FROM ev CROSS JOIN cells),
+      assigned AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn
+        FROM dist) t
+        WHERE rn = 1),
+      eu AS (SELECT vec_id, list_transform(v, x -> x / SQRT(vv)) AS u FROM ev),
+      cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id)
+      SELECT cand.id_a, cand.id_b, ${dotSql("ua.u", "ub.u")} AS cosine
+      FROM cand
+      JOIN eu ua ON ua.vec_id = cand.id_a
+      JOIN eu ub ON ub.vec_id = cand.id_b
+      WHERE ${dotSql("ua.u", "ub.u")} >= 0.2"""
+    }))
+
   // ---- IVF top-k, oracled: the seeded KMeans fit is the only
   //      non-SQL step, and its output (16 centroids) is a tiny driver
   //      object — the run records centroids + probe cells and the
@@ -1092,5 +1147,5 @@ object TextQueries extends QueryProvider {
     qAnnIvf, qMinhash, qSimhash, qSimhashPairs, qWinnow, qLshPairs, qCurate,
     qTokenTopK, qStratSample, qMixSources, qContamination, qRepetition, qCurationSignals,
     qPiiRedact, qLmScore, qAnnPq, qAnnIvfPq, qDedupClusters, qAnnIvfPruned, qAnnLshPruned,
-    qPack, qTfIdf, qChunk, qPackBins, qAnnRecall)
+    qPack, qTfIdf, qChunk, qPackBins, qAnnRecall, qSemanticPairs)
 }

@@ -191,6 +191,62 @@ object Similarity {
       .limit(k)
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540, public): candidate pairs share a coarse k-means
+    * CELL rather than a static hyperplane bucket
+    * ([[cosineNearDupPairs]]) — the cells are LEARNED from the data,
+    * so on clustered corpora (real embedding spaces) they concentrate
+    * true neighbors that fixed hyperplanes split across buckets, at
+    * the cost of the quantizer fit. Verify is the same exact
+    * unit-cosine ≥ threshold.
+    *
+    * Scale design: the self-join shuffles only (cell, id) pairs — the
+    * wide vectors join back per side AFTER candidate generation. Each
+    * vector has exactly ONE cell, so candidate pairs are unique (no
+    * distinct stage at all, unlike the multi-table LSH shape). Verify
+    * cost is O(Σ_cell n_c²): `centroids.length` is the scale lever —
+    * fit k ≈ N/targetCellRows cells (SemDeDup's own regime; the paper
+    * runs 10^4-10^5 clusters on web-scale corpora). `maxCellRows` is
+    * the skew guard: a degenerate pile-up cell (duplicate-heavy
+    * corpora collapse many vectors onto one point) is dropped from
+    * pair enumeration instead of pinning one task with n_c² work —
+    * route its members through exact dedup on the vector hash, the
+    * same playbook as the minhash hot-bucket fallback.
+    *
+    * Takes STORED centroids (fit once via [[ivfIndex]], or reuse the
+    * serving index's) — assignment is the deterministic
+    * SQL-mirrorable argmin of [[assignCells]], so the whole operator
+    * oracle-checks with the centroids injected as literals. */
+  def semanticNearDupPairs(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, centroids: Array[Array[Double]],
+      maxCellRows: Long = 100000L): DataFrame = {
+    require(centroids.nonEmpty, "need a fitted coarse quantizer")
+    val v = col(vecCol)
+    val unitVecs = embeddings
+      .select(col(idCol), v.as("_v"), norm(v).as("_n"))
+      .select(col(idCol), transform(col("_v"), x => try_divide(x, col("_n"))).as("_unit"))
+    // cells are assigned on the RAW vectors (the space the quantizer
+    // was fitted in); only the verify is on unit vectors
+    val cells = assignCells(embeddings, vecCol, centroids)
+      .select(col(idCol), col("_cell"))
+    val okCells = cells.groupBy(col("_cell"))
+      .agg(count(lit(1)).as("_cn"))
+      .filter(col("_cn") <= maxCellRows)
+      .select(col("_cell"))
+    val pruned = cells.join(okCells, Seq("_cell"), "left_semi")
+    val candidates = pruned.select(col("_cell"), col(idCol).as("id_a"))
+      .join(pruned.select(col("_cell"), col(idCol).as("id_b")), Seq("_cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    candidates
+      .join(unitVecs.select(col(idCol).as("id_a"), col("_unit").as("_va")), "id_a")
+      .join(unitVecs.select(col(idCol).as("id_b"), col("_unit").as("_vb")), "id_b")
+      .withColumn("cosine", dot(col("_va"), col("_vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Near-dup pair detection over embeddings via multi-table sign-LSH
     * (mirrors `Dedup.minHashCandidatePairs`' banded shape): bucket
     * every vector in `numTables` independent hyperplane tables,

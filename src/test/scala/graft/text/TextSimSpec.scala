@@ -266,6 +266,60 @@ class TextSimSpec extends SparkSpec {
     assert(out.contains((1L, 2L)))
   }
 
+  test("semanticNearDupPairs == exactly the same-cell pairs passing the exact-cosine verify") {
+    // 10 tight clusters of 6 (cos > 0.999 within, well-separated
+    // across). The operator's CONTRACT: candidate pairs are precisely
+    // the same-cell pairs (one cell per vector, learned quantizer —
+    // a split cluster legitimately loses its cross-cell pairs, the
+    // nCells-vs-corpus tradeoff SemDeDup tunes), and the verify is
+    // exact cosine ≥ threshold. Assert equality against an
+    // independent reconstruction from assignCells + driver-side math.
+    def center(j: Int) = Array.tabulate(16)(d => math.sin(j * 2.3 + d * 0.91) * 2.0)
+    val rows = for (j <- 0 until 10; i <- 0 until 6) yield {
+      val v = center(j).zipWithIndex.map { case (c, d) =>
+        (c + 0.01 * math.cos(i * 1.7 + d * 0.37 + j)).toFloat
+      }
+      (j * 6L + i, v)
+    }
+    val vecs = rows.toDF("vec_id", "embedding")
+    val (_, cents) = Similarity.ivfIndex(vecs, "vec_id", "embedding", nCells = 10)
+    val out = Similarity.semanticNearDupPairs(vecs, "vec_id", "embedding",
+        threshold = 0.99, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cellOf = Similarity.assignCells(vecs, "embedding", cents)
+      .select($"vec_id", $"_cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byId = rows.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val ids = rows.map(_._1)
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      if cellOf(a) == cellOf(b) && cos(byId(a), byId(b)) >= 0.99
+    } yield (a, b)).toSet
+    assert(out == expected, s"missing ${expected -- out}; spurious ${out -- expected}")
+    // the fixture exercises both sides of the claim: some near-dup
+    // pairs found, and every found pair is genuinely within-cluster
+    assert(expected.size >= 30, s"fixture too weak: ${expected.size} pairs")
+    assert(out.forall { case (a, b) => a / 6 == b / 6 }, s"cross-cluster pair in $out")
+  }
+
+  test("semanticNearDupPairs: maxCellRows drops pile-up cells from pair enumeration") {
+    // one degenerate cell: 30 identical vectors + a clean pair elsewhere
+    val pile = (0 until 30).map(i => (i.toLong, Array.fill(8)(0.5f)))
+    val clean = Seq((100L, Array.tabulate(8)(d => math.cos(d * 1.1).toFloat)),
+      (101L, Array.tabulate(8)(d => (math.cos(d * 1.1) + 0.001).toFloat)))
+    val vecs = (pile ++ clean).toDF("vec_id", "embedding")
+    val (_, cents) = Similarity.ivfIndex(vecs, "vec_id", "embedding", nCells = 2)
+    val capped = Similarity.semanticNearDupPairs(vecs, "vec_id", "embedding",
+        threshold = 0.9, cents, maxCellRows = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists(p => p._1 < 30 && p._2 < 30), s"pile-up enumerated: $capped")
+    assert(capped.contains((100L, 101L)), s"clean pair lost: $capped")
+  }
+
   test("cosineNearDupPairs rejects sub-floor bucket counts unless overridden") {
     val vecs = Seq((1L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
     // < 2^8 buckets without an explicit override must throw — the
