@@ -375,7 +375,9 @@ object TextQueries extends QueryProvider {
     "q_semantic_neardup_pairs",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val (_, centroids) = Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 64)
+      // sample-fit quantizer (1 job) — the spark.ml fit's ~2·maxIter
+      // jobs dominated this query at gate SF (6.2s → ~1s)
+      val centroids = Similarity.fitCoarseCells(emb, "embedding", nCells = 64)
       lastSemCells.set(centroids)
       Similarity.semanticNearDupPairs(emb, "vec_id", "embedding",
         threshold = 0.2, centroids, maxCellRows = Long.MaxValue)

@@ -84,7 +84,7 @@ object Pq {
     * order, fixed sweep count, argmin ties to the lowest centroid,
     * means accumulated in sample order. Empty cells keep their
     * previous centroid (standard small-sample fallback). */
-  private def lloyd(
+  private[sim] def lloyd(
       points: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
     val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]

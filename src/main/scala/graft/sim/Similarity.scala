@@ -143,6 +143,33 @@ object Similarity {
     (assignCells(embeddings, vecCol, centroids), centroids)
   }
 
+  /** Sample-fit coarse quantizer — the faiss/SemDeDup practice for a
+    * partitioner model that is only k·d doubles: ONE deterministic
+    * TakeOrdered job selects a hash-ordered sample, then [[Pq.lloyd]]
+    * (the same driver-side deterministic kernel PQ codebooks use)
+    * fits the centroids. Versus [[ivfIndex]]'s spark.ml fit this
+    * costs 1 job instead of ~2·maxIter — the difference between the
+    * fit dominating a query at small SF and disappearing into the
+    * floor — at identical model quality for a COARSE quantizer
+    * (sampleN ≫ nCells; a partition of space does not need
+    * full-corpus convergence). Same downstream contract: feed the
+    * returned centroids to [[assignCells]]/[[semanticNearDupPairs]]/
+    * oracle literals. */
+  def fitCoarseCells(
+      embeddings: DataFrame, vecCol: String, nCells: Int,
+      seed: Long = 42L, maxIter: Int = 5,
+      sampleN: Int = 4096): Array[Array[Double]] = {
+    val v = transform(col(vecCol), _.cast("double"))
+    val sample = embeddings
+      .select(v.as("_v"))
+      .withColumn("_h", xxhash64(concat_ws(",", lit(seed.toString), col("_v").cast("string"))))
+      .orderBy(col("_h"), col("_v"))
+      .limit(sampleN)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "cannot fit a quantizer on an empty frame")
+    Pq.lloyd(sample, nCells, maxIter)
+  }
+
   /** Deterministic cell assignment: argmin over centroids of
     * ‖v‖² − 2·v·c + ‖c‖² with the same left-to-right array fold as
     * every similarity expression; ties break to the lowest cell id.
@@ -220,16 +247,31 @@ object Similarity {
   def semanticNearDupPairs(
       embeddings: DataFrame, idCol: String, vecCol: String,
       threshold: Double, centroids: Array[Array[Double]],
-      maxCellRows: Long = 100000L): DataFrame = {
+      maxCellRows: Long = 100000L): DataFrame =
+    semanticNearDupPairsWithCleanup(embeddings, idCol, vecCol, threshold,
+      centroids, maxCellRows)._1
+
+  /** [[semanticNearDupPairs]] plus the unpersist hook (same contract
+    * as [[cosineNearDupPairsWithCleanup]]): call it only after the
+    * returned frame is materialized. */
+  def semanticNearDupPairsWithCleanup(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, centroids: Array[Array[Double]],
+      maxCellRows: Long = 100000L): (DataFrame, () => Unit) = {
     require(centroids.nonEmpty, "need a fitted coarse quantizer")
     val v = col(vecCol)
     val unitVecs = embeddings
       .select(col(idCol), v.as("_v"), norm(v).as("_n"))
       .select(col(idCol), transform(col("_v"), x => try_divide(x, col("_n"))).as("_unit"))
     // cells are assigned on the RAW vectors (the space the quantizer
-    // was fitted in); only the verify is on unit vectors
+    // was fitted in); only the verify is on unit vectors. The argmin
+    // tree is k·d literals wide — PERSIST the narrow (id, cell) result
+    // so the plan carries it once, not once per self-join side + cap
+    // count (3 evaluations of a 4096-literal expression cost more in
+    // optimizer + codegen time than the whole pair stage at gate SF)
     val cells = assignCells(embeddings, vecCol, centroids)
       .select(col(idCol), col("_cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val okCells = cells.groupBy(col("_cell"))
       .agg(count(lit(1)).as("_cn"))
       .filter(col("_cn") <= maxCellRows)
@@ -239,12 +281,13 @@ object Similarity {
       .join(pruned.select(col("_cell"), col(idCol).as("id_b")), Seq("_cell"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-    candidates
+    val out = candidates
       .join(unitVecs.select(col(idCol).as("id_a"), col("_unit").as("_va")), "id_a")
       .join(unitVecs.select(col(idCol).as("id_b"), col("_unit").as("_vb")), "id_b")
       .withColumn("cosine", dot(col("_va"), col("_vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+    (out, () => { cells.unpersist(); () })
   }
 
   /** Near-dup pair detection over embeddings via multi-table sign-LSH
