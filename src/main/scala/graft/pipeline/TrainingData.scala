@@ -145,6 +145,27 @@ object TrainingData {
         16, 10).cast("long"),
       lit(1000000L)).cast("double") / 1000000.0
 
+  /** Deterministic training-order shuffle — the stage between packing
+    * and the epoch writer: every row gets a seeded content-hash order
+    * key (md5 top-60, the engine-portable hash family of
+    * [[hashUniform]]) and `outCol` = its global 1-based position in
+    * that order, via the bucketed distributed row number (NO
+    * single-partition window — invariant 6). A writer shards the
+    * epoch as floor((rank-1)/rowsPerShard); a new seed is a fresh
+    * epoch permutation; identical (seed, ids) reproduce the identical
+    * order on any partitioning/cluster size (unlike orderBy(rand)).
+    * The 60-bit key space makes collisions negligible; `idCol` breaks
+    * the residual ties deterministically. */
+  def shuffleOrder(
+      df: DataFrame, idCol: String, seed: Long,
+      outCol: String = "shuffle_rank"): DataFrame =
+    graft.ops.DistributedRank.rowNumber(
+        df.withColumn("_sk",
+          conv(substring(md5(concat_ws("|", lit(s"s$seed"), col(idCol).cast("string"))),
+              1, 15), 16, 10).cast("long")),
+        "_sk", ascending = true, tieCols = Seq(idCol), outCol = outCol)
+      .drop("_sk")
+
   /** Seeded per-stratum Bernoulli sample by content hash (e.g.
     * rebalance languages or sources to target rates). Row-local, no
     * shuffle, linear scan at any scale. Strata missing from

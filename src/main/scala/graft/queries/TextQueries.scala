@@ -973,6 +973,23 @@ object TextQueries extends QueryProvider {
       WHERE token <> ''
       GROUP BY token ORDER BY n DESC, token LIMIT 50"""))
 
+  // ---- deterministic training-order shuffle: seeded md5 order key +
+  //      bucketed global row number. The oracle's single-partition
+  //      ROW_NUMBER is the DuckDB side only — the Spark plan has no
+  //      unpartitioned window (PlanSpec-enforced); ranks are BIGINT on
+  //      both sides. ----
+  private val qShuffle = Q(
+    "q_shuffle_order",
+    (s, d) => graft.pipeline.TrainingData.shuffleOrder(
+        Tables.documents(s, d), "doc_id", seed = 42L)
+      .select(col("doc_id"), col("shuffle_rank")),
+    Some(s"""
+      SELECT doc_id,
+        CAST(ROW_NUMBER() OVER (
+          ORDER BY ${OracleSql.md5Top60("CONCAT('s42|', CAST(doc_id AS VARCHAR))")}, doc_id)
+          AS BIGINT) AS shuffle_rank
+      FROM documents"""))
+
   // ---- seeded stratified sampling (training-data rebalancing);
   //      rows-only: the accept/reject hash is engine-specific ----
   private val qStratSample = Q(
@@ -1149,5 +1166,5 @@ object TextQueries extends QueryProvider {
     qAnnIvf, qMinhash, qSimhash, qSimhashPairs, qWinnow, qLshPairs, qCurate,
     qTokenTopK, qStratSample, qMixSources, qContamination, qRepetition, qCurationSignals,
     qPiiRedact, qLmScore, qAnnPq, qAnnIvfPq, qDedupClusters, qAnnIvfPruned, qAnnLshPruned,
-    qPack, qTfIdf, qChunk, qPackBins, qAnnRecall, qSemanticPairs)
+    qPack, qTfIdf, qChunk, qPackBins, qAnnRecall, qSemanticPairs, qShuffle)
 }

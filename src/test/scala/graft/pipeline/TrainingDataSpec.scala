@@ -164,6 +164,23 @@ class TrainingDataSpec extends SparkSpec {
     assert(bins(1L) == (2L, 3L, "f g h"))
   }
 
+  test("shuffleOrder: a seeded permutation, partitioning-independent, seed-sensitive") {
+    val docs = (1L to 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def ranks(df: org.apache.spark.sql.DataFrame, seed: Long): Map[Long, Long] =
+      TrainingData.shuffleOrder(df, "doc_id", seed)
+        .select($"doc_id", $"shuffle_rank")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r42 = ranks(docs, 42L)
+    // a complete 1..n permutation
+    assert(r42.values.toSeq.sorted == (1L to 500L).toSeq)
+    // content-deterministic: any repartitioning produces the same order
+    assert(ranks(docs.repartition(13), 42L) == r42)
+    // a fresh seed is a fresh epoch permutation, not the identity ordering
+    val r7 = ranks(docs, 7L)
+    assert(r7 != r42)
+    assert((1L to 500L).count(i => r42(i) == i) < 50, "order must not track ids")
+  }
+
   test("packSequences: contiguous-stream bins match the sequential reference") {
     // token counts engineered around the target: exact fits, spills,
     // zero-token docs
