@@ -111,20 +111,29 @@ object MaxQuant {
     * warehouse table. The write refuses when Catalyst's optimized-plan
     * size estimate exceeds `maxBytes` (default 4 GiB) and points at
     * [[writePerseus]] instead; raise the cap explicitly for a
-    * deliberate large single-file export. The estimate is pre-shuffle
-    * logical size, not the TSV byte count — it is a tripwire against
-    * the 100 TB notebook port, not an exact quota. */
+    * deliberate large single-file export. Without CBO stats the plan
+    * estimate MULTIPLIES child sizes through joins, so a
+    * notebook-scale frame containing a join can estimate absurdly
+    * high; rather than spuriously refuse, an over-estimate triggers a
+    * second, exact bound — `count()` × the schema's default row width
+    * — and only a table that fails BOTH is refused. The guard is a
+    * tripwire against the 100 TB notebook port, not an exact quota. */
   def writePerseusFile(
       df: DataFrame,
       path: String,
       maxBytes: Long = 4L << 30): Unit = {
     val estimated = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    lazy val countedBytes =
+      BigInt(df.count()) * math.max(1, df.schema.defaultSize)
     require(
-      estimated <= BigInt(maxBytes),
+      estimated <= BigInt(maxBytes) || countedBytes <= BigInt(maxBytes),
       s"writePerseusFile coalesces to ONE file; plan size estimate " +
-        s"$estimated B exceeds maxBytes=$maxBytes. Use writePerseus " +
-        s"(partitioned, header sidecar) for large tables, or pass an " +
-        s"explicit higher maxBytes for a deliberate single-file export.")
+        s"$estimated B and row-count bound $countedBytes B both exceed " +
+        s"maxBytes=$maxBytes (the plan estimate alone over-counts " +
+        s"through joins without CBO — the count bound is decisive). " +
+        s"Use writePerseus (partitioned, header sidecar) for large " +
+        s"tables, or pass an explicit higher maxBytes for a " +
+        s"deliberate single-file export.")
     val tmp = path + "._perseus_tmp"
     df.coalesce(1).write.mode("overwrite")
       .option("sep", "\t").option("header", "false").csv(tmp)

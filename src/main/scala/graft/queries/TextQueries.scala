@@ -499,15 +499,28 @@ object TextQueries extends QueryProvider {
     sweepStaleSiblings(sfDir, path)
   }
 
-  /** Delete same-(kind, layout, sf dir) index dirs keyed by an OLDER
-    * source mtime than `path`'s — they can never be read again (the
-    * path key embeds the current mtime) and would otherwise pile up in
-    * tmp across source regenerations. */
+  /** Delete same-(kind, layout, sf dir) index dirs keyed by a STRICTLY
+    * OLDER source mtime than `path`'s — they can never be read again
+    * (the path key embeds the current mtime) and would otherwise pile
+    * up in tmp across source regenerations. The sibling match is
+    * anchored: the name must be exactly `<prefix>_<digits>` — a prefix
+    * match alone would let `/data/sf0.1` sweep `/data/sf0.1.bak`'s
+    * LIVE index (both sanitize to the same leading segment), and a
+    * newer-mtime sibling (a concurrent run against a regenerated
+    * source) must survive. */
   private def sweepStaleSiblings(sfDir: String, path: String): Unit = {
     val dir = new java.io.File(path)
-    val prefix = dir.getName.stripSuffix(s"_${sourceMtime(sfDir)}")
+    val mtime = sourceMtime(sfDir)
+    val prefix = dir.getName.stripSuffix(s"_$mtime")
+    val sibling = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(prefix) + "_(\\d+)")
     Option(dir.getParentFile.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(prefix + "_") && f.getName != dir.getName)
+      .filter(f => f.isDirectory && f.getName != dir.getName)
+      .flatMap { f =>
+        val m = sibling.matcher(f.getName)
+        if (m.matches()) scala.util.Try(m.group(1).toLong).toOption.map(f -> _) else None
+      }
+      .collect { case (stale, staleMtime) if staleMtime < mtime => stale }
       .foreach(stale => scala.reflect.io.Directory(
         scala.reflect.io.Path(stale)).deleteRecursively())
   }
