@@ -13,8 +13,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
-  /** events.parquet schema with ts as nanos-since-epoch long (see
-    * Verify: spark.sql.legacy.parquet.nanosAsLong). */
+  /** events.parquet schema with ts as nanos-since-epoch long (the
+    * TIMESTAMP(NANOS) testdata generation, via nanosAsLong=true). */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -23,12 +23,20 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming scan of an events directory. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
+  /** Streaming scan of an events directory. A streaming file source
+    * needs an explicit schema, and the driver's testdata has shipped
+    * `ts` as both TIMESTAMP(NANOS)→long and µs timestamp — so take the
+    * physical schema from one footer (a driver-side metadata read, not
+    * a data scan) and normalize to the nanos-long contract the
+    * downstream operators share with the batch side (Tables.events). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val physical = spark.read.parquet(dir).schema
     spark.readStream
-      .schema(eventsSchema)
+      .schema(physical)
       .parquet(dir)
+      .withColumn("ts", graft.Tables.tsToNanos(col("ts"), physical("ts").dataType))
       .withColumn("event_ts", timestamp_micros(expr("ts DIV 1000")))
+  }
 
   /** Tumbling-window count/sum per event type with a watermark for
     * state eviction (append-mode safe). Mirrors batch q_events_window. */

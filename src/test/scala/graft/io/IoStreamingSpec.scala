@@ -136,7 +136,7 @@ class IoStreamingSpec extends SparkSpec {
     // emitted subset against batch values
     val got = spark.table("win_agg")
       .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val batch = graft.Tables.events(spark, dir)
       .withColumn("event_ts", timestamp_micros(expr("ts DIV 1000")))
       .groupBy(window(col("event_ts"), "1 hour").getField("start").as("ws"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
@@ -160,7 +160,7 @@ class IoStreamingSpec extends SparkSpec {
     // batch reference (same as q_sessionize)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val batch = graft.Tables.events(spark, dir)
       .withColumn("_gap", when(col("ts") - lag(col("ts"), 1).over(w) > 1800000000000L, 1).otherwise(0))
       .withColumn("session_id", sum(col("_gap")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
