@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Global output budget for blocked pair-enumeration operators
+  * (MinHash-LSH bands, SimHash pigeonhole blocks, sign-LSH buckets,
+  * SemDeDup cells — graft.text.Dedup / graft.sim.Similarity).
+  *
+  * The per-bucket `maxBucketRows` caps bound SKEW (one task doing n²
+  * work) but not the AGGREGATE Σ n·(n-1)/2 pair volume: a
+  * dup-saturated corpus can emit quadratically many verify pairs from
+  * buckets that are each individually under the cap. The budget turns
+  * the aggregate bound into a second, data-derived per-bucket size
+  * cap:
+  *
+  *   t = the largest bucket size such that all buckets of size ≤ t
+  *       together contribute at most `maxPairs` candidate pairs
+  *
+  * so buckets enumerate pairs smallest-first until the budget is
+  * spent, and every bucket larger than t degrades to one
+  * representative cluster (min id) — linear output — instead of
+  * pair enumeration. Smallest-first is the right greedy order for a
+  * near-dup pipeline: small buckets are where pair-level verification
+  * (hamming / jaccard / cosine) adds information; a 10⁶-member bucket
+  * is near-identical content by construction and its n²/2 pairs would
+  * all say "duplicate" anyway.
+  *
+  * Determinism: `t` is a pure function of (bucket-size histogram,
+  * maxPairs) — no sampling, no ordering sensitivity — so a bounded
+  * run is reproducible and its effective cap can be recorded and
+  * replayed as an oracle literal (Registry.oracleGen pattern).
+  *
+  * Scale: the decision runs on the SIZE HISTOGRAM (one row per
+  * distinct bucket size), not on the buckets. Distinct sizes are
+  * bounded by the largest bucket's size and in practice by a few
+  * thousand even at 10¹¹ rows (heavy-tail sizes are sparse), so the
+  * driver collect is a metadata-sized aggregate of an aggregate.
+  */
+/** Result of a budgeted pair-enumeration operator.
+  *
+  * @param pairs    verified pairs from buckets within the effective
+  *                 size cap — at most ~maxPairs candidates entered
+  *                 verification
+  * @param clusters (id, rep_id) representative assignment for members
+  *                 of buckets ABOVE the cap (linear, candidate-level:
+  *                 these bypassed pair verification; see
+  *                 [[PairBudget.representatives]])
+  * @param sizeCap  the effective per-bucket cap actually applied
+  *                 (min of the caller's skew cap and the budget-derived
+  *                 cap) — deterministic, so oracle-replayable
+  */
+final case class BoundedPairs(pairs: DataFrame, clusters: DataFrame, sizeCap: Long)
+
+object PairBudget {
+
+  /** Pairs contributed by one bucket of n members: n·(n-1)/2, as a
+    * decimal column (a long would overflow at n ≈ 4.3e9; the SUM over
+    * buckets overflows far earlier). */
+  private def pairsOf(n: Column): Column =
+    (n.cast("decimal(38,0)") * (n - 1).cast("decimal(38,0)")) / 2
+
+  /** The budget-derived bucket-size cap `t` (see object doc).
+    *
+    * @param bucketSizes one row per bucket, with the member count in
+    *                    `nCol` (any other columns are ignored)
+    * @param maxPairs    aggregate candidate-pair budget, > 0
+    * @return largest t with Σ_{size ≤ t} pairs ≤ maxPairs; 1 when even
+    *         the size-2 buckets alone blow the budget (no pairs at
+    *         all); Long.MaxValue when nothing binds (so callers can
+    *         `min(maxBucketRows, t)` unconditionally)
+    */
+  def sizeCap(bucketSizes: DataFrame, nCol: String, maxPairs: Long): Long = {
+    require(maxPairs > 0, s"maxPairs must be positive ($maxPairs)")
+    // histogram: (bucket size, total pairs contributed by that size)
+    val hist = bucketSizes
+      .filter(col(nCol) > 1)
+      .groupBy(col(nCol).as("_size"))
+      .agg(sum(pairsOf(col(nCol))).as("_pairs"))
+      .orderBy(col("_size"))
+      .collect()
+    var spent = BigInt(0)
+    var cap = Long.MaxValue
+    val budget = BigInt(maxPairs)
+    var i = 0
+    var bound = false
+    while (i < hist.length && !bound) {
+      val size = hist(i).getLong(0)
+      val p = BigInt(hist(i).getDecimal(1).toBigInteger)
+      if (spent + p > budget) {
+        cap = size - 1
+        bound = true
+      } else spent += p
+      i += 1
+    }
+    if (bound) math.max(cap, 1L) else Long.MaxValue
+  }
+
+  /** Representative clusters for the buckets a cap excludes from pair
+    * enumeration: each member of an over-cap bucket is assigned the
+    * MIN id in that bucket; a member of several over-cap buckets keeps
+    * the smallest representative (deterministic regardless of
+    * schedule). Output: one row per distinct member, (id, rep_id) —
+    * linear in members, never quadratic. Includes the representative
+    * itself (rep_id == id) so downstream "keep rep, drop rest" is a
+    * plain `filter(id =!= rep_id)`.
+    *
+    * @param buckets     (bucketCols..., idCol) membership rows
+    * @param bucketCols  the bucket key
+    */
+  def representatives(buckets: DataFrame, bucketCols: Seq[String], idCol: String,
+      sizeCap: Long): DataFrame = {
+    val key = bucketCols.map(col)
+    val over = buckets.groupBy(key: _*)
+      .agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") > sizeCap)
+      .select(key: _*)
+    val members = buckets.join(over, bucketCols, "left_semi")
+    val reps = members.groupBy(key: _*).agg(min(col(idCol)).as("rep_id"))
+    members.join(reps, bucketCols)
+      .groupBy(col(idCol))
+      .agg(min(col("rep_id")).as("rep_id"))
+  }
+}

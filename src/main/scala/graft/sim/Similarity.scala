@@ -384,4 +384,100 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
     (out, () => { unitVecs.unpersist(); () })
   }
+
+  /** [[cosineNearDupPairs]] under a global candidate-pair budget
+    * (graft.ops.PairBudget — same degradation contract as
+    * `Dedup.minHashCandidatePairsBounded`): (table, bucket) groups are
+    * pair-enumerated smallest-first within `maxPairs` total
+    * candidates; larger groups emit (id, rep_id) representative
+    * clusters (candidate-level — members share an LSH bucket but
+    * skipped the exact cosine verify). Under-budget ⇒ pairs equal
+    * [[cosineNearDupPairs]] with the same `maxBucketRows`, clusters
+    * empty. Returns the effective cap for oracle replay; the cleanup
+    * hook unpersists the unit-vector working set (call only after
+    * BOTH output frames are materialized). */
+  def cosineNearDupPairsBounded(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double,
+      numPlanes: Int = 10, numTables: Int = 2,
+      maxBucketRows: Long = 100000L,
+      minPlanes: Int = 8,
+      maxPairs: Long = 10000000L): (graft.ops.BoundedPairs, () => Unit) = {
+    require(numPlanes >= minPlanes,
+      s"numPlanes=$numPlanes gives only ${1 << numPlanes} buckets/table — " +
+        s"below the 2^$minPlanes scale floor (see cosineNearDupPairsWithCleanup)")
+    require(numTables >= 1, "need at least one hash table")
+    val v = col(vecCol)
+    val unitVecs = embeddings
+      .select(col(idCol), v.as("_v"), norm(v).as("_n"))
+      .select(col(idCol), transform(col("_v"), x => try_divide(x, col("_n"))).as("_unit"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tableBuckets = (0 until numTables).map { t =>
+      struct(lit(t).as("t"), signLshTableBucket(col("_unit"), dim, numPlanes, t).as("b"))
+    }
+    val banded = unitVecs
+      .select(col(idCol), explode(array(tableBuckets: _*)).as("_tb"))
+      .select(col(idCol), col("_tb.t").as("_t"), col("_tb.b").as("_b"))
+    val sizes = banded.groupBy(col("_t"), col("_b")).agg(count(lit(1)).as("_bn"))
+    val cap = math.min(maxBucketRows,
+      graft.ops.PairBudget.sizeCap(sizes, "_bn", maxPairs))
+    val okBuckets = sizes.filter(col("_bn") <= cap).select(col("_t"), col("_b"))
+    val pruned = banded.join(okBuckets, Seq("_t", "_b"), "left_semi")
+    val candidates = pruned.select(col("_t"), col("_b"), col(idCol).as("id_a"))
+      .join(pruned.select(col("_t"), col("_b"), col(idCol).as("id_b")), Seq("_t", "_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val pairs = candidates
+      .join(unitVecs.select(col(idCol).as("id_a"), col("_unit").as("_va")), "id_a")
+      .join(unitVecs.select(col(idCol).as("id_b"), col("_unit").as("_vb")), "id_b")
+      .withColumn("cosine", dot(col("_va"), col("_vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+    val clusters = graft.ops.PairBudget.representatives(
+      banded, Seq("_t", "_b"), idCol, cap)
+    (graft.ops.BoundedPairs(pairs, clusters, cap), () => { unitVecs.unpersist(); () })
+  }
+
+  /** [[semanticNearDupPairs]] under a global candidate-pair budget:
+    * cells are pair-enumerated smallest-first within `maxPairs` total
+    * candidates; larger cells emit (id, rep_id) representative
+    * clusters (members quantize to the same coarse cell but skipped
+    * the cosine verify — SemDeDup's own "keep one per tight cluster"
+    * degenerate case). Under-budget ⇒ pairs equal
+    * [[semanticNearDupPairs]] with the same `maxCellRows`, clusters
+    * empty. The cleanup hook unpersists the (id, cell) assignment
+    * (call only after both output frames are materialized). */
+  def semanticNearDupPairsBounded(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, centroids: Array[Array[Double]],
+      maxCellRows: Long = 100000L,
+      maxPairs: Long = 10000000L): (graft.ops.BoundedPairs, () => Unit) = {
+    require(centroids.nonEmpty, "need a fitted coarse quantizer")
+    val v = col(vecCol)
+    val unitVecs = embeddings
+      .select(col(idCol), v.as("_v"), norm(v).as("_n"))
+      .select(col(idCol), transform(col("_v"), x => try_divide(x, col("_n"))).as("_unit"))
+    val cells = assignCells(embeddings, vecCol, centroids)
+      .select(col(idCol), col("_cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = cells.groupBy(col("_cell")).agg(count(lit(1)).as("_cn"))
+    val cap = math.min(maxCellRows,
+      graft.ops.PairBudget.sizeCap(sizes, "_cn", maxPairs))
+    val okCells = sizes.filter(col("_cn") <= cap).select(col("_cell"))
+    val pruned = cells.join(okCells, Seq("_cell"), "left_semi")
+    val candidates = pruned.select(col("_cell"), col(idCol).as("id_a"))
+      .join(pruned.select(col("_cell"), col(idCol).as("id_b")), Seq("_cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val pairs = candidates
+      .join(unitVecs.select(col(idCol).as("id_a"), col("_unit").as("_va")), "id_a")
+      .join(unitVecs.select(col(idCol).as("id_b"), col("_unit").as("_vb")), "id_b")
+      .withColumn("cosine", dot(col("_va"), col("_vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+    val clusters = graft.ops.PairBudget.representatives(
+      cells, Seq("_cell"), idCol, cap)
+    (graft.ops.BoundedPairs(pairs, clusters, cap), () => { cells.unpersist(); () })
+  }
 }

@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.{BoundedPairs, PairBudget}
 
 /** Deduplication operators for large-scale text corpora (north-star
   * extension surface, BASELINE.json). All formulations are
@@ -78,6 +79,38 @@ object Dedup {
       numHashes: Int = 32, bands: Int = 8,
       maxBucketRows: Long = 100000L): DataFrame = {
     val banded = bandedTriples(signatures, idCol, numHashes, bands)
+    bandPairJoin(banded, idCol, maxBucketRows)
+  }
+
+  /** [[minHashCandidatePairs]] under a GLOBAL candidate-pair budget
+    * (graft.ops.PairBudget): the per-bucket `maxBucketRows` bounds
+    * skew but not the aggregate Σn² output, which is what blows up on
+    * a dup-saturated corpus (every doc in a 100-copy clique → ~50·N
+    * candidate pairs). Buckets are enumerated smallest-first up to
+    * `maxPairs` total candidates; larger buckets degrade to
+    * representative clusters (min id per bucket — the
+    * [[minHashOversizedBuckets]] playbook applied as output). On an
+    * under-budget corpus this is EXACTLY [[minHashCandidatePairs]]
+    * with empty clusters. */
+  def minHashCandidatePairsBounded(
+      signatures: DataFrame, idCol: String,
+      numHashes: Int = 32, bands: Int = 8,
+      maxBucketRows: Long = 100000L,
+      maxPairs: Long = 10000000L): BoundedPairs = {
+    val banded = bandedTriples(signatures, idCol, numHashes, bands)
+    val cap = math.min(maxBucketRows,
+      PairBudget.sizeCap(bucketCounts(banded), "_bn", maxPairs))
+    BoundedPairs(
+      bandPairJoin(banded, idCol, cap),
+      PairBudget.representatives(banded, Seq("band_idx", "band_hash"), idCol, cap),
+      cap)
+  }
+
+  /** Bucket-capped candidate self-join over (band_idx, band_hash)
+    * membership triples — the shared tail of the capped and budgeted
+    * forms. */
+  private def bandPairJoin(
+      banded: DataFrame, idCol: String, maxBucketRows: Long): DataFrame = {
     // hot-bucket guard: cap group size before the quadratic self-join
     val okBuckets = bucketCounts(banded)
       .filter(col("_bn") <= maxBucketRows)
@@ -182,18 +215,66 @@ object Dedup {
       maxHamming: Int = 3, blocks: Int = 4): DataFrame = {
     require(maxHamming < blocks,
       s"pigeonhole needs maxHamming < blocks ($maxHamming >= $blocks)")
+    simHashPairJoin(
+      simHashBlocked(sims, idCol, simhashCol, blocks),
+      idCol, simhashCol, maxHamming, Long.MaxValue)
+  }
+
+  /** [[simHashNearDupPairs]] under a global candidate-pair budget plus
+    * a per-bucket skew cap (neither exists in the unbounded form —
+    * its block join enumerates every bucket). Same degradation
+    * contract as [[minHashCandidatePairsBounded]]: blocks are
+    * enumerated smallest-first within `maxPairs` total candidates;
+    * over-cap blocks emit (id, rep_id) representative clusters —
+    * candidate-level, i.e. members share a simhash bit-block but
+    * skipped the exact popcount verify. Under-budget ⇒ pairs equal the
+    * unbounded form, clusters empty. */
+  def simHashNearDupPairsBounded(
+      sims: DataFrame, idCol: String, simhashCol: String,
+      maxHamming: Int = 3, blocks: Int = 4,
+      maxBucketRows: Long = 100000L,
+      maxPairs: Long = 10000000L): BoundedPairs = {
+    require(maxHamming < blocks,
+      s"pigeonhole needs maxHamming < blocks ($maxHamming >= $blocks)")
+    val blocked = simHashBlocked(sims, idCol, simhashCol, blocks)
+    val sizes = blocked.groupBy(col("block_idx"), col("block_val"))
+      .agg(count(lit(1)).as("_bn"))
+    val cap = math.min(maxBucketRows, PairBudget.sizeCap(sizes, "_bn", maxPairs))
+    BoundedPairs(
+      simHashPairJoin(blocked, idCol, simhashCol, maxHamming, cap),
+      PairBudget.representatives(blocked, Seq("block_idx", "block_val"), idCol, cap),
+      cap)
+  }
+
+  /** (id, simhash, block_idx, block_val) membership rows — one per
+    * bit-block per doc. */
+  private def simHashBlocked(
+      sims: DataFrame, idCol: String, simhashCol: String, blocks: Int): DataFrame = {
     val blockBits = 60 / blocks // 60-bit simhash (md5Top60 base)
     val mask = (1L << blockBits) - 1
     val blockStructs = (0 until blocks).map(b => struct(
       lit(b).as("block_idx"),
       shiftright(col(simhashCol), b * blockBits).bitwiseAND(lit(mask)).as("block_val")))
-    val blocked = sims
+    sims
       .select(col(idCol), col(simhashCol), explode(array(blockStructs: _*)).as("_blk"))
       .select(col(idCol), col(simhashCol),
         col("_blk.block_idx").as("block_idx"), col("_blk.block_val").as("block_val"))
-    val l = blocked.select(col("block_idx"), col("block_val"),
+  }
+
+  private def simHashPairJoin(
+      blocked: DataFrame, idCol: String, simhashCol: String,
+      maxHamming: Int, maxBucketRows: Long): DataFrame = {
+    val pruned =
+      if (maxBucketRows == Long.MaxValue) blocked
+      else blocked.join(
+        blocked.groupBy(col("block_idx"), col("block_val"))
+          .agg(count(lit(1)).as("_bn"))
+          .filter(col("_bn") <= maxBucketRows)
+          .select(col("block_idx"), col("block_val")),
+        Seq("block_idx", "block_val"), "left_semi")
+    val l = pruned.select(col("block_idx"), col("block_val"),
       col(idCol).as("id_a"), col(simhashCol).as("_ha"))
-    val r = blocked.select(col("block_idx"), col("block_val"),
+    val r = pruned.select(col("block_idx"), col("block_val"),
       col(idCol).as("id_b"), col(simhashCol).as("_hb"))
     l.join(r, Seq("block_idx", "block_val"))
       .filter(col("id_a") < col("id_b"))

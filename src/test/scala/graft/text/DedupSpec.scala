@@ -271,4 +271,76 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(simNew == texts.view.mapValues(simRef).toMap)
   }
+
+  test("PairBudget.sizeCap: largest size class whose cumulative pairs fit the budget") {
+    import graft.ops.PairBudget
+    // 10 buckets of 2 (10 pairs), 2 of 5 (20), 1 of 100 (4950), singletons ignored
+    val sizes = ((1 to 10).map(_ => 2L) ++ Seq(5L, 5L, 100L) ++ (1 to 50).map(_ => 1L))
+      .toDF("_bn")
+    assert(PairBudget.sizeCap(sizes, "_bn", 9L) == 1L) // even size-2s blow it
+    assert(PairBudget.sizeCap(sizes, "_bn", 10L) == 4L) // 2s fit, 5s don't
+    assert(PairBudget.sizeCap(sizes, "_bn", 30L) == 99L) // 2s+5s fit, 100 doesn't
+    assert(PairBudget.sizeCap(sizes, "_bn", 4980L) == Long.MaxValue) // all fit
+  }
+
+  test("minHashCandidatePairsBounded: under budget ≡ unbounded, clusters empty") {
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", numHashes = 32, shingleSize = 3)
+    val b = Dedup.minHashCandidatePairsBounded(sigs, "doc_id", maxPairs = 1000000000L)
+    val bounded = b.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minHashCandidatePairs(sigs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // effective cap = min(default maxBucketRows, budget cap); the
+    // budget itself does not bind on this corpus
+    assert(bounded == full && b.clusters.count() == 0L && b.sizeCap == 100000L)
+  }
+
+  test("minHashCandidatePairsBounded: binding budget degrades cliques to representatives") {
+    // the 200-doc boilerplate clique would contribute 4·C(200,2)=79600
+    // candidates; budget 100 keeps the small buckets (smallest-first)
+    // and routes the clique to linear (id, rep_id) output
+    val cluster = (100L until 300L).map(i => (i, base + " boilerplate footer text"))
+    val skewed = (docs.collect().map(r => (r.getLong(0), r.getString(1))) ++ cluster)
+      .toSeq.toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(skewed, "doc_id", "text", numHashes = 16, shingleSize = 3)
+    val b = Dedup.minHashCandidatePairsBounded(sigs, "doc_id", numHashes = 16,
+      bands = 4, maxPairs = 100L)
+    val pairs = b.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(b.sizeCap < 200L, s"clique buckets must exceed the cap (${b.sizeCap})")
+    assert(!pairs.exists { case (a, c) => a >= 100L && c >= 100L },
+      "clique pairs must not be enumerated under the budget")
+    assert(pairs.contains((1L, 4L)), "small buckets still pair-enumerate")
+    val reps = b.clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((100L until 300L).forall(i => reps.get(i).contains(100L)),
+      s"every clique member maps to the min-id representative: ${reps.view.filterKeys(_ >= 100L).toMap.take(5)}")
+    // linear output: one row per member, not C(200,2) pairs
+    assert(b.clusters.count() == reps.size)
+  }
+
+  test("simHashNearDupPairsBounded: under budget ≡ unbounded; binding budget → representatives") {
+    val cluster = (100L until 160L).map(i => (i, base + " boilerplate footer text"))
+    val skewed = (docs.collect().map(r => (r.getLong(0), r.getString(1))) ++ cluster)
+      .toSeq.toDF("doc_id", "text")
+    val sims = Dedup.simHash(skewed, "doc_id", "text")
+    val full = Dedup.simHashNearDupPairs(sims, "doc_id", "simhash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val under = Dedup.simHashNearDupPairsBounded(sims, "doc_id", "simhash",
+      maxBucketRows = Long.MaxValue, maxPairs = 1000000000L)
+    assert(under.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == full)
+    assert(under.clusters.count() == 0L)
+    // identical docs → identical simhashes → 60-member blocks; a tiny
+    // budget degrades them but keeps blocks within the cap enumerated
+    val bound = Dedup.simHashNearDupPairsBounded(sims, "doc_id", "simhash",
+      maxBucketRows = Long.MaxValue, maxPairs = 20L)
+    val bPairs = bound.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bound.sizeCap < 60L)
+    assert(!bPairs.exists { case (a, c) => a >= 100L && c >= 100L })
+    // docs 1/2/4 share their top-bits block with the clique (base is a
+    // prefix of the clique text, and the shared tokens dominate the
+    // sign-sums), so that degraded bucket's min id — 1 — is the
+    // representative for every member reached through it
+    val reps = bound.clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((100L until 160L).forall(i => reps.get(i).contains(1L)), s"reps: ${reps.take(8)}")
+    assert(reps.get(1L).contains(1L) && reps.get(2L).contains(1L) && reps.get(4L).contains(1L))
+    assert(!reps.contains(3L), "doc 3 shares no degraded bucket")
+  }
 }

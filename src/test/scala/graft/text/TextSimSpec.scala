@@ -402,6 +402,61 @@ class TextSimSpec extends SparkSpec {
     assert((spark.sparkContext.getPersistentRDDs.keySet & added).isEmpty)
   }
 
+  test("cosineNearDupPairsBounded: under budget ≡ unbounded; binding budget → representatives") {
+    // a 25-vector pile (one bucket per table) + one clean near-dup pair
+    val pile = (0L until 25L).map(i => (i, Array.fill(8)(0.7f)))
+    val clean = Seq(
+      (100L, Array.tabulate(8)(i => if (i % 2 == 0) 0.9f else -0.9f)),
+      (101L, Array.tabulate(8)(i => if (i % 2 == 0) 0.9001f else -0.9f)))
+    val vecs = (pile ++ clean).toDF("vec_id", "embedding")
+    val full = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
+      dim = 8, threshold = 0.9, numPlanes = 4, numTables = 2, minPlanes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (under, c1) = Similarity.cosineNearDupPairsBounded(vecs, "vec_id", "embedding",
+      dim = 8, threshold = 0.9, numPlanes = 4, numTables = 2, minPlanes = 2,
+      maxPairs = 1000000000L)
+    assert(under.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == full)
+    assert(under.clusters.count() == 0L && under.sizeCap == 100000L)
+    c1()
+    // budget below the pile's C(25,2)=300 per table: pile degrades to
+    // (id, rep_id), the small clean bucket still pair-enumerates
+    val (bound, c2) = Similarity.cosineNearDupPairsBounded(vecs, "vec_id", "embedding",
+      dim = 8, threshold = 0.9, numPlanes = 4, numTables = 2, minPlanes = 2,
+      maxPairs = 50L)
+    val bPairs = bound.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bound.sizeCap < 25L)
+    assert(!bPairs.exists { case (a, b) => a < 25L && b < 25L }, s"pile enumerated: $bPairs")
+    assert(bPairs.contains((100L, 101L)), s"clean pair lost: $bPairs")
+    val reps = bound.clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 25L).forall(i => reps.get(i).contains(0L)), s"reps: $reps")
+    c2()
+  }
+
+  test("semanticNearDupPairsBounded: under budget ≡ unbounded; binding budget → representatives") {
+    val pile = (0 until 30).map(i => (i.toLong, Array.fill(8)(0.5f)))
+    val clean = Seq((100L, Array.tabulate(8)(d => math.cos(d * 1.1).toFloat)),
+      (101L, Array.tabulate(8)(d => (math.cos(d * 1.1) + 0.001).toFloat)))
+    val vecs = (pile ++ clean).toDF("vec_id", "embedding")
+    val (_, cents) = Similarity.ivfIndex(vecs, "vec_id", "embedding", nCells = 2)
+    val full = Similarity.semanticNearDupPairs(vecs, "vec_id", "embedding",
+        threshold = 0.9, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (under, c1) = Similarity.semanticNearDupPairsBounded(vecs, "vec_id", "embedding",
+      threshold = 0.9, cents, maxPairs = 1000000000L)
+    assert(under.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == full)
+    assert(under.clusters.count() == 0L && under.sizeCap == 100000L)
+    c1()
+    // budget 10 < C(30,2)=435: the pile cell degrades, the 2-cell pair survives
+    val (bound, c2) = Similarity.semanticNearDupPairsBounded(vecs, "vec_id", "embedding",
+      threshold = 0.9, cents, maxPairs = 10L)
+    val bPairs = bound.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!bPairs.exists(p => p._1 < 30L && p._2 < 30L), s"pile enumerated: $bPairs")
+    assert(bPairs.contains((100L, 101L)), s"clean pair lost: $bPairs")
+    val reps = bound.clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 30L).forall(i => reps.get(i).contains(0L)), s"reps: $reps")
+    c2()
+  }
+
   test("cosineNearDupPairs hot-bucket cap drops oversized groups") {
     // 30 identical vectors pile into one bucket per table; with the cap
     // below the pile size no pair from that bucket survives
