@@ -67,12 +67,16 @@ object Bench {
     // Any query landing far above both the registry's median and the
     // scheduling floor is re-executed once. A query whose re-run
     // halved was contended; those get a THIRD trial and report the
-    // median of the three (a point estimate, not best-of-2 — a lucky
-    // fast outlier can't understate the plan any more than a contended
-    // first run can overstate it), flagged `contended` so the
-    // committed artifact is self-describing. Uncontended reruns keep
-    // the min of two. An empty selection (typo'd name filter in a
-    // local run) emits an empty-queries JSON instead of throwing.
+    // MIN of the two post-contention trials — under this host's noise
+    // model contention is strictly additive (an inflated sample can
+    // only overstate the plan, never understate it), so once the
+    // first sample is known-contended the smaller of the remaining
+    // two is the best plan-cost estimate; a median over the three
+    // would keep one inflated sample's influence whenever contention
+    // persists into a retry. The `contended` flag keeps the committed
+    // artifact self-describing. Uncontended reruns keep the min of
+    // two. An empty selection (typo'd name filter in a local run)
+    // emits an empty-queries JSON instead of throwing.
     val medianT =
       if (firstPass.isEmpty) 0.0
       else firstPass.map(_._2).sorted.apply(firstPass.size / 2)
@@ -86,7 +90,7 @@ object Bench {
     val thirdRuns = contended.map(n => n -> timed(n, selected(n))).toMap
     val results = firstPass.map { case (n, t) =>
       val estimate = thirdRuns.get(n) match {
-        case Some(t3) => Seq(t, reruns(n), t3).sorted.apply(1)
+        case Some(t3) => math.min(reruns(n), t3) // first sample known-contended
         case None     => math.min(t, reruns.getOrElse(n, t))
       }
       n -> estimate

@@ -112,28 +112,42 @@ object MaxQuant {
     * size estimate exceeds `maxBytes` (default 4 GiB) and points at
     * [[writePerseus]] instead; raise the cap explicitly for a
     * deliberate large single-file export. Without CBO stats the plan
-    * estimate MULTIPLIES child sizes through joins, so a
-    * notebook-scale frame containing a join can estimate absurdly
-    * high; rather than spuriously refuse, an over-estimate triggers a
-    * second, exact bound — `count()` × the schema's default row width
-    * — and only a table that fails BOTH is refused. The guard is a
-    * tripwire against the 100 TB notebook port, not an exact quota. */
+    * estimate over-counts badly (joins MULTIPLY child sizes, filters
+    * pass child sizes through unreduced), so a notebook-scale frame
+    * can estimate absurdly high; rather than spuriously refuse, an
+    * over-estimate triggers a second, MEASURED bound — one aggregate
+    * job summing the actual TSV byte width of every cell (string
+    * octet_length + separators; exact up to numeric-formatting slack,
+    * unlike a row count × fixed per-type widths, which undercounts
+    * long text by orders of magnitude) — and only a table that fails
+    * BOTH is refused. The measurement is a full scan of the about-to-
+    * be-exported frame; it only runs on the over-estimate path, where
+    * the alternative is either refusing a legitimate notebook export
+    * or coalesce(1)-ing a warehouse table. The guard is a tripwire
+    * against the 100 TB notebook port, not an exact quota. */
   def writePerseusFile(
       df: DataFrame,
       path: String,
       maxBytes: Long = 4L << 30): Unit = {
     val estimated = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    lazy val countedBytes =
-      BigInt(df.count()) * math.max(1, df.schema.defaultSize)
+    lazy val measuredBytes: BigInt = {
+      import org.apache.spark.sql.functions.{coalesce, col, lit, octet_length, sum}
+      val cellBytes = df.columns.toSeq.map(c =>
+        coalesce(octet_length(col(c).cast("string")), lit(0)).cast("decimal(38,0)"))
+      // + ncols per row: (ncols-1) tab separators and the newline
+      val rowBytes = cellBytes.reduce(_ + _) + lit(df.columns.length)
+      Option(df.agg(sum(rowBytes)).head().getDecimal(0))
+        .map(d => BigInt(d.toBigInteger)).getOrElse(BigInt(0))
+    }
     require(
-      estimated <= BigInt(maxBytes) || countedBytes <= BigInt(maxBytes),
+      estimated <= BigInt(maxBytes) || measuredBytes <= BigInt(maxBytes),
       s"writePerseusFile coalesces to ONE file; plan size estimate " +
-        s"$estimated B and row-count bound $countedBytes B both exceed " +
-        s"maxBytes=$maxBytes (the plan estimate alone over-counts " +
-        s"through joins without CBO — the count bound is decisive). " +
-        s"Use writePerseus (partitioned, header sidecar) for large " +
-        s"tables, or pass an explicit higher maxBytes for a " +
-        s"deliberate single-file export.")
+        s"$estimated B and measured TSV size $measuredBytes B both " +
+        s"exceed maxBytes=$maxBytes (the plan estimate alone " +
+        s"over-counts through joins/filters without CBO — the " +
+        s"measured byte sum is decisive). Use writePerseus " +
+        s"(partitioned, header sidecar) for large tables, or pass an " +
+        s"explicit higher maxBytes for a deliberate single-file export.")
     val tmp = path + "._perseus_tmp"
     df.coalesce(1).write.mode("overwrite")
       .option("sep", "\t").option("header", "false").csv(tmp)

@@ -92,6 +92,41 @@ object AnnIndex {
       .head().getDouble(0)
   }
 
+  /** The REBUILD step of the append → staleness → rebuild maintenance
+    * loop: re-fit `nCells` coarse centroids on the index's CURRENT
+    * contents (sample-fit, one job — [[Similarity.fitCoarseCells]]),
+    * re-assign every vector, and write a fresh cell-partitioned index
+    * to `newPath`. Returns the re-fit centroids — the new probe-side
+    * constants; serve traffic swaps (path, centroids) together.
+    *
+    * `newPath` must be a NEW versioned directory, never the live
+    * path: the fit/assign scans stream from the old index while the
+    * new one writes, and serving keeps reading the old version until
+    * the swap — the standard versioned-index-dir pattern (an
+    * in-place overwrite would race both).
+    *
+    * Rebuild-threshold guidance: [[ivfStaleness]] measures the
+    * fraction of indexed vectors whose cell assignment one Lloyd step
+    * would change. At 0 the stored partitioning is still the data's
+    * fixpoint. Probe recall degrades roughly in proportion (a drifted
+    * vector sits in a cell the query's nProbe nearest-centroid probe
+    * may no longer select), so set the threshold at the recall slack
+    * the application tolerates — a few percent in practice (e.g.
+    * rebuild at 0.05); batch-append pipelines typically check after
+    * each append (two scans, coarse-quantizer cheap — see
+    * [[ivfStaleness]]). AnnIndexSpec's maintenance-loop test drives
+    * exactly this policy end-to-end. */
+  def rebuildIvfIndexed(
+      spark: SparkSession, path: String, newPath: String,
+      idCol: String, vecCol: String = "embedding", nCells: Int = 16,
+      cellCol: String = "_cell", seed: Long = 42L): Array[Array[Double]] = {
+    val current = readIvfIndexed(spark, path).select(col(idCol), col(vecCol))
+    val cents = Similarity.fitCoarseCells(current, vecCol, nCells, seed)
+    writeIvfIndexed(
+      Similarity.assignCells(current, vecCol, cents, cellCol), newPath, cellCol)
+    cents
+  }
+
   /** IVF top-k over the cell-partitioned table: same probe + scoring
     * expressions as [[Similarity.ivfTopK]] (bitwise-identical results),
     * but `_cell IN probes` is now a filter on a PARTITION column — the

@@ -86,6 +86,26 @@ class IoStreamingSpec extends SparkSpec {
     assert(Files.readAllLines(java.nio.file.Paths.get(tmp, "small.txt")).size() == 5)
   }
 
+  test("size guard measures actual text bytes — long-string frames can't ride a small row count past it") {
+    // join → plan estimate multiplies → over-estimate path → measured
+    // bound decides. 100 rows × 1KB strings ≈ 100 KB of TSV: a
+    // rows × fixed-type-width bound (20 B per string) would have
+    // waved this through at 10 KiB; the measured byte sum refuses.
+    val tmp = Files.createTempDirectory("persguard2").toString
+    val left = spark.range(100).selectExpr("id", "repeat('x', 1000) AS txt")
+    val dim = spark.range(100).selectExpr("id", "CAST(id % 3 AS DOUBLE) AS g")
+    val joined = left.join(dim, "id")
+    val e = intercept[IllegalArgumentException] {
+      MaxQuant.writePerseusFile(joined, s"$tmp/sneak.txt", maxBytes = 10240L)
+    }
+    assert(e.getMessage.contains("measured"))
+    assert(!Files.exists(java.nio.file.Paths.get(tmp, "sneak.txt")))
+    // a genuinely small frame through the same over-estimating plan
+    // shape passes via the measured path
+    MaxQuant.writePerseusFile(joined.limit(3), s"$tmp/ok.txt", maxBytes = 10240L)
+    assert(Files.readAllLines(java.nio.file.Paths.get(tmp, "ok.txt")).size() == 5)
+  }
+
   test("phosphopathFrame string surgery matches reference format") {
     val df = Seq(
       ("Q13619;P999", "S", "10;22", "___1"),

@@ -166,6 +166,55 @@ class AnnIndexSpec extends SparkSpec {
     assert(stale >= fresh - 1e-9, s"staleness fell after drift: $fresh -> $stale")
   }
 
+  test("maintenance loop end-to-end: append drifted batches → staleness crosses threshold → rebuild re-fits and serves like a from-scratch build") {
+    // the whole policy in one story: appends accumulate on stored
+    // centroids, ivfStaleness is polled after each batch, and once it
+    // crosses the operator threshold the index is rebuilt with
+    // re-fitted centroids into a fresh versioned dir
+    val threshold = 0.05
+    val base = vecs(300, 8)
+    val root = java.nio.file.Files.createTempDirectory("annloop").toString
+    val v1 = s"$root/v1"
+    val (assigned, cents0) = Similarity.ivfIndex(base, "vec_id", "embedding", nCells = 4)
+    AnnIndex.writeIvfIndexed(assigned, v1)
+    // drifted ingest: each batch is a cluster far from the base corpus
+    def batch(b: Int) = (1000 + b * 100 until 1100 + b * 100).map { i =>
+      (i.toLong, Array.tabulate(8)(j => (30.0 * (b + 1) + i % 3 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    var staleness = AnnIndex.ivfStaleness(spark, v1, cents0)
+    var appended = 0
+    while (staleness <= threshold && appended < 5) {
+      AnnIndex.appendIvfIndexed(batch(appended), cents0, v1)
+      appended += 1
+      staleness = AnnIndex.ivfStaleness(spark, v1, cents0)
+    }
+    assert(staleness > threshold,
+      s"drifted appends must eventually trip the rebuild threshold (staleness=$staleness after $appended batches)")
+    // rebuild: re-fit on current contents into a fresh versioned dir
+    val v2 = s"$root/v2"
+    val cents1 = AnnIndex.rebuildIvfIndexed(spark, v1, v2, "vec_id", "embedding", nCells = 4)
+    // the rebuilt index serves exactly like a from-scratch build over
+    // the same corpus (same deterministic sample-fit → same centroids,
+    // same assignment, same probes)
+    val corpus = base.unionByName((0 until appended).map(batch).reduce(_ unionByName _))
+    val scratch = s"$root/scratch"
+    val centsScratch = Similarity.fitCoarseCells(corpus, "embedding", nCells = 4)
+    AnnIndex.writeIvfIndexed(
+      Similarity.assignCells(corpus, "embedding", centsScratch), scratch)
+    assert(cents1.map(_.toSeq).toSeq == centsScratch.map(_.toSeq).toSeq,
+      "re-fit on index contents must equal the from-scratch fit (deterministic sample)")
+    val q = Array.tabulate(8)(j => 30.0 + j) // lands near the drifted mass
+    val servedRebuilt = AnnIndex.ivfTopKServe(spark, v2, cents1,
+      "vec_id", "embedding", q, k = 12, nProbe = 2).collect().toSeq
+    val servedScratch = AnnIndex.ivfTopKServe(spark, scratch, centsScratch,
+      "vec_id", "embedding", q, k = 12, nProbe = 2).collect().toSeq
+    assert(servedRebuilt == servedScratch && servedRebuilt.nonEmpty)
+    // and the rebuild actually paid off: the fresh fixpoint is tighter
+    val after = AnnIndex.ivfStaleness(spark, v2, cents1)
+    assert(after < staleness,
+      s"rebuild must reduce staleness ($staleness -> $after)")
+  }
+
   test("serve-path probes work through URI-schemed paths (file:/)") {
     // readPartitions must resolve existence via Hadoop FileSystem, not
     // java.io.File — a local-only probe sees every `file:/...` dir as
