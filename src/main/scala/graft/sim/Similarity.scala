@@ -415,9 +415,15 @@ object Similarity {
     val tableBuckets = (0 until numTables).map { t =>
       struct(lit(t).as("t"), signLshTableBucket(col("_unit"), dim, numPlanes, t).as("b"))
     }
+    // persist the narrow (table, bucket, id) triples: the budget
+    // histogram is a separate job before the pair plan, and the
+    // triples feed three passes (histogram, pair join,
+    // representatives) — without the cache each re-pays numPlanes
+    // dot products per row per table
     val banded = unitVecs
       .select(col(idCol), explode(array(tableBuckets: _*)).as("_tb"))
       .select(col(idCol), col("_tb.t").as("_t"), col("_tb.b").as("_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = banded.groupBy(col("_t"), col("_b")).agg(count(lit(1)).as("_bn"))
     val cap = math.min(maxBucketRows,
       graft.ops.PairBudget.sizeCap(sizes, "_bn", maxPairs))
@@ -436,7 +442,8 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
     val clusters = graft.ops.PairBudget.representatives(
       banded, Seq("_t", "_b"), idCol, cap)
-    (graft.ops.BoundedPairs(pairs, clusters, cap), () => { unitVecs.unpersist(); () })
+    (graft.ops.BoundedPairs(pairs, clusters, cap),
+      () => { banded.unpersist(); unitVecs.unpersist(); () })
   }
 
   /** [[semanticNearDupPairs]] under a global candidate-pair budget:

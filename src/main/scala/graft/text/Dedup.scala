@@ -97,7 +97,15 @@ object Dedup {
       numHashes: Int = 32, bands: Int = 8,
       maxBucketRows: Long = 100000L,
       maxPairs: Long = 10000000L): BoundedPairs = {
+    // persist the narrow (band, hash, id) triples: the budget decision
+    // is a SEPARATE driver job (histogram collect) before the pair
+    // plan, so without the cache the signature computation would run
+    // once for the histogram and again for the join + representatives
+    // (AQE reuses exchanges within one plan, not across jobs). ~24 B/
+    // (doc·band), MEMORY_AND_DISK, session-lifetime LRU — the same
+    // policy as the curate pipeline's signature cache.
     val banded = bandedTriples(signatures, idCol, numHashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cap = math.min(maxBucketRows,
       PairBudget.sizeCap(bucketCounts(banded), "_bn", maxPairs))
     BoundedPairs(
@@ -236,7 +244,11 @@ object Dedup {
       maxPairs: Long = 10000000L): BoundedPairs = {
     require(maxHamming < blocks,
       s"pigeonhole needs maxHamming < blocks ($maxHamming >= $blocks)")
+    // persist: see minHashCandidatePairsBounded — the histogram job
+    // precedes the pair plan, and the cached triples also serve the
+    // representatives pass
     val blocked = simHashBlocked(sims, idCol, simhashCol, blocks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = blocked.groupBy(col("block_idx"), col("block_val"))
       .agg(count(lit(1)).as("_bn"))
     val cap = math.min(maxBucketRows, PairBudget.sizeCap(sizes, "_bn", maxPairs))
