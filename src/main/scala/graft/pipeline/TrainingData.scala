@@ -31,6 +31,13 @@ object TrainingData {
       // cluster is still deduped (keep min id per bucket), it just never
       // costs n² pairs
       maxBucketRows: Long = 100000L,
+      // GLOBAL candidate-pair budget (ops.PairBudget): even with every
+      // bucket under maxBucketRows, a dup-saturated corpus can emit
+      // quadratically many candidates in aggregate; buckets above the
+      // budget-derived size cap take the same representative-cluster
+      // fallback as the hot-bucket cap, so the removal set stays
+      // complete while pair enumeration stays bounded
+      maxPairs: Long = 10000000L,
       // The annotated frame feeds the dedup semi-join (which reads it
       // twice), the signature build, the final anti-join, AND the
       // reasons breakdown — ~5 evaluations of the regex-heavy
@@ -101,24 +108,21 @@ object TrainingData {
       if (cfg.persistStages)
         sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else sigs0
-    val pairDups = Dedup.minHashJaccard(
-        Dedup.minHashCandidatePairs(sigs, idCol, cfg.minHashes, cfg.bands,
-          cfg.maxBucketRows),
-        sigs, idCol, cfg.minHashes)
+    val bounded = Dedup.minHashCandidatePairsBounded(sigs, idCol,
+      cfg.minHashes, cfg.bands, cfg.maxBucketRows, cfg.maxPairs)
+    val pairDups = Dedup.minHashJaccard(bounded.pairs, sigs, idCol, cfg.minHashes)
       .filter(col("est_jaccard") >= cfg.nearDupJaccard)
       .select(col("id_b").as(idCol))
-    // oversized-bucket fallback: members beyond the cap share a whole
-    // band of minhashes — dedup them as one cluster (keep min id per
-    // bucket) instead of enumerating n² pairs. The guard no longer
-    // silently KEEPS mega duplicate clusters; it just changes how they
-    // are collapsed.
-    val members = Dedup.oversizedBucketMembers(sigs, idCol,
-      cfg.minHashes, cfg.bands, cfg.maxBucketRows)
-    val bucketDups = members.join(
-        members.groupBy(col("band_idx"), col("band_hash"))
-          .agg(min(col(idCol)).as("_keep")),
-        Seq("band_idx", "band_hash"))
-      .filter(col(idCol) =!= col("_keep"))
+    // degraded-bucket fallback: members beyond the effective cap
+    // (skew cap OR pair budget) share a whole band of minhashes —
+    // dedup them as one representative cluster (drop everything but
+    // the min id) instead of enumerating n² pairs. Same drop set as
+    // the per-bucket min-keep formulation: an id survives iff it is
+    // the min of EVERY degraded bucket it belongs to. The guards
+    // never silently KEEP mega duplicate clusters; they change how
+    // the clusters are collapsed.
+    val bucketDups = bounded.clusters
+      .filter(col(idCol) =!= col("rep_id"))
       .select(col(idCol))
     val nearDups = pairDups.unionByName(bucketDups).distinct()
     val kept = exactDeduped.join(nearDups, Seq(idCol), "left_anti")

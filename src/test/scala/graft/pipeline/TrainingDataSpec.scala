@@ -94,8 +94,11 @@ class TrainingDataSpec extends SparkSpec {
     // (keep ~min id per band bucket), not silently keep all 200
     val base = ("the quick brown fox jumps over the lazy dog and then " * 6).trim
     val cluster = (1000L until 1200L).map(i => (i, s"$base tail$i"))
+    // genuinely distinct: every 3-word shingle carries an i-unique
+    // token (alternating stopword/unique layout keeps langId=en), so
+    // no two of these docs can share a band bucket or a jaccard pair
     val distinct = (1L to 20L).map(i =>
-      (i, s"completely different document number $i about unrelated engine topics here"))
+      (i, s"the w${i}a and w${i}b is w${i}c of w${i}d with w${i}e for w${i}f"))
     val docs = (cluster ++ distinct).toDF("doc_id", "text")
     val cfg = TrainingData.CurationConfig(
       minQuality = 0.0, langs = Set("en"), minTokens = 1, maxBucketRows = 50L)
@@ -110,6 +113,17 @@ class TrainingDataSpec extends SparkSpec {
         cfg.copy(maxBucketRows = 100000L)).kept
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(uncapped.count(_ >= 1000L) <= 10)
+    // and when the GLOBAL pair budget binds instead of the per-bucket
+    // cap (bucket cap wide open, budget below the cluster's C(200,2)
+    // contribution), the representative fallback collapses it the same
+    // way — the removal set stays complete under either guard
+    val budgeted = TrainingData.curateFull(docs, "doc_id", "text",
+        cfg.copy(maxBucketRows = 100000L, maxPairs = 100L)).kept
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(budgeted.contains(1000L), "the cluster's min id must survive the budget path")
+    assert(budgeted.count(_ >= 1000L) <= 10,
+      s"budget fallback must collapse the cluster, kept ${budgeted.count(_ >= 1000L)}")
+    assert((1L to 20L).forall(budgeted.contains), "distinct docs unaffected by the budget")
   }
 
   test("cumulativeSum equals a sequential running sum, independent of partitioning") {
