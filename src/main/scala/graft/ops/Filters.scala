@@ -115,6 +115,48 @@ object Filters {
   def filterRatio(df: DataFrame, label: String = "", withMultiplicity: Boolean = false): DataFrame =
     filterPrefixedByLabel(df, "Ratio", label, withMultiplicity)
 
+  /** REF-EXACT `filter_intensity` family (ref filters.py:177-211),
+    * regex-for-regex, quirks included — used by the notebook-faithful
+    * replication path (graft.NotebookParity / tools/notebook_parity.py):
+    *
+    *   - metadata = columns NOT STARTING with the prefix (the ref's
+    *     negative lookahead `^(?!prefix).*$`). Real MaxQuant writes
+    *     `LFQ intensity ...` (lowercase i) while the ref template says
+    *     `LFQ Intensity`, so on real data `filter_intensity_lfq` is a
+    *     case-mismatch NO-OP — File S-1's Data Processing notebook
+    *     relies on exactly that;
+    *   - the intensity/LFQ match templates bake a trailing `.*__\d`
+    *     multiplicity requirement in, and `withMultiplicity=true` adds
+    *     ANOTHER `.*__\d` via the label (filters.py:182,194) — the
+    *     doubled requirement matches zero real columns;
+    *   - the ratio template (filters.py:209) has no `__\d` tail;
+    *   - `label` splices into the pattern unquoted, as a regex.
+    *
+    * Matched expression columns land AFTER the metadata block (the
+    * ref's concat order). A column landing in both halves would be
+    * DUPLICATED by `pd.concat`; Spark frames can't carry duplicate
+    * names, so it is kept once (documented divergence — no MaxQuant
+    * column embeds its own prefix mid-name). The intent-based
+    * [[filterIntensity]]/[[filterIntensityLfq]]/[[filterRatio]] above
+    * remain the default API. */
+  def refExactPrefixFilter(df: DataFrame, prefix: String, label: String = "",
+      withMultiplicity: Boolean = false, requireMultSuffix: Boolean = true): DataFrame = {
+    val labelEff = label + (if (withMultiplicity) ".*__\\d" else "")
+    val tail = if (requireMultSuffix) ".*__\\d" else ""
+    val matchR =
+      ("^(.*" + java.util.regex.Pattern.quote(prefix) + ".*" + labelEff + tail + ")$").r
+    val meta = df.columns.filterNot(_.startsWith(prefix))
+    val matched = df.columns.filter(c => matchR.findFirstIn(c).isDefined)
+    df.select((meta ++ matched.filterNot(meta.contains)).map(col).toIndexedSeq: _*)
+  }
+
+  def filterIntensityExact(df: DataFrame, label: String = "", withMultiplicity: Boolean = false): DataFrame =
+    refExactPrefixFilter(df, "Intensity", label, withMultiplicity, requireMultSuffix = true)
+  def filterIntensityLfqExact(df: DataFrame, label: String = "", withMultiplicity: Boolean = false): DataFrame =
+    refExactPrefixFilter(df, "LFQ Intensity", label, withMultiplicity, requireMultSuffix = true)
+  def filterRatioExact(df: DataFrame, label: String = "", withMultiplicity: Boolean = false): DataFrame =
+    refExactPrefixFilter(df, "Ratio", label, withMultiplicity, requireMultSuffix = false)
+
   /** `strip_index_labels` (ref process.py:178-195): remove a substring
     * from every column label. */
   def stripColumnLabels(df: DataFrame, strip: String): DataFrame =

@@ -33,7 +33,14 @@ object Reshape {
   def expandSideTable(df: DataFrame, suffixes: Seq[String] = Seq("___1", "___2", "___3"),
       idCol: String = "id"): DataFrame = {
     val suffixed = df.columns.filter(c => suffixes.exists(c.endsWith))
+    // a plain column whose name equals a suffix-stripped expression
+    // column (e.g. `Intensity X` next to `Intensity X___1`) would
+    // collide with the ripped column — the reference drops it from the
+    // replicated side (process.py:252-254); mirrored here
+    val stripped = suffixed.map(c =>
+      suffixes.find(c.endsWith).map(c.stripSuffix).getOrElse(c)).toSet
     val base = df.columns.filterNot(suffixed.contains)
+      .filterNot(c => c != idCol && stripped.contains(c))
     // every requested multiplicity gets a branch, like the reference
     // (process.py:247-268 always emits ___1/___2/___3): a suffix with
     // no matching columns contributes all-null expression cells

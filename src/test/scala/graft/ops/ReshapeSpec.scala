@@ -21,6 +21,19 @@ class ReshapeSpec extends SparkSpec {
     assert(out.filter(col("id") === "1___3").head().isNullAt(out.columns.indexOf("Intensity A")))
   }
 
+  test("expandSideTable drops plain columns colliding with ripped multiplicity columns") {
+    // ref process.py:252-254: a plain `Intensity A` next to
+    // `Intensity A___1` would collide with the ripped column — dropped
+    // from the replicated side; unrelated plain columns survive
+    val df = Seq((1, 5.0, 10.0, 99.0))
+      .toDF("id", "Intensity A", "Intensity A___1", "Intensity")
+    val out = Reshape.expandSideTable(df)
+    assert(out.columns.toSet == Set("id", "Intensity", "Intensity A", "Multiplicity"))
+    val m1 = out.filter(col("Multiplicity") === 1).head()
+    assert(m1.getAs[Double]("Intensity A") == 10.0) // ripped value, not the plain 5.0
+    assert(m1.getAs[Double]("Intensity") == 99.0)   // bare summary col replicated
+  }
+
   test("transformExpressionColumns applies log2 with inf->null") {
     val df = Seq((1, 8.0), (2, 0.0), (3, -4.0)).toDF("id", "v")
     val out = Reshape.transformExpressionColumns(df, Seq("v")).collect()

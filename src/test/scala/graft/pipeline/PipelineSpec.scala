@@ -123,6 +123,28 @@ class PipelineSpec extends SparkSpec {
     assert(stripped.columns.contains("A1___1"))
   }
 
+  test("ref-exact filter_intensity family reproduces the reference's regex quirks") {
+    val df = Seq((1, 1.0, 2.0, 3.0, 4.0, 5.0))
+      .toDF("id", "Intensity A1___1", "LFQ intensity A1", "LFQ Intensity B1___1",
+        "Ratio H/L X", "Intensity A1")
+    // lowercase `LFQ intensity` never matches the capital-I template:
+    // kept as metadata (the File S-1 notebook's no-op); capital-I LFQ
+    // with __d matches and is appended after the metadata block
+    val lfq = Filters.filterIntensityLfqExact(df)
+    assert(lfq.columns.toSet == df.columns.toSet)
+    assert(lfq.columns.last == "LFQ Intensity B1___1") // ref concat order
+    // intensity template requires the __\d tail: plain `Intensity A1` drops
+    val i = Filters.filterIntensityExact(df, "A1")
+    assert(i.columns.contains("Intensity A1___1") && !i.columns.contains("Intensity A1"))
+    // withMultiplicity DOUBLES the __\d requirement (filters.py:182) —
+    // matches zero real columns
+    val im = Filters.filterIntensityExact(df, "A1", withMultiplicity = true)
+    assert(!im.columns.exists(_.startsWith("Intensity")))
+    // ratio template has no __\d tail
+    val r = Filters.filterRatioExact(df)
+    assert(r.columns.contains("Ratio H/L X"))
+  }
+
   test("hierarchicalTimecourse: rising/falling sites split into clusters with mean curves") {
     // S-1 finale contract (ref visualize.py:1872+): 4 rising + 4
     // falling sites over 3 timepoints, two observations each (the
