@@ -40,8 +40,34 @@ object MaxQuant {
     * annotation rows are recognized by their `#!` first-cell marker,
     * never by position, so 2-row and 4-row header blocks both parse.
     * The bulk scan is a distributed CSV read with an explicit schema
-    * and the header rows filtered out. */
+    * and the header rows filtered out.
+    *
+    * Accepts BOTH Perseus forms: the reference's single file (label +
+    * `#!` rows + data), and [[writePerseus]]'s warehouse-scale layout —
+    * a directory of headerless part CSVs with the 2-line header block
+    * in a `_perseus_header.tsv` sidecar. For the directory form the
+    * header comes from the sidecar and the data plane is a plain
+    * distributed scan over the parts (Spark's file listing skips
+    * `_`-prefixed files, so the sidecar never pollutes the scan) — no
+    * driver-side funnel at any size, closing the round-trip without
+    * the single-file path. */
   def readPerseus(spark: SparkSession, path: String): DataFrame = {
+    val asDir = new java.io.File(path)
+    val sidecar = new java.io.File(asDir, "_perseus_header.tsv")
+    if (asDir.isDirectory && sidecar.exists()) {
+      val headerLines = java.nio.file.Files.readAllLines(sidecar.toPath)
+      val labels = headerLines.get(0).split("\t", -1)
+      val typeRow = (1 until headerLines.size).map(headerLines.get)
+        .find(_.contains("#!{Type}"))
+        .map(_.split("\t", -1).map(_.replace("#!{Type}", "")))
+        .getOrElse(Array.fill(labels.length)("E"))
+      val raw = spark.read
+        .option("sep", "\t")
+        .option("header", "false")
+        .schema(StructType(labels.map(StructField(_, StringType))))
+        .csv(path)
+      return applyPerseusTypes(raw, labels, typeRow)
+    }
     val src = scala.io.Source.fromFile(path)
     val headerLines = try {
       val it = src.getLines()
@@ -67,12 +93,18 @@ object MaxQuant {
       .schema(StructType(labels.map(StructField(_, StringType))))
       .csv(path)
       .filter(first =!= labels.head && !first.startsWith("#!"))
+    applyPerseusTypes(raw, labels, typeRow)
+  }
+
+  /** Cast the all-string scan to Perseus types: N/E → double via
+    * try_cast (malformed numerics coerce to null — pandas semantics —
+    * instead of throwing under Spark 4's default ANSI mode); C/T stay
+    * string. */
+  private def applyPerseusTypes(
+      raw: DataFrame, labels: Array[String], typeRow: Array[String]): DataFrame =
     raw.select(labels.zip(typeRow).map { case (name, t) =>
-      // try_cast: malformed numerics coerce to null (pandas semantics)
-      // instead of throwing under Spark 4's default ANSI mode
       if (t == "N" || t == "E") col(name).try_cast("double").as(name) else col(name)
     }.toIndexedSeq: _*)
-  }
 
   private def perseusTypeRow(columns: Seq[String]): Seq[String] =
     columns.zipWithIndex.map { case (c, i) =>

@@ -48,6 +48,29 @@ class IoStreamingSpec extends SparkSpec {
     assert(header.contains("#!{Type}T\tN\tE"))
   }
 
+  test("writePerseus round-trip at the distributed path: parts + sidecar re-ingest with types") {
+    val tmp = Files.createTempDirectory("perspart").toString + "/out"
+    val df = Seq(
+      ("P1", 0.9, 1.5, "+"),
+      ("P2", 0.4, 2.5, null.asInstanceOf[String]),
+      ("P3", 0.7, 3.5, null.asInstanceOf[String])
+    ).toDF("Proteins", "Localization prob", "Intensity A", "Reverse")
+      .repartition(3) // multiple part files — the warehouse-scale form
+    MaxQuant.writePerseus(df, tmp)
+    val parts = new java.io.File(tmp).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+    assert(parts > 1, s"expected a multi-part write, got $parts part file(s)")
+    val back = MaxQuant.readPerseus(spark, tmp)
+    assert(back.columns.toSeq == df.columns.toSeq)
+    assert(back.schema("Localization prob").dataType.typeName == "double")
+    assert(back.schema("Intensity A").dataType.typeName == "double")
+    assert(back.schema("Proteins").dataType.typeName == "string")
+    val rows = back.collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getDouble(2), Option(r.getString(3)))).sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      ("P1", 0.9, 1.5, Some("+")), ("P2", 0.4, 2.5, None), ("P3", 0.7, 3.5, None)))
+  }
+
   test("writePerseusFile round-trip: one file, injected type row, types survive readPerseus") {
     val tmp = Files.createTempDirectory("persrt").toString
     val path = s"$tmp/perseus.txt"
