@@ -60,6 +60,48 @@ object PairBudget {
   private def pairsOf(n: Column): Column =
     (n.cast("decimal(38,0)") * (n - 1).cast("decimal(38,0)")) / 2
 
+  /** Above this cap the cap-prune uses the ANTI-broadcast form: the
+    * over-cap bucket set is bounded by triples/cap, so a cap of 4096
+    * keeps the broadcast ≤ ~30 MB even at 10¹⁰ membership triples. */
+  val AntiBroadcastMinCap = 4096L
+
+  /** Cap-prune a bucket-membership frame before its quadratic
+    * self-join, choosing the prune shape for the regime:
+    *
+    *   - LARGE cap (≥ [[AntiBroadcastMinCap]], the skew-relevant
+    *     regime — a surviving bucket can hold up to cap members and
+    *     run cap² comparisons): LEFT ANTI against the OVER-cap bucket
+    *     set, broadcast (tiny: ≤ triples/cap rows by construction).
+    *     Besides dropping a full-corpus sort-merge, this leaves the
+    *     membership stream's partitioning unconstrained so the
+    *     downstream self-join plans its own ENSURE_REQUIREMENTS
+    *     exchanges — the one join shape AQE's OptimizeSkewedJoin can
+    *     split when a near-cap bucket concentrates its n² work in one
+    *     task (SkewSpec / `PlanAudit --skew-check`; the semi form
+    *     fuses the join onto the prune's exchange and is invisible to
+    *     the skew rule — measured, not assumed).
+    *   - SMALL cap (budget-collapsed regimes): LEFT SEMI against the
+    *     under-cap set. Here per-bucket work is ≤ cap² ≈ nothing, skew
+    *     is moot, and the over-cap set can be huge (cap=1 makes it
+    *     every non-singleton bucket) — broadcasting it would be the
+    *     real risk.
+    *   - `Long.MaxValue` cap: no prune at all.
+    *
+    * Result-identical in all three shapes (ok = ≤cap and bad = >cap
+    * partition the bucket space). */
+  def capPrune(
+      members: DataFrame, sizes: DataFrame, nCol: String,
+      keys: Seq[String], cap: Long): DataFrame =
+    if (cap == Long.MaxValue) members
+    else if (cap >= AntiBroadcastMinCap)
+      members.join(
+        broadcast(sizes.filter(col(nCol) > cap).select(keys.map(col): _*)),
+        keys, "left_anti")
+    else
+      members.join(
+        sizes.filter(col(nCol) <= cap).select(keys.map(col): _*),
+        keys, "left_semi")
+
   /** The budget-derived bucket-size cap `t` (see object doc).
     *
     * @param bucketSizes one row per bucket, with the member count in

@@ -272,11 +272,9 @@ object Similarity {
     val cells = assignCells(embeddings, vecCol, centroids)
       .select(col(idCol), col("_cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val okCells = cells.groupBy(col("_cell"))
-      .agg(count(lit(1)).as("_cn"))
-      .filter(col("_cn") <= maxCellRows)
-      .select(col("_cell"))
-    val pruned = cells.join(okCells, Seq("_cell"), "left_semi")
+    val pruned = graft.ops.PairBudget.capPrune(
+      cells, cells.groupBy(col("_cell")).agg(count(lit(1)).as("_cn")),
+      "_cn", Seq("_cell"), maxCellRows)
     val candidates = pruned.select(col("_cell"), col(idCol).as("id_a"))
       .join(pruned.select(col("_cell"), col(idCol).as("id_b")), Seq("_cell"))
       .filter(col("id_a") < col("id_b"))
@@ -366,11 +364,9 @@ object Similarity {
       .select(col(idCol), explode(array(tableBuckets: _*)).as("_tb"))
       .select(col(idCol), col("_tb.t").as("_t"), col("_tb.b").as("_b"))
     // hot-bucket guard: cap group size before the quadratic join
-    val okBuckets = banded.groupBy(col("_t"), col("_b"))
-      .agg(count(lit(1)).as("_bn"))
-      .filter(col("_bn") <= maxBucketRows)
-      .select(col("_t"), col("_b"))
-    val pruned = banded.join(okBuckets, Seq("_t", "_b"), "left_semi")
+    val pruned = graft.ops.PairBudget.capPrune(
+      banded, banded.groupBy(col("_t"), col("_b")).agg(count(lit(1)).as("_bn")),
+      "_bn", Seq("_t", "_b"), maxBucketRows)
     val candidates = pruned.select(col("_t"), col("_b"), col(idCol).as("id_a"))
       .join(pruned.select(col("_t"), col("_b"), col(idCol).as("id_b")), Seq("_t", "_b"))
       .filter(col("id_a") < col("id_b"))
@@ -427,8 +423,8 @@ object Similarity {
     val sizes = banded.groupBy(col("_t"), col("_b")).agg(count(lit(1)).as("_bn"))
     val cap = math.min(maxBucketRows,
       graft.ops.PairBudget.sizeCap(sizes, "_bn", maxPairs))
-    val okBuckets = sizes.filter(col("_bn") <= cap).select(col("_t"), col("_b"))
-    val pruned = banded.join(okBuckets, Seq("_t", "_b"), "left_semi")
+    val pruned = graft.ops.PairBudget.capPrune(
+      banded, sizes, "_bn", Seq("_t", "_b"), cap)
     val candidates = pruned.select(col("_t"), col("_b"), col(idCol).as("id_a"))
       .join(pruned.select(col("_t"), col("_b"), col(idCol).as("id_b")), Seq("_t", "_b"))
       .filter(col("id_a") < col("id_b"))
@@ -471,8 +467,8 @@ object Similarity {
     val sizes = cells.groupBy(col("_cell")).agg(count(lit(1)).as("_cn"))
     val cap = math.min(maxCellRows,
       graft.ops.PairBudget.sizeCap(sizes, "_cn", maxPairs))
-    val okCells = sizes.filter(col("_cn") <= cap).select(col("_cell"))
-    val pruned = cells.join(okCells, Seq("_cell"), "left_semi")
+    val pruned = graft.ops.PairBudget.capPrune(
+      cells, sizes, "_cn", Seq("_cell"), cap)
     val candidates = pruned.select(col("_cell"), col(idCol).as("id_a"))
       .join(pruned.select(col("_cell"), col(idCol).as("id_b")), Seq("_cell"))
       .filter(col("id_a") < col("id_b"))

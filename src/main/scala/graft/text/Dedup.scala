@@ -120,10 +120,10 @@ object Dedup {
   private def bandPairJoin(
       banded: DataFrame, idCol: String, maxBucketRows: Long): DataFrame = {
     // hot-bucket guard: cap group size before the quadratic self-join
-    val okBuckets = bucketCounts(banded)
-      .filter(col("_bn") <= maxBucketRows)
-      .select(col("band_idx"), col("band_hash"))
-    val pruned = banded.join(okBuckets, Seq("band_idx", "band_hash"), "left_semi")
+    // (PairBudget.capPrune picks anti-broadcast vs semi by regime —
+    // the anti form is what makes the self-join AQE-skew-splittable)
+    val pruned = PairBudget.capPrune(banded, bucketCounts(banded), "_bn",
+      Seq("band_idx", "band_hash"), maxBucketRows)
     val l = pruned.withColumnRenamed(idCol, "id_a")
     val r = pruned.withColumnRenamed(idCol, "id_b")
     l.join(r, Seq("band_idx", "band_hash"))
@@ -276,14 +276,11 @@ object Dedup {
   private def simHashPairJoin(
       blocked: DataFrame, idCol: String, simhashCol: String,
       maxHamming: Int, maxBucketRows: Long): DataFrame = {
-    val pruned =
-      if (maxBucketRows == Long.MaxValue) blocked
-      else blocked.join(
-        blocked.groupBy(col("block_idx"), col("block_val"))
-          .agg(count(lit(1)).as("_bn"))
-          .filter(col("_bn") <= maxBucketRows)
-          .select(col("block_idx"), col("block_val")),
-        Seq("block_idx", "block_val"), "left_semi")
+    val pruned = PairBudget.capPrune(
+      blocked,
+      blocked.groupBy(col("block_idx"), col("block_val"))
+        .agg(count(lit(1)).as("_bn")),
+      "_bn", Seq("block_idx", "block_val"), maxBucketRows)
     val l = pruned.select(col("block_idx"), col("block_val"),
       col(idCol).as("id_a"), col(simhashCol).as("_ha"))
     val r = pruned.select(col("block_idx"), col("block_val"),

@@ -143,7 +143,7 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p) // stats + offsets stitched via broadcast
   }
 
-  test("minhash LSH band join is guarded: bucket-count prune via left_semi before the self-join") {
+  test("minhash LSH band join is guarded: broadcast anti-prune of over-cap buckets before the self-join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val sigs = graft.text.Dedup.minHashSignatures(
@@ -151,7 +151,12 @@ class PlanSpec extends SparkSpec {
       "doc_id", "text", numHashes = 16, shingleSize = 3)
     val p = graft.text.Dedup.minHashCandidatePairs(sigs, "doc_id", numHashes = 16, bands = 4)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
-    assert(p.contains("LeftSemi"), p)
+    // skew-relevant cap regime → PairBudget.capPrune's ANTI-broadcast
+    // form: the tiny over-cap bucket set broadcasts against the triple
+    // stream (and the self-join keeps its own exchanges, the shape
+    // AQE's skew split can act on — SkewSpec)
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastExchange"), p)
     // the guard is an aggregate over (band_idx, band_hash) counts
     assert(p.contains("_bn"), p)
   }
