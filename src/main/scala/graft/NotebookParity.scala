@@ -41,7 +41,7 @@ import graft.ops.{Design, Filters, Normalize, Reshape}
   */
 object NotebookParity {
   def main(args: Array[String]): Unit = {
-    val Array(s1Fixture, s1Design, s2Fixture, s2Design, outDir) = args
+    val Array(s1Fixture, s1Design, s2Fixture, s2Design, mspFixture, outDir) = args
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -185,6 +185,110 @@ object NotebookParity {
       data2, Seq("id"), Seq("Group"), "value", 2)
     dump(v2b.select(col("id")).distinct(), "s2_valid2")
     dump(v2b.select(col("id"), col("sample"), col("value")), "s2_final")
+
+    // ----------------------------------------------------------------
+    // File S-1: Statistical Analysis chain (the notebook's data plane;
+    // plots are out of scope, their input frames are what is dumped)
+    // ----------------------------------------------------------------
+    import graft.stats.{StatTests, Summaries, Volcano}
+
+    // cell 6: enrichment_from_msp over modificationSpecificPeptides
+    // + design attribution
+    val msp = MaxQuant.readMaxQuant(spark, mspFixture)
+    val mspCols = msp.columns.filter(_.startsWith("Intensity ")).toSeq
+    val mspLong = Reshape.unpivot(msp, Seq("id", "Modifications"), mspCols)
+    val enr = Summaries.enrichmentFromMsp(
+      mspLong, "Modifications", "sample", "value", "Phospho (STY)")
+    val enrD = Design.buildIndexFromDesign(
+      enr, design1, removePrefixes = Seq("Intensity"))
+    dump(enrD.select(col("sample"), col("enrichment"), col("Group"),
+      col("Timepoint"), col("Replicate"), col("Technical")), "s1s_enrichment")
+
+    // cell 12: drop the two poorly-enriched technical replicates
+    val statBase = v1b.filter(!(col("Group") === "PGE2" &&
+      col("Timepoint") === 30 && col("Replicate") === 1 &&
+      col("Technical").isin(3, 6)))
+    dump(statBase.select(col("sample")).distinct(), "s1s_dropcols")
+
+    // cell 18: pairwise Pearson correlation table. DOCUMENTED
+    // DIVERGENCE: the reference's np.ma.corrcoef deviates from true
+    // pairwise-complete Pearson under missingness (it centers on
+    // per-column masked means, not per-pair means, and can even leave
+    // [-1,1]); the engine computes the statistically standard
+    // pairwise-complete Pearson (DuckDB-corr-oracled). The checker
+    // compares against pairwise Pearson exactly and reports the
+    // ma.corrcoef delta as info.
+    val corr1 = StatTests.correlationMatrix(statBase, Seq("id"), "sample", "value")
+    dump(corr1, "s1s_corr")
+
+    // cell 21: technical-replicate collapse (median over Technical)
+    val collapsed1 = Summaries.collapseTechnicalReplicates(
+      statBase, Seq("id"), Seq("Group", "Timepoint", "Replicate"), "value")
+    dump(collapsed1, "s1s_median")
+
+    // cells 25-29: two-sample volcano per timepoint, notebook defaults
+    // (fdr=0.05, threshold=2 → |log2 fc| ≥ 1, s0=1e-5,
+    // minimum_sample_n=0)
+    val volcanoTs = Seq(5, 10, 20, 30, 60)
+    val sigFrames = volcanoTs.map { t =>
+      val labelled = collapsed1.withColumn("_grp",
+        when(col("Group") === "Control", "A")
+          .when(col("Group") === "PGE2" && col("Timepoint") === t, "B"))
+        .filter(col("_grp").isNotNull)
+        .withColumn("sample",
+          concat_ws("|", col("Group"), col("Timepoint"), col("Replicate")))
+      val v = Volcano.twoSample(labelled, Seq("id"), "_grp", "value",
+        control = "A", comparison = "B",
+        minValidN = 0, s0 = 1e-5, minRatio = 1.0, minP = 0.05)
+      dump(v.select(col("id"), col("ratio"), col("p"), col("significant")),
+        s"s1s_volcano_$t")
+      v.filter(col("significant")).select(col("id"))
+    }
+    // cell 32's input: union of significant sites across timepoints
+    dump(sigFrames.reduce(_ unionByName _).distinct(), "s1s_sig_union")
+
+    // ----------------------------------------------------------------
+    // File S-2: Statistical Analysis chain
+    // ----------------------------------------------------------------
+    // cell 7: PCA scores + weights on the processed ratio frame
+    // (ref analysis.py:51-100: zero-fill, sklearn PCA — per-sample
+    // centering is internal to sklearn)
+    val pcaModel = graft.ml.Pca.fit(v2b, "id", "sample", "value", nComponents = 2)
+    dump(graft.ml.Pca.sampleScores(spark, v2b, pcaModel, "id", "sample", "value"),
+      "s2s_pca_scores")
+    import spark.implicits._
+    dump(
+      pcaModel.sampleOrder.indices.flatMap { s =>
+        pcaModel.components.indices.map { c =>
+          (pcaModel.sampleOrder(s), c + 1, pcaModel.components(c)(s))
+        }
+      }.toDF("sample", "component", "weight"),
+      "s2s_pca_weights")
+
+    // cells 10-12: one-sample volcanoes on each ratio group + the
+    // two-sample 3days-vs-1day volcano (same notebook defaults)
+    def oneSampleVolcano(group: String, name: String): DataFrame = {
+      val v = Volcano.oneSample(
+        v2b.filter(col("Group") === group), Seq("id"), "value",
+        minValidN = 0, s0 = 1e-5, minRatio = 1.0, minP = 0.05)
+      dump(v.select(col("id"), col("ratio"), col("p"), col("significant")), name)
+      v
+    }
+    val v3d = oneSampleVolcano("3days/control", "s2s_volcano_3d_ctr")
+    val v1d = oneSampleVolcano("1day/control", "s2s_volcano_1d_ctr")
+    val v2samp = Volcano.twoSample(
+      v2b.filter(col("Group").isin("3days/control", "1day/control")),
+      Seq("id"), "Group", "value",
+      control = "3days/control", comparison = "1day/control",
+      minValidN = 0, s0 = 1e-5, minRatio = 1.0, minP = 0.05)
+    dump(v2samp.select(col("id"), col("ratio"), col("p"), col("significant")),
+      "s2s_volcano_3d_1d")
+
+    // cell 22: venn of significant sets (common significant proteins)
+    dump(
+      v1d.filter(col("significant")).select(col("id"))
+        .join(v3d.filter(col("significant")).select(col("id")), Seq("id"), "inner"),
+      "s2s_venn_common")
 
     spark.stop()
   }

@@ -23,14 +23,29 @@ object Pca {
 
   final case class PcaModel(
       sampleOrder: Seq[String],
-      mean: Array[Double], // per-sample mean over features
       components: Array[Array[Double]], // [comp][sample] — eigenvectors of the sample Gram
       eigenvalues: Array[Double], // λ_c = σ_c² of the centered matrix
-      explainedVarianceRatio: Array[Double])
+      explainedVarianceRatio: Array[Double]) {
+    /** The implicit feature count of the fit (missing cells are
+      * zeros, so every feature has exactly this many cells). */
+    def nSamples: Int = sampleOrder.length
+  }
 
   /** Fit on long form (idCol, sampleCol, valueCol); nulls→0 like the
-    * reference. Centering is per sample (the reference's
-    * `mean_center` over features). */
+    * reference. CENTERING IS PER FEATURE — the reference fits sklearn
+    * PCA on `df.values.T`, and sklearn centers each input column =
+    * each protein/feature (analysis.py:82-84). (An earlier revision
+    * centered per sample, which is the ref's optional `mean_center`
+    * pre-step, NOT sklearn's internal centering — caught by
+    * tools/notebook_parity.py against the File S-2 notebook chain.)
+    *
+    * Per-feature means never materialize driver-side (feature axis is
+    * table-scale): the centered Gram expands as
+    *   G[a,b] = Σ_f (x_fa-μ_f)(x_fb-μ_f)
+    *          = cross[a,b] − m1[a] − m1[b] + Σ_f μ_f²
+    * with cross[a,b] = Σ_f x_fa·x_fb (pair aggregation, skipping
+    * zero-filled cells exactly) and m1[a] = Σ_f μ_f·x_fa (one join +
+    * groupBy(sample)) — all s-sized outputs. */
   def fit(
       df: DataFrame,
       idCol: String,
@@ -38,33 +53,42 @@ object Pca {
       valueCol: String,
       nComponents: Int = 2): PcaModel = {
     val v = coalesce(col(valueCol), lit(0.0))
-    // n_features = distinct ids; per-sample sums (one pass)
-    val nFeatures = df.select(col(idCol)).distinct().count().toDouble
     val samples = df.select(col(sampleCol)).distinct()
       .collect().map(_.get(0).toString).sorted
     val sIdx = samples.zipWithIndex.toMap
+    val nSamples = samples.length.toDouble
 
-    val sums = df.groupBy(col(sampleCol)).agg(graft.stats.Moments.sumExactFine(v).as("s")).collect()
-      .map(r => r.get(0).toString -> r.getDouble(1)).toMap
-    val mean = samples.map(s => sums.getOrElse(s, 0.0) / nFeatures).toArray
+    // per-feature means: sum over PRESENT cells / total sample count
+    // (missing cells are zeros — they contribute 0 to the sum but do
+    // count in the denominator)
+    val featMeans = df.groupBy(col(idCol))
+      .agg((graft.stats.Moments.sumExactFine(v) / nSamples).as("_fmu"))
 
-    // Gram matrix of centered data: G[a,b] = Σ_f (x_fa-μa)(x_fb-μb)
-    //   = Σ_f x_fa x_fb - n μa μb (expanding; Σ_f x_fa = n μa).
-    // Cross-products via one groupBy(feature) + in-row pair expansion
+    // m1[a] = Σ_f μ_f·x_fa ; mu2 = Σ_f μ_f²
+    val m1 = df.join(featMeans, idCol)
+      .groupBy(col(sampleCol))
+      .agg(graft.stats.Moments.sumProdExact(v, col("_fmu")).as("m1"))
+      .collect().map(r => r.get(0).toString -> r.getDouble(1)).toMap
+    val mu2 = featMeans
+      .agg(graft.stats.Moments.sumProdExact(col("_fmu"), col("_fmu")))
+      .head().getDouble(0)
+
+    // cross-products via one groupBy(feature) + in-row pair expansion
     // (zero-filled cells contribute 0 to every product, so skipping
     // nulls is exact). Upper triangle mirrored driver-side.
-    // exact-decimal cross sums: the model (and every score downstream)
-    // is partition-order-independent, so oracle literals recorded from
+    // exact-decimal sums: the model (and every score downstream) is
+    // partition-order-independent, so oracle literals recorded from
     // one run stay valid for any partitioning
     val cross = StatTests.pairObservations(df, Seq(idCol), sampleCol, valueCol)
       .groupBy(col("s1"), col("s2"))
       .agg(graft.stats.Moments.sumProdExact(col("x"), col("y")).as("sxy"))
       .collect()
-    val s = samples.length
-    val g = Array.ofDim[Double](s, s)
+    val sN = samples.length
+    val g = Array.ofDim[Double](sN, sN)
     cross.foreach { row =>
       val a = sIdx(row.get(0).toString); val b = sIdx(row.get(1).toString)
-      val centered = row.getDouble(2) - nFeatures * mean(a) * mean(b)
+      val centered = row.getDouble(2) -
+        m1.getOrElse(samples(a), 0.0) - m1.getOrElse(samples(b), 0.0) + mu2
       g(a)(b) = centered
       g(b)(a) = centered // pairObservations emits the upper triangle
     }
@@ -78,22 +102,19 @@ object Pca {
       val m = vct.indices.maxBy(j => math.abs(vct(j)))
       if (vct(m) < 0) vct.map(-_) else vct
     }
-    PcaModel(samples.toSeq, mean, comps,
+    PcaModel(samples.toSeq, comps,
       order.map(_._1), order.map(_._1 / totalVar))
   }
 
   /** Scores per sample (sklearn convention: V·Σ — the projection of
-    * each centered sample row onto the unit feature components).
-    * Xᶜᵀ·w_c = V·Σ² on the Gram eigenbasis, so dividing by σ_c =
-    * √λ_c recovers V·Σ. One distributed matvec + tiny output. */
+    * each feature-centered sample row onto the unit feature
+    * components). One distributed matvec + tiny output; the feature
+    * means re-derive in-plan (never collected). */
   def sampleScores(
       spark: SparkSession, df: DataFrame, model: PcaModel,
       idCol: String, sampleCol: String, valueCol: String): DataFrame = {
-    val weights = featureWeights(df, model, idCol, sampleCol, valueCol)
-    val v = coalesce(col(valueCol), lit(0.0))
-    val meanMap = map(model.sampleOrder.zip(model.mean)
-      .flatMap { case (sm, mu) => Seq(lit(sm), lit(mu)) }: _*)
-    val centered = df.withColumn("_c", v - element_at(meanMap, col(sampleCol)))
+    val weights = featureWeightsRaw(df, model, idCol, sampleCol, valueCol)
+    val centered = centerByFeature(df, model, idCol, sampleCol, valueCol)
     val aggs = model.eigenvalues.zipWithIndex.map { case (lam, c) =>
       (graft.stats.Moments.sumProdExact(col("_c"), col(s"w_$c")) / math.sqrt(lam)).as(s"pc_$c")
     }.toIndexedSeq
@@ -102,21 +123,42 @@ object Pca {
       .agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Feature weights (loadings direction in feature space): for each
-    * feature f and component c, w[f,c] = Σ_s centered(f,s)·v_c[s],
-    * normalized by sqrt(eigenvalue) — distributed groupBy(feature). */
-  def featureWeights(
+  /** value − per-feature mean, with the mean derived in-plan as
+    * sum/nSamples (missing cells are zeros: they count in the
+    * denominator but not the sum). */
+  private def centerByFeature(
       df: DataFrame, model: PcaModel,
       idCol: String, sampleCol: String, valueCol: String): DataFrame = {
     val v = coalesce(col(valueCol), lit(0.0))
-    val meanMap = map(model.sampleOrder.zip(model.mean)
-      .flatMap { case (sm, mu) => Seq(lit(sm), lit(mu)) }: _*)
-    val centered = df.withColumn("_c", v - element_at(meanMap, col(sampleCol)))
+    val featMeans = df.groupBy(col(idCol))
+      .agg((graft.stats.Moments.sumExactFine(v) /
+        model.nSamples.toDouble).as("_fmu"))
+    df.join(featMeans, idCol).withColumn("_c", v - col("_fmu"))
+  }
+
+  /** Unnormalized feature weights w[f,c] = Σ_s centered(f,s)·u_c[s]
+    * (= σ_c·v_c[f]); [[sampleScores]] divides by σ_c. */
+  private def featureWeightsRaw(
+      df: DataFrame, model: PcaModel,
+      idCol: String, sampleCol: String, valueCol: String): DataFrame = {
+    val centered = centerByFeature(df, model, idCol, sampleCol, valueCol)
     val aggs = model.components.zipWithIndex.map { case (comp, c) =>
       val compMap = map(model.sampleOrder.zip(comp)
         .flatMap { case (sm, w) => Seq(lit(sm), lit(w)) }: _*)
       graft.stats.Moments.sumProdExact(col("_c"), element_at(compMap, col(sampleCol))).as(s"w_$c")
     }
     centered.groupBy(col(idCol)).agg(aggs.head, aggs.toIndexedSeq.tail: _*)
+  }
+
+  /** Feature weights in the reference's convention (unit loadings
+    * v_c[f], analysis.py:89-91 `pca.components_`): the raw weights
+    * normalized by σ_c. */
+  def featureWeights(
+      df: DataFrame, model: PcaModel,
+      idCol: String, sampleCol: String, valueCol: String): DataFrame = {
+    val raw = featureWeightsRaw(df, model, idCol, sampleCol, valueCol)
+    raw.select(col(idCol) +: model.eigenvalues.zipWithIndex.map { case (lam, c) =>
+      (col(s"w_$c") / math.sqrt(lam)).as(s"w_$c")
+    }.toIndexedSeq: _*)
   }
 }

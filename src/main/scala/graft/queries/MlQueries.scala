@@ -51,8 +51,10 @@ object MlQueries extends QueryProvider {
   private def dlit(v: Double): String = s"CAST('$v' AS DOUBLE)"
 
   // ---- PCA: fit collects the s×s Gram eigenbasis driver-side; the
-  //      oracle injects (mean, components, √λ) and replays the
-  //      distributed weight + score matvecs in SQL. ----
+  //      oracle injects (components, √λ, nSamples) and replays the
+  //      distributed feature-centering + weight + score matvecs in
+  //      SQL (feature means derive IN-QUERY on both sides — they are
+  //      table-scale and never become literals). ----
   private val lastPca =
     new java.util.concurrent.atomic.AtomicReference[Pca.PcaModel]()
 
@@ -66,7 +68,6 @@ object MlQueries extends QueryProvider {
     },
     None,
     oracleGen = Some(() => Option(lastPca.get()).map { m =>
-      val mu = caseMap("sample", m.sampleOrder.zip(m.mean.toSeq))
       val wCols = m.components.zipWithIndex.map { case (comp, c) =>
         s"${MS.sumProdExact("c", caseMap("sample", m.sampleOrder.zip(comp.toSeq)))} AS w_$c"
       }.mkString(",\n          ")
@@ -76,7 +77,12 @@ object MlQueries extends QueryProvider {
       s"""
       WITH long AS (
         $longSql),
-      cent AS (SELECT vec_id, sample, value - $mu AS c FROM long),
+      fm AS (SELECT vec_id,
+          ${MS.sumExactFine("value")} / CAST('${m.nSamples.toDouble}' AS DOUBLE) AS fmu
+        FROM long GROUP BY vec_id),
+      cent AS (SELECT l.vec_id AS vec_id, l.sample AS sample,
+          l.value - fm.fmu AS c
+        FROM long l JOIN fm ON fm.vec_id = l.vec_id),
       w AS (SELECT vec_id,
           $wCols
         FROM cent GROUP BY vec_id)

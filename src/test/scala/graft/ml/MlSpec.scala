@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 class MlSpec extends SparkSpec {
   import spark.implicits._
 
-  /** 4 features × 3 samples golden (numpy, centered per sample, V·Σ). */
+  /** 4 features × 3 samples golden (numpy, sklearn-equivalent:
+    * per-FEATURE centering, V·Σ scores, svd_flip signs). */
   private def pcaLong = {
     val x = Map(
       ("f1", "s1") -> 1.0, ("f1", "s2") -> 2.0, ("f1", "s3") -> 3.0,
@@ -19,14 +20,14 @@ class MlSpec extends SparkSpec {
 
   test("Pca matches numpy golden (explained variance + scores)") {
     val model = Pca.fit(pcaLong, "id", "sample", "value", nComponents = 2)
-    assert(approx(model.explainedVarianceRatio(0), 0.9999659230, 1e-8))
-    assert(approx(model.eigenvalues(0), 52.0007279117, 1e-6))
+    assert(approx(model.explainedVarianceRatio(0), 0.9998849283, 1e-8))
+    assert(approx(model.eigenvalues(0), 28.8166836341, 1e-6))
     val scores = Pca.sampleScores(spark, pcaLong, model, "id", "sample", "value")
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    assert(approx(scores("s1")._1, 1.9200186979, 1e-6))
-    assert(approx(scores("s2")._1, 3.7692436415, 1e-6))
-    assert(approx(scores("s3")._1, 5.8401248687, 1e-6))
-    assert(approx(scores("s1")._2, 0.0316900940, 1e-6))
+    assert(approx(scores("s1")._1, -3.7620142465, 1e-6))
+    assert(approx(scores("s2")._1, -0.0667552913, 1e-6))
+    assert(approx(scores("s3")._1, 3.8287695379, 1e-6))
+    assert(approx(scores("s1")._2, -0.0241276248, 1e-6))
   }
 
   test("Ward clusters obvious 2-cluster structure") {
