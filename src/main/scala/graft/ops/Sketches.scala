@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.SketchFunctions
+
+/** Deterministic, mergeable sketches — the approximate path for the
+  * three operations that stop scaling exactly at 100 TB: distinct
+  * counting (KMV), quantiles (bottom-k hash sample), and weighted
+  * sampling (priority sampling). All three are built on the engine-
+  * portable md5-top60 hash family ([[graft.pipeline.TrainingData]]
+  * `hashUniform`), so unlike `approx_count_distinct` /
+  * `approx_percentile` (whose sketch state is engine-private and run-
+  * dependent) every result here is a pure function of the input SET:
+  * bitwise reproducible across partitionings, cluster sizes, and
+  * engines — each query hash-checks against a DuckDB replay.
+  *
+  * Scale contracts:
+  *  - KMV ships at most k longs per map task (partial ImperativeAggregate
+  *    before the shuffle) where count(DISTINCT) shuffles every value;
+  *  - the bottom-k sample runs as TakeOrderedAndProject (per-partition
+  *    partial top-k, then a k-row merge — no global sort);
+  *  - priority sampling is one TakeOrdered over a row-local priority.
+  */
+object Sketches {
+
+  /** 2^60 — exactly representable; the h60 hash range. */
+  val TwoPow60: Double = 1152921504606846976.0
+
+  /** Portable 60-bit hash (top 60 bits of md5 = the digest's first 15
+    * hex digits). DuckDB image:
+    * `CAST(CONCAT('0x', SUBSTR(md5(x), 1, 15)) AS BIGINT)`. */
+  def h60(tagged: Column): Column =
+    conv(substring(md5(tagged), 1, 15), 16, 10).cast("long")
+
+  /** Per-group KMV distinct-count estimate (Bar-Yossef et al. 2002):
+    * hash each value, keep the k smallest distinct hashes per group
+    * ([[graft.functions.KmvAgg]]), estimate (k-1)·2⁶⁰ / kth-min —
+    * exact when a group has fewer than k distinct hashes. Standard
+    * error ≈ 1/sqrt(k-2). The estimate arithmetic is IEEE mult/div of
+    * exactly-convertible operands, so it bit-matches the SQL replay. */
+  def kmvDistinctByKey(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      k: Int,
+      tag: String = "kmv"): DataFrame = {
+    val h = h60(concat_ws("|", lit(tag), col(valueCol).cast("string")))
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(SketchFunctions.kmvMins(h, k).as("_mins"))
+      .select((keys.map(col) :+
+        when(size(col("_mins")) < k, size(col("_mins")).cast("double"))
+          .otherwise(
+            lit((k - 1).toDouble) * lit(TwoPow60) /
+              element_at(col("_mins"), k).cast("double"))
+          .as("distinct_est")): _*)
+  }
+
+  /** Global KMV distinct estimate: one row, `distinct_est`. */
+  def kmvDistinct(df: DataFrame, valueCol: String, k: Int, tag: String = "kmv"): DataFrame = {
+    val h = h60(concat_ws("|", lit(tag), col(valueCol).cast("string")))
+    df.filter(col(valueCol).isNotNull)
+      .agg(SketchFunctions.kmvMins(h, k).as("_mins"))
+      .select(
+        when(size(col("_mins")) < k, size(col("_mins")).cast("double"))
+          .otherwise(
+            lit((k - 1).toDouble) * lit(TwoPow60) /
+              element_at(col("_mins"), k).cast("double"))
+          .as("distinct_est"))
+  }
+
+  /** Deterministic bottom-k uniform sample: the k rows with the
+    * smallest h60(tag|id) — a fixed-size simple random sample that is
+    * a pure function of the id set (same sample on any partitioning /
+    * engine), executed as TakeOrderedAndProject. The building block
+    * for [[sampleQuantiles]] and any "look at k random rows" audit. */
+  def bottomKSample(df: DataFrame, idCol: String, k: Int, tag: String): DataFrame =
+    df.withColumn("_h",
+        h60(concat_ws("|", lit(tag), col(idCol).cast("string"))))
+      .orderBy(col("_h"), col(idCol))
+      .limit(k)
+
+  /** Approximate quantiles from the deterministic bottom-k sample:
+    * rank the k sampled values (bucketed distributed rank — invariant
+    * 6) and read value at rank max(1, ceil(q·m)), m = |sample|. With
+    * sample size k the rank error is O(1/sqrt(k)) in quantile space.
+    * Returns one row per requested quantile: (q, value).
+    *
+    * The exact-rank selection (not interpolation) keeps every output a
+    * value that exists in the data — and makes the whole chain integer
+    * + IEEE-exact, replayable in SQL. Exact counterpart:
+    * [[Quantiles.exactGroupQuantiles]]. */
+  def sampleQuantiles(
+      df: DataFrame,
+      valueCol: String,
+      idCol: String,
+      k: Int,
+      qs: Seq[Double],
+      tag: String = "sq"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // persist the ≤k-row sample: the rank machinery below runs several
+    // small jobs over it, and without the pin each one would re-run
+    // the TakeOrdered over the full corpus — scans, not the sketch's
+    // O(k) merge, would dominate at scale
+    val sample = bottomKSample(
+      df.filter(col(valueCol).isNotNull).select(col(valueCol), col(idCol)),
+      idCol, k, tag)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (ranked, m) = DistributedRank.rowNumberCounted(
+      sample, valueCol, ascending = true, tieCols = Seq(idCol), outCol = "_rn")
+    val targets = qs.map(q => (q, math.max(1L, math.ceil(q * m).toLong))).toDF("q", "_tr")
+    ranked.join(broadcast(targets), col("_rn") === col("_tr"))
+      .select(col("q"), col(valueCol).cast("double").as("value"))
+  }
+
+  /** Priority sampling (Duffield, Lund, Thorup — JACM 2007): a
+    * weight-sensitive sample of k rows supporting unbiased subset-sum
+    * estimation. Each row draws u = (h60+0.5)/2⁶⁰ ∈ (0,1) from its id
+    * and gets priority w/u; the k highest priorities are kept, and the
+    * threshold τ (the (k+1)-th priority) turns the sample into an
+    * estimator: est_weight = max(w, τ), with E[Σ est_weight over any
+    * subset] = that subset's true Σw. When n ≤ k the sample is the
+    * whole input and est_weight = w exactly.
+    *
+    * Chosen over Efraimidis–Spirakis-style u^(1/w) keys because the
+    * priority needs only one IEEE division — no transcendental, so the
+    * selection AND the estimator replay bit-exactly in any engine
+    * (invariant 1). Returns (idCol, weight, est_weight). */
+  def prioritySample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      seed: Long): DataFrame = {
+    val u = (h60(concat_ws("|", lit(s"ps$seed"), col(idCol).cast("string")))
+      .cast("double") + lit(0.5)) / lit(TwoPow60)
+    val top = df
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(idCol), col(weightCol).cast("double").as("weight"),
+        (col(weightCol).cast("double") / u).as("_pri"))
+      .orderBy(col("_pri").desc, col(idCol))
+      .limit(k + 1)
+      // pin the (k+1)-row top set: the rank + τ branches below each
+      // re-evaluate it, and re-evaluation means re-scanning the corpus
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranked = DistributedRank.rowNumber(
+      top, "_pri", ascending = false, tieCols = Seq(idCol), outCol = "_rn")
+    val tau = ranked.filter(col("_rn") === (k + 1))
+      .select(lit(1).as("_j"), col("_pri").as("_tau"))
+    ranked.filter(col("_rn") <= k)
+      .withColumn("_j", lit(1))
+      .join(broadcast(tau), Seq("_j"), "left")
+      .select(col(idCol), col("weight"),
+        greatest(col("weight"), coalesce(col("_tau"), col("weight"))).as("est_weight"))
+  }
+}

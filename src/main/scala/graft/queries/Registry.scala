@@ -43,7 +43,8 @@ object Registry {
     TextQueries,
     MiscQueries,
     MediaQueries,
-    MlQueries)
+    MlQueries,
+    SketchQueries)
 
   lazy val all: Seq[Q] = providers.flatMap(_.all)
 

@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Sketches
+
+/** The deterministic-sketch family (ops.Sketches): KMV distinct
+  * estimate, bottom-k-sample quantiles, priority sampling. Every query
+  * here is approximate in the statistical sense yet BITWISE
+  * deterministic — a pure function of the input set via the md5-top60
+  * hash family — so each one hash-checks against a full DuckDB replay
+  * (no rows-only escapes).
+  */
+object SketchQueries extends QueryProvider {
+
+  /** md5-top60 image in DuckDB (shared definition). */
+  private def h60Sql(expr: String) = OracleSql.md5Top60(expr)
+
+  private val twoPow60Sql = "CAST('1152921504606846976' AS DOUBLE)"
+
+  // ---- KMV distinct sketch per group: k smallest distinct hashes →
+  //      (k-1)·2^60 / kth-min. The Spark side is the mergeable
+  //      KmvAgg (k longs per map task); the oracle replays the k-min
+  //      set relationally. ----
+  private val kmvK = 256
+  private val qKmv = Q(
+    "q_kmv_distinct",
+    (s, d) => Sketches.kmvDistinctByKey(
+      Tables.lineitem(s, d), Seq("l_returnflag"), "l_partkey", kmvK),
+    Some(s"""
+      WITH hashed AS (
+        SELECT DISTINCT l_returnflag,
+          ${h60Sql("CONCAT('kmv|', CAST(l_partkey AS VARCHAR))")} AS h
+        FROM lineitem WHERE l_partkey IS NOT NULL),
+      ranked AS (
+        SELECT l_returnflag, h,
+          ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+        FROM hashed),
+      tops AS (
+        SELECT l_returnflag, MAX(h) AS hk, COUNT(*) AS c
+        FROM ranked WHERE rn <= $kmvK GROUP BY 1)
+      SELECT l_returnflag,
+        CASE WHEN c < $kmvK THEN CAST(c AS DOUBLE)
+             ELSE CAST(${kmvK - 1} AS DOUBLE) * $twoPow60Sql / CAST(hk AS DOUBLE)
+        END AS distinct_est
+      FROM tops"""))
+
+  // ---- quantiles from the deterministic bottom-k hash sample:
+  //      TakeOrdered sample, bucketed rank (no unpartitioned window on
+  //      the Spark side — the oracle's global ROW_NUMBER is DuckDB
+  //      only), value at rank ceil(q·m). ----
+  private val sqK = 512
+  private val sqQs = Seq(0.1, 0.5, 0.9, 0.99)
+  private val qSampleQuantiles = Q(
+    "q_sketch_quantiles",
+    (s, d) => Sketches.sampleQuantiles(
+      Tables.orders(s, d), "o_totalprice", "o_orderkey", sqK, sqQs),
+    Some(s"""
+      WITH s AS (
+        SELECT o_totalprice AS v, o_orderkey AS id,
+          ${h60Sql("CONCAT('sq|', CAST(o_orderkey AS VARCHAR))")} AS h
+        FROM orders WHERE o_totalprice IS NOT NULL
+        ORDER BY h, id LIMIT $sqK),
+      r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, id) AS rn FROM s),
+      m AS (SELECT COUNT(*) AS m FROM s)
+      SELECT t.q, CAST(r.v AS DOUBLE) AS value
+      FROM (VALUES ${sqQs.map(q => s"(CAST('$q' AS DOUBLE))").mkString(", ")}) AS t(q), m, r
+      WHERE r.rn = GREATEST(1, CAST(CEIL(t.q * CAST(m.m AS DOUBLE)) AS BIGINT))"""))
+
+  // ---- priority sampling (Duffield-Lund-Thorup): priority w/u with
+  //      u = (h60+0.5)/2^60, keep the k highest, est_weight =
+  //      max(w, τ) with τ the (k+1)-th priority. One IEEE division —
+  //      no transcendental — so selection AND estimator replay
+  //      bit-exactly. ----
+  private val psK = 200
+  private val qPrioritySample = Q(
+    "q_priority_sample",
+    (s, d) => Sketches.prioritySample(
+      Tables.orders(s, d), "o_orderkey", "o_totalprice", psK, seed = 42L),
+    Some(s"""
+      WITH p AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS weight,
+          CAST(o_totalprice AS DOUBLE) /
+            ((CAST(${h60Sql("CONCAT('ps42|', CAST(o_orderkey AS VARCHAR))")} AS DOUBLE)
+              + 0.5) / $twoPow60Sql) AS pri
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+      top AS (SELECT * FROM p ORDER BY pri DESC, o_orderkey LIMIT ${psK + 1}),
+      r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY pri DESC, o_orderkey) AS rn FROM top),
+      tau AS (SELECT pri AS tau FROM r WHERE rn = ${psK + 1})
+      SELECT o_orderkey, weight,
+        GREATEST(weight, COALESCE((SELECT tau FROM tau), weight)) AS est_weight
+      FROM r WHERE rn <= $psK"""))
+
+  override def all: Seq[Q] = Seq(qKmv, qSampleQuantiles, qPrioritySample)
+}

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.KmvAgg
+
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic synthetic corpus: ids 1..4000, value domain sized
+  // per group so the estimator has a known ground truth
+  private lazy val grouped = spark.range(1, 4001)
+    .select(col("id"),
+      (col("id") % 2).cast("string").as("grp"),
+      // even ids mod an even modulus hit only even residues: group
+      // "0" = 2000 rows over 250 distinct, group "1" (odd ids mod
+      // 1000 → odd residues) = 2000 rows over 500 distinct
+      when(col("id") % 2 === 0, col("id") % 500)
+        .otherwise(col("id") % 1000).as("v"))
+
+  test("KMV distinct estimate is exact below k and within 4/sqrt(k) above") {
+    val k = 128
+    val est = Sketches.kmvDistinctByKey(grouped, Seq("grp"), "v", k)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // both groups exceed k distinct: estimator regime, se ~ 1/sqrt(k-2)
+    assert(math.abs(est("0") / 250.0 - 1.0) < 4.0 / math.sqrt(k - 2.0))
+    assert(math.abs(est("1") / 500.0 - 1.0) < 4.0 / math.sqrt(k - 2.0))
+    // below-k regime: exact
+    val exact = Sketches.kmvDistinctByKey(grouped, Seq("grp"), "v", 2048)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(exact("0") == 250.0 && exact("1") == 500.0)
+  }
+
+  test("KMV sketch is partitioning-invariant (merge-order independent)") {
+    val k = 64
+    val a = Sketches.kmvDistinct(grouped, "v", k).head().getDouble(0)
+    val b = Sketches.kmvDistinct(grouped.repartition(13, col("id")), "v", k)
+      .head().getDouble(0)
+    val c = Sketches.kmvDistinct(grouped.coalesce(1), "v", k).head().getDouble(0)
+    assert(a == b && b == c)
+  }
+
+  test("KmvAgg serialize/deserialize/merge round-trips the k-min set") {
+    val agg = KmvAgg(org.apache.spark.sql.catalyst.expressions.Literal(1L), k = 4)
+    val b1 = agg.createAggregationBuffer()
+    Seq(9L, 3L, 7L, 1L, 5L).foreach(b1.add(_))
+    while (b1.size > 4) b1.pollLast()
+    val b2 = agg.deserialize(agg.serialize(b1))
+    assert(b2.asScala.toList == List(1L, 3L, 5L, 7L))
+    val other = agg.createAggregationBuffer()
+    Seq(2L, 8L, 1L).foreach(other.add(_))
+    val merged = agg.merge(b2, other)
+    assert(merged.asScala.toList.take(4) == List(1L, 2L, 3L, 5L))
+  }
+
+  test("bottom-k sample is deterministic and uniform enough for quantiles") {
+    val df = spark.range(1, 20001).select(col("id"), (col("id") * 7 % 10000).as("v"))
+    val s1 = Sketches.sampleQuantiles(df, "v", "id", 400, Seq(0.5, 0.9))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val s2 = Sketches.sampleQuantiles(df.repartition(11), "v", "id", 400, Seq(0.5, 0.9))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(s1 == s2) // partitioning-invariant
+    // v is uniform on [0, 10000): sample quantile within ~4/sqrt(k) in
+    // quantile space
+    assert(math.abs(s1(0.5) / 10000.0 - 0.5) < 4.0 / math.sqrt(400.0))
+    assert(math.abs(s1(0.9) / 10000.0 - 0.9) < 4.0 / math.sqrt(400.0))
+  }
+
+  test("sampleQuantiles with k >= n degenerates to exact rank quantiles") {
+    val df = spark.range(1, 101).select(col("id"), col("id").cast("double").as("v"))
+    val qs = Sketches.sampleQuantiles(df, "v", "id", 1000, Seq(0.5, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(qs(0.5) == 50.0) // ceil(0.5*100) = 50
+    assert(qs(1.0) == 100.0)
+  }
+
+  test("priority sample: n <= k returns everything with est_weight = weight") {
+    val df = spark.range(1, 51).select(col("id"), (col("id") % 7 + 1).cast("double").as("w"))
+    val out = Sketches.prioritySample(df, "id", "w", k = 100, seed = 1L).collect()
+    assert(out.length == 50)
+    assert(out.forall(r => r.getDouble(1) == r.getDouble(2)))
+  }
+
+  test("priority sample: subset-sum estimator lands near the true total") {
+    // skewed weights: a few heavy rows dominate — the regime priority
+    // sampling is built for (heavy rows enter w.p. 1, est = w exact)
+    val df = spark.range(1, 5001).select(col("id"),
+      when(col("id") <= 10, 10000.0).otherwise(1.0).as("w"))
+    val trueTotal = 10 * 10000.0 + 4990 * 1.0
+    val sampled = Sketches.prioritySample(df, "id", "w", k = 500, seed = 42L)
+    val estTotal = sampled.agg(sum("est_weight")).head().getDouble(0)
+    // DLT estimator: heavy rows exact, light-tail noise O(total/sqrt(k))
+    assert(math.abs(estTotal / trueTotal - 1.0) < 0.15,
+      s"est $estTotal vs true $trueTotal")
+    // heavy rows must all be present
+    assert(sampled.filter(col("id") <= 10).count() == 10)
+  }
+
+  test("priority sample is partitioning-invariant") {
+    val df = spark.range(1, 3001).select(col("id"), (pmod(col("id"), lit(13)) + 1).cast("double").as("w"))
+    val a = Sketches.prioritySample(df, "id", "w", 64, 7L)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    val b = Sketches.prioritySample(df.repartition(17, col("w")), "id", "w", 64, 7L)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(a == b)
+  }
+
+  private implicit class JavaTreeSetOps(ts: java.util.TreeSet[java.lang.Long]) {
+    def asScala: Iterator[Long] = {
+      val it = ts.iterator()
+      new Iterator[Long] {
+        def hasNext = it.hasNext
+        def next() = it.next()
+      }
+    }
+  }
+}
