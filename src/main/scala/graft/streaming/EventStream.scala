@@ -97,6 +97,38 @@ object EventStream {
   def enrich(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     events.join(broadcast(dim), keys, "left")
 
+  /** Stream-stream equi + interval join (the view→click attribution
+    * shape): a left event matches right events with the same `key`
+    * whose time falls in [l_ts, l_ts + maxGap]. Both sides carry
+    * watermarks AND the join carries an event-time range condition —
+    * the two ingredients Structured Streaming needs to bound the join
+    * state: each side buffers only rows younger than
+    * watermark + maxGap, so state is O(rate × horizon), not O(stream).
+    * Inner join, append mode. Returns
+    * (key, l_event_id, l_ts, r_event_id, r_ts).
+    *
+    * Batch-equivalent by construction (IoStreamingSpec ≡-batch test):
+    * the same join condition over the same frames as a batch join
+    * yields the same pair set. */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      maxGap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left.select(col(key), col("event_id").as("l_event_id"),
+        col("event_ts").as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col(key).as("_rk"), col("event_id").as("r_event_id"),
+        col("event_ts").as("r_ts"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+        col(key) === col("_rk") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxGap"))
+      .drop("_rk")
+  }
+
   /** Drive a streaming frame to a memory sink synchronously (local
     * verification; production would use a real sink). */
   def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): StreamingQuery = {

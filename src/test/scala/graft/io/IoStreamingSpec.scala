@@ -241,6 +241,33 @@ class IoStreamingSpec extends SparkSpec {
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = EventStream.readEvents(spark, eventsDir)
+    val joined = EventStream.intervalJoin(
+      ev.filter($"event_type" === "view"),
+      ev.filter($"event_type" === "click"),
+      "user_id", maxGap = "30 minutes")
+    val q = EventStream.runToMemory(
+      joined.select($"l_event_id", $"r_event_id"), "ssjoin")
+    q.stop()
+    val got = spark.table("ssjoin")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch0 = graft.Tables.events(spark, dir)
+      .withColumn("event_ts", timestamp_micros(expr("ts DIV 1000")))
+    val l = batch0.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("l_event_id"), $"event_ts".as("l_ts"))
+    val r = batch0.filter($"event_type" === "click")
+      .select($"user_id".as("rk"), $"event_id".as("r_event_id"), $"event_ts".as("r_ts"))
+    val batch = l.join(r,
+        $"user_id" === $"rk" && $"r_ts" >= $"l_ts" &&
+          $"r_ts" <= $"l_ts" + expr("INTERVAL 30 minutes"))
+      .select($"l_event_id", $"r_event_id")
+      .collect().map(rr => (rr.getLong(0), rr.getLong(1))).toSet
+    assert(got.nonEmpty)
+    assert(got == batch)
+  }
+
   test("streaming curation gates+dedup equal the batch stages on the same docs") {
     // stage a small documents slice as a streaming source dir
     val dir = Files.createTempDirectory("docs_stream")
