@@ -21,6 +21,16 @@ object PlanAudit {
       spark.stop()
       return
     }
+    if (args.headOption.contains("--bloom-check")) {
+      // runtime bloom-filter join pruning evidence — shared logic
+      // with SkewSpec
+      val b = PlanChecks.bloomFilterJoinDemo(spark)
+      println(s"BLOOM-CHECK nFiltered=${b.sumFiltered} nPlain=${b.sumPlain} " +
+        s"bloomInjected=${b.bloomInjected} " +
+        (if (b.bloomInjected && b.sumFiltered == b.sumPlain) "OK" else "FAIL"))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("--scan-windows")) {
       // flag any window whose spec has an EMPTY partition list — the
       // single-partition shape invariant 6 forbids in data-plane

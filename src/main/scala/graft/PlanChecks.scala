@@ -71,6 +71,64 @@ object PlanChecks {
     }
   }
 
+  /** Result of [[bloomFilterJoinDemo]]: group-count totals with the
+    * runtime filter on and off, plus whether the bloom filter was
+    * actually injected into the application-side scan. */
+  final case class BloomDemo(sumFiltered: Long, sumPlain: Long, bloomInjected: Boolean)
+
+  /** Runtime bloom-filter join pruning — the row-group-level analogue
+    * of partition pruning for SELECTIVE shuffle joins at 100 TB: when
+    * a dim side carries a selective predicate, Spark's
+    * InjectRuntimeFilter builds a bloom filter over the dim's join
+    * keys and pushes `might_contain(...)` into the fact side's scan,
+    * so most fact rows die AT THE SCAN instead of riding the shuffle
+    * to a join that drops them.
+    *
+    * Cluster assumptions documented here and verified by this demo:
+    *   spark.sql.optimizer.runtime.bloomFilter.enabled=true (Spark
+    *     default since 3.5); creationSideThreshold (10 MB default)
+    *     must admit the filtered dim; applicationSideScanSizeThreshold
+    *     (10 GB default) is sized for cluster scans — the demo lowers
+    *     it because the local fixture is small, a 100 TB fact table
+    *     clears it natively.
+    *
+    * The demo joins lineitem to a selectively-filtered orders on
+    * orderkey with broadcast disabled (the shuffle-join regime the
+    * filter exists for), and checks (a) `might_contain` lands in the
+    * fact-side scan plan, (b) results are identical with the feature
+    * off. */
+  def bloomFilterJoinDemo(spark: org.apache.spark.sql.SparkSession): BloomDemo = {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    def run(): (Long, String) = {
+      val fact = spark.read.parquet(s"$d/lineitem.parquet")
+      val dim = spark.read.parquet(s"$d/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val agg = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      val n = agg.head().getLong(0)
+      (n, agg.queryExecution.optimizedPlan.toString)
+    }
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      val (nOn, planOn) = run()
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val (nOff, _) = run()
+      BloomDemo(nOn, nOff, planOn.contains("might_contain"))
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+
   private val Marker = "windowspecdefinition("
   private val SortSuffixes = Seq(
     "ASC NULLS FIRST", "ASC NULLS LAST", "DESC NULLS FIRST", "DESC NULLS LAST")

@@ -31,4 +31,56 @@ object Storage {
     df.repartitionByRange(numFiles, col(rangeCol))
       .sortWithinPartitions(col(rangeCol))
       .write.mode("overwrite").parquet(path)
+
+  /** Z-order (Morton-curve) clustered write for MULTI-dimensional
+    * predicate pruning — the missing case between `writePartitioned`
+    * (one low-cardinality dim) and `writeRangeSorted` (one
+    * high-cardinality dim): queries filter sometimes on `ts`,
+    * sometimes on `user_id`, and a single-column sort leaves the other
+    * column's per-file min/max spanning the whole domain (zero
+    * skipping). Interleaving the bits of the range-bucketed dims and
+    * range-partitioning on the interleaved key tiles the space, so
+    * EVERY dim's per-file range shrinks to ≈ span/files^(1/ndims) and
+    * footer stats prune files for predicates on ANY clustered dim.
+    *
+    * All column work is built-in shift/and/or expressions (whole-stage
+    * codegen); the only driver action is one min/max agg. Nulls map to
+    * the dim's minimum bucket. bitsPerDim·ndims must fit a long. */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      dims: Seq[String],
+      numFiles: Int,
+      bitsPerDim: Int = 16): Unit = {
+    val nd = dims.size
+    require(nd >= 1 && nd * bitsPerDim <= 63,
+      s"z-order needs 1..63/bitsPerDim dims, got $nd x $bitsPerDim bits")
+    val statCols = dims.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val stats = df.agg(statCols.head, statCols.tail: _*).head()
+    if (stats.isNullAt(0)) { // empty input: just write the schema
+      df.write.mode("overwrite").parquet(path); return
+    }
+    val side = 1L << bitsPerDim
+    val buckets = dims.zipWithIndex.map { case (c, i) =>
+      val mn = stats.getDouble(2 * i)
+      val mx = stats.getDouble(2 * i + 1)
+      val span = if (mx > mn) mx - mn else 1.0
+      least(greatest(
+          floor((coalesce(col(c).cast("double"), lit(mn)) - mn) / span * side),
+          lit(0.0)),
+        lit((side - 1).toDouble)).cast("long")
+    }
+    // bit j of dim i lands at position j*nd + i
+    val z = (0 until bitsPerDim).flatMap { j =>
+      buckets.zipWithIndex.map { case (b, i) =>
+        shiftleft(shiftright(b, j).bitwiseAND(lit(1L)), j * nd + i)
+      }
+    }.reduce(_ bitwiseOR _)
+    df.withColumn("_z", z)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

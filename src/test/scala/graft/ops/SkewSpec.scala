@@ -52,6 +52,18 @@ class SkewSpec extends SparkSpec {
     assert(demo.pairsAqe >= 1000L * 999 / 2, s"hot clique pairs missing: ${demo.pairsAqe}")
   }
 
+  test("runtime bloom filter reaches the fact-side scan on a selective shuffle join") {
+    // the row-group analogue of partition pruning: a selective dim
+    // predicate becomes might_contain() on the fact scan, so fact
+    // rows die at the scan instead of riding the shuffle. Must be
+    // result-invariant with the feature off.
+    val demo = graft.PlanChecks.bloomFilterJoinDemo(spark)
+    assert(demo.bloomInjected, "expected might_contain in the fact-side optimized plan")
+    assert(demo.sumFiltered == demo.sumPlain,
+      s"runtime filter changed results: ${demo.sumFiltered} vs ${demo.sumPlain}")
+    assert(demo.sumFiltered > 0)
+  }
+
   test("writeBucketed persists a catalog table joinable without shuffle of that side") {
     // warehouse dir is a temp dir set at session build (SparkSpec)
     Skew.writeBucketed(skewed, "bucketed_skewed", "key", 4)

@@ -43,6 +43,43 @@ class StorageSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 5000)
   }
 
+  test("z-ordered write shrinks BOTH dims' per-file ranges (multi-dim skipping)") {
+    val rng = new scala.util.Random(7)
+    val df = (1 to 40000)
+      .map(i => (rng.nextDouble() * 1000.0, rng.nextDouble() * 1000.0, i))
+      .toDF("x", "y", "id")
+
+    def perFileSpans(dir: String): Array[(Double, Double)] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+        .map { f =>
+          val r = spark.read.parquet(f)
+            .agg(min($"x"), max($"x"), min($"y"), max($"y")).head()
+          (r.getDouble(1) - r.getDouble(0), r.getDouble(3) - r.getDouble(2))
+        }
+
+    val zDir = java.nio.file.Files.createTempDirectory("zstore").toString + "/t"
+    Storage.writeZOrdered(df, zDir, Seq("x", "y"), numFiles = 16)
+    val zSpans = perFileSpans(zDir)
+    assert(zSpans.length == 16)
+    val zX = zSpans.map(_._1).sum / zSpans.length
+    val zY = zSpans.map(_._2).sum / zSpans.length
+    // 16 files over 2 dims ≈ a 4×4 tiling: each dim's per-file span
+    // ~ span/4, so footer stats prune for predicates on EITHER dim
+    assert(zX < 600.0, s"avg x-span $zX")
+    assert(zY < 600.0, s"avg y-span $zY")
+    assert(spark.read.parquet(zDir).count() == 40000)
+
+    // single-dim sorted baseline: x-spans collapse but y-spans stay
+    // ~the whole domain — no pruning for y predicates
+    val sDir = java.nio.file.Files.createTempDirectory("sstore").toString + "/t"
+    Storage.writeRangeSorted(df, sDir, "x", numFiles = 16)
+    val sSpans = perFileSpans(sDir)
+    val sY = sSpans.map(_._2).sum / sSpans.length
+    assert(sY > 800.0, s"single-dim y-span $sY")
+    assert(zY < 0.6 * sY)
+  }
+
   test("approx median within tolerance of exact; approx distinct near exact") {
     val rng = new scala.util.Random(13)
     val long = (1 to 20000).map(i => (i, "s", rng.nextGaussian() * 10 + 50))
