@@ -116,6 +116,39 @@ object Sketches {
       .select(col("q"), col(valueCol).cast("double").as("value"))
   }
 
+  /** Per-group [[sampleQuantiles]]: bottom-k hash sample WITHIN each
+    * key (window partitioned by the key — state per key-group, no
+    * global collapse), per-group sample size m, value at rank
+    * max(1, ceil(q·m)). One row per (key, q). The whole chain is
+    * window + join relational algebra — no driver actions at all
+    * (unlike the global variant, whose m is a driver scalar). */
+  def sampleQuantilesByKey(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      idCol: String,
+      k: Int,
+      qs: Seq[Double],
+      tag: String = "sq"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = df.filter(col(valueCol).isNotNull)
+      .select((keys.map(col) :+ col(valueCol) :+ col(idCol)): _*)
+      .withColumn("_h", h60(concat_ws("|", lit(tag), col(idCol).cast("string"))))
+    val sample = DistributedRank.topKPerKey(
+      hashed, keys, "_h", ascending = true, tieCols = Seq(idCol), k, outCol = "_hr")
+    val m = sample.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_m"))
+    val ranked = DistributedRank.topKPerKey(
+      sample, keys, valueCol, ascending = true, tieCols = Seq(idCol), k, outCol = "_rn")
+    val qdf = qs.toDF("q")
+    ranked.join(m, keys)
+      .crossJoin(broadcast(qdf))
+      .filter(col("_rn") ===
+        greatest(lit(1L), ceil(col("q") * col("_m").cast("double"))))
+      .select((keys.map(col) :+ col("q") :+
+        col(valueCol).cast("double").as("value")): _*)
+  }
+
   /** Priority sampling (Duffield, Lund, Thorup — JACM 2007): a
     * weight-sensitive sample of k rows supporting unbiased subset-sum
     * estimation. Each row draws u = (h60+0.5)/2⁶⁰ ∈ (0,1) from its id

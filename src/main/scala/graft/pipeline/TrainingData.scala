@@ -174,6 +174,33 @@ object TrainingData {
     * rebalance languages or sources to target rates). Row-local, no
     * shuffle, linear scan at any scale. Strata missing from
     * `fractions` are dropped (rate 0). */
+  /** Per-key cost budget — the "at most N tokens per source" curation
+    * stage: rows within each key get the seeded content-hash order of
+    * [[shuffleOrder]] (so the kept subset is a deterministic uniform
+    * pick, not ingestion-order biased), and survive while the running
+    * cost stays within `budget`. One window PARTITIONED by the key —
+    * state per key-group, linear at any scale, no global collapse.
+    * Returns the kept rows plus `cum_cost` (inclusive running cost).
+    * Costs are cast to long; the running sum is exact. */
+  def budgetPerKey(
+      df: DataFrame,
+      keyCol: String,
+      costCol: String,
+      idCol: String,
+      budget: Long,
+      seed: Long): DataFrame = {
+    val h = conv(substring(md5(concat_ws("|", lit(s"b$seed"), col(idCol).cast("string"))),
+      1, 15), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col("_bh").asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("_bh", h)
+      .withColumn("cum_cost", sum(col(costCol).cast("long")).over(w))
+      .filter(col("cum_cost") <= budget)
+      .drop("_bh")
+  }
+
   def stratifiedSample(
       df: DataFrame,
       strataCol: String,

@@ -93,5 +93,59 @@ object SketchQueries extends QueryProvider {
         GREATEST(weight, COALESCE((SELECT tau FROM tau), weight)) AS est_weight
       FROM r WHERE rn <= $psK"""))
 
-  override def all: Seq[Q] = Seq(qKmv, qSampleQuantiles, qPrioritySample)
+  // ---- per-group sample quantiles: bottom-k hash sample WITHIN each
+  //      key (windows partitioned by the key), value at ceil(q·m) with
+  //      the per-group m joined in-plan — no driver scalar. ----
+  private val sqgK = 256
+  private val sqgQs = Seq(0.25, 0.5, 0.9)
+  private val qQuantilesByKey = Q(
+    "q_sketch_quantiles_by_key",
+    (s, d) => Sketches.sampleQuantilesByKey(
+      Tables.orders(s, d), Seq("o_orderstatus"), "o_totalprice", "o_orderkey",
+      sqgK, sqgQs),
+    Some(s"""
+      WITH h AS (
+        SELECT o_orderstatus, o_totalprice AS v, o_orderkey AS id,
+          ${h60Sql("CONCAT('sq|', CAST(o_orderkey AS VARCHAR))")} AS h
+        FROM orders WHERE o_totalprice IS NOT NULL),
+      s AS (
+        SELECT * FROM (
+          SELECT o_orderstatus, v, id,
+            ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY h, id) AS hr
+          FROM h)
+        WHERE hr <= $sqgK),
+      m AS (SELECT o_orderstatus, COUNT(*) AS m FROM s GROUP BY 1),
+      r AS (
+        SELECT o_orderstatus, v, id,
+          ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY v, id) AS rn
+        FROM s)
+      SELECT r.o_orderstatus, t.q, CAST(r.v AS DOUBLE) AS value
+      FROM r
+      JOIN m USING (o_orderstatus)
+      CROSS JOIN (VALUES ${sqgQs.map(q => s"(CAST('$q' AS DOUBLE))").mkString(", ")}) AS t(q)
+      WHERE r.rn = GREATEST(1, CAST(CEIL(t.q * CAST(m.m AS DOUBLE)) AS BIGINT))"""))
+
+  // ---- per-key cost budget (token budget per source): seeded
+  //      content-hash order within each source, keep while the running
+  //      cost fits. DuckDB window SUM over BIGINT is HUGEINT — cast
+  //      (invariant 2). ----
+  private val budgetChars = 4000L
+  private val qSourceBudget = Q(
+    "q_source_budget",
+    (s, d) => graft.pipeline.TrainingData.budgetPerKey(
+        Tables.documents(s, d), "source", "n_chars", "doc_id",
+        budget = budgetChars, seed = 42L)
+      .select(col("doc_id"), col("source"), col("cum_cost")),
+    Some(s"""
+      SELECT doc_id, source, CAST(cum AS BIGINT) AS cum_cost FROM (
+        SELECT doc_id, source,
+          SUM(n_chars) OVER (
+            PARTITION BY source
+            ORDER BY ${h60Sql("CONCAT('b42|', CAST(doc_id AS VARCHAR))")}, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM documents)
+      WHERE cum <= $budgetChars"""))
+
+  override def all: Seq[Q] = Seq(
+    qKmv, qSampleQuantiles, qPrioritySample, qQuantilesByKey, qSourceBudget)
 }

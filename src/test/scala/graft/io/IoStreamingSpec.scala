@@ -268,6 +268,30 @@ class IoStreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streaming KMV distinct sketch equals the batch sketch (mergeable state)") {
+    // the sketch's merge-order independence is exactly what a
+    // streaming aggregation needs: the state-store buffer must land on
+    // the same k-min set as one-shot batch, whatever the micro-batch
+    // slicing
+    import graft.ops.Sketches
+    import graft.functions.SketchFunctions
+    val dir = "/root/testdata/sf0.001"
+    val h = Sketches.h60(concat_ws("|", lit("skmv"), $"user_id".cast("string")))
+    val agg = EventStream.readEvents(spark, eventsDir)
+      .groupBy($"event_type")
+      .agg(SketchFunctions.kmvMins(h, 64).as("mins"))
+    val q = EventStream.runToMemory(agg, "kmv_stream", outputMode = "complete")
+    q.stop()
+    val got = spark.table("kmv_stream")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    val batch = graft.Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(SketchFunctions.kmvMins(h, 64).as("mins"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    assert(got.nonEmpty)
+    assert(got == batch)
+  }
+
   test("streaming curation gates+dedup equal the batch stages on the same docs") {
     // stage a small documents slice as a streaming source dir
     val dir = Files.createTempDirectory("docs_stream")

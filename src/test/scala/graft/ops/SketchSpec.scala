@@ -75,6 +75,23 @@ class SketchSpec extends SparkSpec {
     assert(qs(1.0) == 100.0)
   }
 
+  test("per-group sample quantiles: k >= group size is exact, partitioning-invariant") {
+    val df = spark.range(1, 301).select(col("id"),
+      (col("id") % 3).cast("string").as("g"),
+      col("id").cast("double").as("v"))
+    // k >= every group (100 rows each): rank selection is exact
+    val qs = Sketches.sampleQuantilesByKey(df, Seq("g"), "v", "id", 512, Seq(0.5, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    // group "1" = {1,4,...,298}: median = value at rank 50 = 148
+    assert(qs(("1", 0.5)) == 148.0)
+    assert(qs(("1", 1.0)) == 298.0)
+    assert(qs(("0", 1.0)) == 300.0)
+    val qs2 = Sketches.sampleQuantilesByKey(
+      df.repartition(7, col("v")), Seq("g"), "v", "id", 512, Seq(0.5, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(qs == qs2)
+  }
+
   test("priority sample: n <= k returns everything with est_weight = weight") {
     val df = spark.range(1, 51).select(col("id"), (col("id") % 7 + 1).cast("double").as("w"))
     val out = Sketches.prioritySample(df, "id", "w", k = 100, seed = 1L).collect()

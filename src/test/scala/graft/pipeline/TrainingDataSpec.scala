@@ -178,6 +178,31 @@ class TrainingDataSpec extends SparkSpec {
     assert(bins(1L) == (2L, 3L, "f g h"))
   }
 
+  test("budgetPerKey keeps a prefix of the seeded order within each key's budget") {
+    val df = (1 to 200).map(i => (i.toLong, s"src${i % 4}", 10L))
+      .toDF("doc_id", "source", "cost")
+    val kept = TrainingData.budgetPerKey(df, "source", "cost", "doc_id",
+      budget = 100L, seed = 5L)
+    val rows = kept.collect()
+    // each key has 50 rows x cost 10; budget 100 keeps exactly 10 per key
+    val perKey = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(perKey.values.toSet == Set(10))
+    // cum_cost is the exact inclusive running sum and respects the cap
+    assert(rows.forall(_.getLong(3) <= 100L))
+    assert(rows.groupBy(_.getString(1)).values
+      .forall(g => g.map(_.getLong(3)).sorted.toSeq == (1 to 10).map(_ * 10L)))
+    // deterministic across partitionings
+    val kept2 = TrainingData.budgetPerKey(df.repartition(13), "source", "cost",
+      "doc_id", budget = 100L, seed = 5L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == rows.map(_.getLong(0)).toSet)
+    // a different seed picks a different prefix
+    val kept3 = TrainingData.budgetPerKey(df, "source", "cost", "doc_id",
+      budget = 100L, seed = 6L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept3 != kept2)
+  }
+
   test("shuffleOrder: a seeded permutation, partitioning-independent, seed-sensitive") {
     val docs = (1L to 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     def ranks(df: org.apache.spark.sql.DataFrame, seed: Long): Map[Long, Long] =
