@@ -110,8 +110,133 @@ case class KmvAgg(
     copy(child = newChild)
 }
 
+/** Top-k-by-priority mergeable aggregate — the grouped/streaming face
+  * of priority sampling (Duffield-Lund-Thorup): the buffer holds the k
+  * entries with the highest (priority, id)-order, merge is
+  * union-then-trim, so the result is partitioning- and merge-order-
+  * independent — the same state-store contract as [[KmvAgg]]. Callers
+  * pass k = sampleSize + 1 so the (k)th entry exposes the estimator
+  * threshold τ. Entries are (priority, id, weight) structs, priority
+  * DESC then id ASC; ids must be distinct per group (the dedup key).
+  */
+case class TopKPriorityAgg(
+    pri: Expression,
+    id: Expression,
+    weight: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[TopKPriorityAgg.Entry]]
+  with org.apache.spark.sql.catalyst.trees.TernaryLike[Expression] {
+
+  import TopKPriorityAgg.Entry
+
+  require(k >= 1, s"top-k priority sketch needs k >= 1, got $k")
+
+  override def first: Expression = pri
+  override def second: Expression = id
+  override def third: Expression = weight
+
+  override def createAggregationBuffer(): java.util.TreeSet[Entry] =
+    new java.util.TreeSet[Entry](TopKPriorityAgg.ord)
+
+  private def insert(buf: java.util.TreeSet[Entry], e: Entry): Boolean = {
+    if (buf.size < k) { buf.add(e); true }
+    else if (TopKPriorityAgg.ord.compare(e, buf.last) < 0) {
+      buf.add(e); buf.pollLast(); true
+    } else false
+  }
+
+  override def update(
+      buf: java.util.TreeSet[Entry], input: InternalRow): java.util.TreeSet[Entry] = {
+    val p = pri.eval(input)
+    val i = id.eval(input)
+    val w = weight.eval(input)
+    if (p != null && i != null && w != null)
+      insert(buf, Entry(p.asInstanceOf[Double], i.asInstanceOf[Long], w.asInstanceOf[Double]))
+    buf
+  }
+
+  override def merge(
+      buf: java.util.TreeSet[Entry], other: java.util.TreeSet[Entry]): java.util.TreeSet[Entry] = {
+    // other iterates best-first: stop at the first rejected entry
+    val it = other.iterator()
+    var more = true
+    while (more && it.hasNext) more = insert(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[Entry]): Any = {
+    val out = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = InternalRow(e.pri, e.id, e.weight)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[Entry]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 24 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      bb.putDouble(e.pri); bb.putLong(e.id); bb.putDouble(e.weight)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[Entry] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.add(Entry(bb.getDouble, bb.getLong, bb.getDouble)); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = TopKPriorityAgg.outType
+  override def nullable: Boolean = false
+  override def prettyName: String = "topk_priority"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPriorityAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPriorityAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): TopKPriorityAgg =
+    copy(pri = newFirst, id = newSecond, weight = newThird)
+}
+
+object TopKPriorityAgg {
+  final case class Entry(pri: Double, id: Long, weight: Double)
+
+  /** Priority DESC, id ASC — total order, deterministic under ties. */
+  val ord: java.util.Comparator[Entry] = new java.util.Comparator[Entry] {
+    override def compare(a: Entry, b: Entry): Int = {
+      val c = java.lang.Double.compare(b.pri, a.pri)
+      if (c != 0) c else java.lang.Long.compare(a.id, b.id)
+    }
+  }
+
+  val outType: DataType = ArrayType(StructType(Seq(
+    StructField("pri", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false),
+    StructField("weight", DoubleType, nullable = false))), containsNull = false)
+}
+
 object SketchFunctions {
   /** k smallest distinct values of a LongType hash column, ascending. */
   def kmvMins(h: Column, k: Int): Column =
     Bridge.column(KmvAgg(Bridge.expression(h), k).toAggregateExpression())
+
+  /** k best (priority DESC, id) entries as an array of
+    * (pri, id, weight) structs, best first. */
+  def topKByPriority(pri: Column, id: Column, weight: Column, k: Int): Column =
+    Bridge.column(TopKPriorityAgg(
+      Bridge.expression(pri), Bridge.expression(id), Bridge.expression(weight), k)
+      .toAggregateExpression())
 }

@@ -149,6 +149,43 @@ object Sketches {
         col(valueCol).cast("double").as("value")): _*)
   }
 
+  /** Per-group priority sampling via the mergeable
+    * [[graft.functions.TopKPriorityAgg]]: ONE aggregation (map-side
+    * partials ship ≤ k+1 entries per group per task) instead of the
+    * window + joins a rank formulation needs — and the same aggregate
+    * runs unchanged in a STREAMING groupBy (sample-as-you-ingest;
+    * IoStreamingSpec). Emits (keys..., idCol, weight, est_weight) with
+    * est_weight = max(w, τ_group), τ from the (k+1)-th priority.
+    * ids must be unique within a group. */
+  def prioritySampleByKey(
+      df: DataFrame,
+      keys: Seq[String],
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      seed: Long): DataFrame = {
+    val u = (h60(concat_ws("|", lit(s"ps$seed"), col(idCol).cast("string")))
+      .cast("double") + lit(0.5)) / lit(TwoPow60)
+    val tops = df
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .groupBy(keys.map(col): _*)
+      .agg(graft.functions.SketchFunctions.topKByPriority(
+        col(weightCol).cast("double") / u,
+        col(idCol).cast("long"),
+        col(weightCol).cast("double"), k + 1).as("_top"))
+    tops
+      .withColumn("_tau",
+        when(size(col("_top")) === k + 1,
+          element_at(col("_top"), k + 1).getField("pri")))
+      .select((keys.map(col) :+ col("_tau") :+
+        explode(slice(col("_top"), 1, k)).as("_e")): _*)
+      .select((keys.map(col) :+
+        col("_e.id").as(idCol) :+
+        col("_e.weight").as("weight") :+
+        greatest(col("_e.weight"), coalesce(col("_tau"), col("_e.weight")))
+          .as("est_weight")): _*)
+  }
+
   /** Priority sampling (Duffield, Lund, Thorup — JACM 2007): a
     * weight-sensitive sample of k rows supporting unbiased subset-sum
     * estimation. Each row draws u = (h60+0.5)/2⁶⁰ ∈ (0,1) from its id

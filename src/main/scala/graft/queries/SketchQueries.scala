@@ -146,6 +146,36 @@ object SketchQueries extends QueryProvider {
         FROM documents)
       WHERE cum <= $budgetChars"""))
 
+  // ---- per-group priority sampling through the mergeable
+  //      TopKPriorityAgg (one aggregation, map-side ≤k+1 entries per
+  //      group) — τ per group from the (k+1)-th priority. ----
+  private val psgK = 64
+  private val qPrioritySampleByKey = Q(
+    "q_priority_sample_by_key",
+    (s, d) => Sketches.prioritySampleByKey(
+      Tables.orders(s, d), Seq("o_orderstatus"), "o_orderkey", "o_totalprice",
+      psgK, seed = 7L),
+    Some(s"""
+      WITH p AS (
+        SELECT o_orderstatus, o_orderkey, CAST(o_totalprice AS DOUBLE) AS weight,
+          CAST(o_totalprice AS DOUBLE) /
+            ((CAST(${h60Sql("CONCAT('ps7|', CAST(o_orderkey AS VARCHAR))")} AS DOUBLE)
+              + 0.5) / $twoPow60Sql) AS pri
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+      r AS (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY o_orderstatus ORDER BY pri DESC, o_orderkey) AS rn
+        FROM p),
+      tau AS (
+        SELECT o_orderstatus, MAX(CASE WHEN rn = ${psgK + 1} THEN pri END) AS tau
+        FROM r GROUP BY 1)
+      SELECT r.o_orderstatus, r.o_orderkey, r.weight,
+        GREATEST(r.weight, COALESCE(tau.tau, r.weight)) AS est_weight
+      FROM r JOIN tau USING (o_orderstatus)
+      WHERE r.rn <= $psgK"""))
+
   override def all: Seq[Q] = Seq(
-    qKmv, qSampleQuantiles, qPrioritySample, qQuantilesByKey, qSourceBudget)
+    qKmv, qSampleQuantiles, qPrioritySample, qQuantilesByKey, qSourceBudget,
+    qPrioritySampleByKey)
 }

@@ -292,6 +292,34 @@ class IoStreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streaming priority-sample aggregate equals the batch aggregate") {
+    // sample-as-you-ingest: the top-k-by-priority buffer merges across
+    // micro-batches to the same set as one-shot batch
+    import graft.ops.Sketches
+    import graft.functions.SketchFunctions
+    val dir = "/root/testdata/sf0.001"
+    def pri = $"value".cast("double") /
+      ((Sketches.h60(concat_ws("|", lit("sps|"), $"event_id".cast("string")))
+        .cast("double") + lit(0.5)) / lit(Sketches.TwoPow60))
+    val agg = EventStream.readEvents(spark, eventsDir)
+      .filter($"value".isNotNull && $"value" > 0)
+      .groupBy($"event_type")
+      .agg(SketchFunctions.topKByPriority(pri, $"event_id", $"value".cast("double"), 32).as("top"))
+    val q = EventStream.runToMemory(agg, "ps_stream", outputMode = "complete")
+    q.stop()
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(e => (e.getDouble(0), e.getLong(1))).toList).toMap
+    val got = toMap(spark.table("ps_stream").collect())
+    val batch = toMap(graft.Tables.events(spark, dir)
+      .filter($"value".isNotNull && $"value" > 0)
+      .groupBy($"event_type")
+      .agg(SketchFunctions.topKByPriority(pri, $"event_id", $"value".cast("double"), 32).as("top"))
+      .collect())
+    assert(got.nonEmpty)
+    assert(got == batch)
+  }
+
   test("streaming curation gates+dedup equal the batch stages on the same docs") {
     // stage a small documents slice as a streaming source dir
     val dir = Files.createTempDirectory("docs_stream")

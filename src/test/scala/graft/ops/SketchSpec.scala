@@ -114,6 +114,31 @@ class SketchSpec extends SparkSpec {
     assert(sampled.filter(col("id") <= 10).count() == 10)
   }
 
+  test("prioritySampleByKey on one group equals the global prioritySample") {
+    val df = spark.range(1, 2001).select(col("id"),
+      lit("g").as("grp"), (pmod(col("id"), lit(19)) + 1).cast("double").as("w"))
+    val global = Sketches.prioritySample(df, "id", "w", 100, 3L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val grouped = Sketches.prioritySampleByKey(df, Seq("grp"), "id", "w", 100, 3L)
+      .select(col("id"), col("weight"), col("est_weight"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(grouped == global)
+  }
+
+  test("prioritySampleByKey is partitioning-invariant and respects group budgets") {
+    val df = spark.range(1, 3001).select(col("id"),
+      (col("id") % 3).cast("string").as("grp"),
+      (pmod(col("id"), lit(11)) + 1).cast("double").as("w"))
+    val a = Sketches.prioritySampleByKey(df, Seq("grp"), "id", "w", 50, 9L)
+    val rowsA = a.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toSet
+    val b = Sketches.prioritySampleByKey(
+      df.repartition(17, col("id")), Seq("grp"), "id", "w", 50, 9L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(rowsA == b)
+    val perGroup = rowsA.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perGroup.values.forall(_ == 50)) // 1000 rows per group >> k
+  }
+
   test("priority sample is partitioning-invariant") {
     val df = spark.range(1, 3001).select(col("id"), (pmod(col("id"), lit(13)) + 1).cast("double").as("w"))
     val a = Sketches.prioritySample(df, "id", "w", 64, 7L)
