@@ -149,6 +149,63 @@ object Sketches {
         col(valueCol).cast("double").as("value")): _*)
   }
 
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) as a RELATIONAL
+    * artifact: `depth` hash rows × `width` counters, built with one
+    * groupBy over (row, bucket) — partial aggregation compresses each
+    * map task's contribution to ≤ depth·width counters, so the sketch
+    * of an arbitrarily large column ships O(depth·width) per task.
+    * Merging sketches of two corpora is `union + groupBy sum` —
+    * counter addition is commutative, which is why (unlike
+    * Misra-Gries / SpaceSaving, whose summaries depend on merge
+    * order) the whole structure is bitwise deterministic and
+    * oracle-replayable.
+    *
+    * bucket_i(x) = h60("cms<seed>|<i>|" + x) mod width — d independent
+    * draws from the portable md5 family, no 128-bit arithmetic needed.
+    * Returns (row, bucket, c). Point estimate: [[cmsEstimate]] —
+    * est(x) = min_i counter[i][bucket_i(x)], with the classic
+    * guarantees exact ≤ est and est ≤ exact + εN w.h.p.
+    * (ε = e/width, failure prob e^-depth). */
+  def cmsBuild(
+      df: DataFrame,
+      itemCol: String,
+      depth: Int,
+      width: Int,
+      seed: Long = 0L): DataFrame = {
+    require(depth >= 1 && width >= 2, s"cms needs depth>=1 width>=2, got $depth x $width")
+    val rows = (0 until depth).map { i =>
+      df.filter(col(itemCol).isNotNull).select(
+        lit(i).as("row"),
+        pmod(h60(concat_ws("|", lit(s"cms$seed"), lit(i.toString),
+          col(itemCol).cast("string"))), lit(width.toLong)).as("bucket"))
+    }
+    rows.reduce(_ unionByName _)
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Probe a [[cmsBuild]] sketch: estimated count per probe item =
+    * min over the depth rows of that item's counter (absent counter =
+    * 0). `probes` needs an `item` column; the sketch is tiny
+    * (≤ depth·width rows) so the join broadcasts. */
+  def cmsEstimate(
+      cms: DataFrame,
+      probes: DataFrame,
+      depth: Int,
+      width: Int,
+      seed: Long = 0L): DataFrame = {
+    val keyed = (0 until depth).map { i =>
+      probes.select(
+        col("item"),
+        lit(i).as("row"),
+        pmod(h60(concat_ws("|", lit(s"cms$seed"), lit(i.toString),
+          col("item").cast("string"))), lit(width.toLong)).as("bucket"))
+    }.reduce(_ unionByName _)
+    keyed.join(broadcast(cms), Seq("row", "bucket"), "left")
+      .groupBy(col("item"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+  }
+
   /** Per-group priority sampling via the mergeable
     * [[graft.functions.TopKPriorityAgg]]: ONE aggregation (map-side
     * partials ship ≤ k+1 entries per group per task) instead of the

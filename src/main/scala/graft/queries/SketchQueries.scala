@@ -175,7 +175,41 @@ object SketchQueries extends QueryProvider {
       FROM r JOIN tau USING (o_orderstatus)
       WHERE r.rn <= $psgK"""))
 
+  // ---- Count-Min sketch: depth×width counter table from ONE groupBy
+  //      (map tasks ship ≤ depth·width counters), probed by min over
+  //      rows. Counter sums are commutative → bitwise deterministic,
+  //      full SQL replay. ----
+  private val cmsDepth = 3
+  private val cmsWidth = 1024
+  private val qCmsCounts = Q(
+    "q_cms_counts",
+    (s, d) => Sketches.cmsEstimate(
+      Sketches.cmsBuild(Tables.lineitem(s, d), "l_partkey", cmsDepth, cmsWidth),
+      s.range(1, 17).select(col("id").as("item")),
+      cmsDepth, cmsWidth),
+    Some {
+      val rowsVals = (0 until cmsDepth).map(i => s"($i)").mkString(", ")
+      def bucketSql(itemExpr: String) =
+        s"${h60Sql(s"CONCAT('cms0|', CAST(i.row_i AS VARCHAR), '|', CAST($itemExpr AS VARCHAR))")} % $cmsWidth"
+      s"""
+      WITH cms AS (
+        SELECT row_i, bucket, CAST(COUNT(1) AS BIGINT) AS c
+        FROM (
+          SELECT i.row_i, ${bucketSql("l_partkey")} AS bucket
+          FROM lineitem, (VALUES $rowsVals) AS i(row_i)
+          WHERE l_partkey IS NOT NULL)
+        GROUP BY 1, 2),
+      probe AS (
+        SELECT CAST(p.item AS BIGINT) AS item, i.row_i, ${bucketSql("p.item")} AS bucket
+        FROM (SELECT UNNEST(GENERATE_SERIES(1, 16)) AS item) p,
+             (VALUES $rowsVals) AS i(row_i))
+      SELECT probe.item, CAST(MIN(COALESCE(cms.c, 0)) AS BIGINT) AS est
+      FROM probe
+      LEFT JOIN cms ON cms.row_i = probe.row_i AND cms.bucket = probe.bucket
+      GROUP BY 1"""
+    })
+
   override def all: Seq[Q] = Seq(
     qKmv, qSampleQuantiles, qPrioritySample, qQuantilesByKey, qSourceBudget,
-    qPrioritySampleByKey)
+    qPrioritySampleByKey, qCmsCounts)
 }

@@ -89,6 +89,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("sketch aggregates are partial below the exchange (map-side k-bounded)") {
+    // the KMV/top-k-priority scale contract: each map task ships at
+    // most k entries per group — visible as a partial_ aggregate
+    // below the shuffle. A regression to final-only aggregation would
+    // shuffle every raw row to the reducers.
+    val pKmv = plan("q_kmv_distinct")
+    assert(pKmv.contains("partial_kmv_mins"), pKmv)
+    val pPs = plan("q_priority_sample_by_key")
+    assert(pPs.contains("partial_topk_priority"), pPs)
+    // and the sample/top-k ops stay TakeOrdered, never a global sort
+    val pSq = plan("q_sketch_quantiles")
+    assert(pSq.contains("TakeOrderedAndProject"), pSq)
+  }
+
   test("distributed ntile has no unpartitioned data-plane window") {
     val df = Registry.queries("q_ntile_chunks")(spark, sf)
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))

@@ -148,6 +148,31 @@ class SketchSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("count-min sketch: never underestimates, bounded excess, mergeable by sum") {
+    // zipf-ish corpus: item j appears 2000/j times
+    val data = (1 to 50).flatMap(j => Seq.fill(2000 / j)(j.toLong)).toDF("item")
+    val n = data.count()
+    val (d, w) = (3, 256)
+    val cms = Sketches.cmsBuild(data, "item", d, w, seed = 1L)
+    val probes = spark.range(1, 51).select(col("id").as("item"))
+    val est = Sketches.cmsEstimate(cms, probes, d, w, seed = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = (1 to 50).map(j => j.toLong -> (2000L / j)).toMap
+    est.foreach { case (item, e) =>
+      assert(e >= exact(item), s"CMS underestimated item $item")
+      // E[excess] = n/w per row; min over d rows makes 8n/w generous
+      assert(e <= exact(item) + 8 * n / w, s"item $item: est $e exact ${exact(item)}")
+    }
+    // merge = union + sum: sketch(a ∪ b) == sketch(a) + sketch(b)
+    val a = Sketches.cmsBuild(data.filter(col("item") <= 25), "item", d, w, 1L)
+    val b = Sketches.cmsBuild(data.filter(col("item") > 25), "item", d, w, 1L)
+    val merged = a.unionByName(b).groupBy(col("row"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = cms.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole)
+  }
+
   private implicit class JavaTreeSetOps(ts: java.util.TreeSet[java.lang.Long]) {
     def asScala: Iterator[Long] = {
       val it = ts.iterator()
