@@ -279,6 +279,71 @@ object TextHash {
     new GenericArrayData(arr)
   }
 
+  /** [[winnowing]] selection, but returning the selected k-gram
+    * SUBSTRINGS (distinct, first-occurrence order) instead of their
+    * hashes. A gram is selected iff its hash is one of the document's
+    * window minima — the position/tie-free restatement of winnowing
+    * that an external SQL engine replays as a hash-set join, with no
+    * argmin-within-window tie rule to mirror. The gram strings are
+    * what [[graft.text.Dedup.sharedSpanPairs]] joins on: equal gram =
+    * exact shared substring, so candidate = verified in one step. */
+  def winnowingGrams(
+      text: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int): ArrayData = {
+    val len = text.numChars()
+    val nGrams = math.max(len - (k - 1), 1)
+    val grams = new Array[Long](nGrams)
+    val bytes = text.getBytes
+    val starts = new Array[Int](len + 1)
+    var ci = 0
+    var bi = 0
+    while (ci < len) {
+      starts(ci) = bi
+      val b = bytes(bi)
+      bi += (if ((b & 0x80) == 0) 1
+             else if ((b & 0xe0) == 0xc0) 2
+             else if ((b & 0xf0) == 0xe0) 3
+             else 4)
+      ci += 1
+    }
+    starts(len) = bytes.length
+    val md = md5Local.get()
+    val digestBuf = new Array[Byte](16)
+    var i = 0
+    while (i < nGrams) {
+      val from = starts(i)
+      val until = starts(math.min(i + k, len))
+      grams(i) = top60(md, bytes, from, until - from, digestBuf)
+      i += 1
+    }
+    val lastStart = math.max(nGrams - w, 0)
+    val minima = new java.util.HashSet[java.lang.Long]
+    i = 0
+    while (i <= lastStart) {
+      var m = grams(i)
+      var j = i + 1
+      val end = math.min(i + w, nGrams)
+      while (j < end) { if (grams(j) < m) m = grams(j); j += 1 }
+      minima.add(m)
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]
+    i = 0
+    while (i < nGrams) {
+      if (minima.contains(grams(i))) {
+        val from = starts(i)
+        val until = starts(math.min(i + k, len))
+        out.add(org.apache.spark.unsafe.types.UTF8String.fromBytes(
+          bytes, from, until - from))
+      }
+      i += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var p = 0
+    while (it.hasNext) { arr(p) = it.next(); p += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** 60-bit SimHash in ONE pass over the token array: per token one
     * md5Top60, per bit a ±1 sign-sum, positives packed. 60 bits (not
     * 63) because the base hash carries md5's top 60 bits — exactly
@@ -403,6 +468,19 @@ case class WinnowingExpr(child: Expression, k: Int, w: Int)
   override def prettyName: String = "winnowing_fingerprints"
 }
 
+/** Winnowing-selected k-gram substrings (distinct) over a text column. */
+case class WinnowingGramsExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(in: Any): Any =
+    TextHash.winnowingGrams(in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextHash.winnowingGrams($a, $k, $w);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "winnowing_grams"
+}
+
 /** Codegen'd literal-substring occurrence count. */
 case class SubstringCountExpr(child: Expression, sub: String)
     extends UnaryExpression with Serializable {
@@ -473,6 +551,10 @@ object TextHashExpressions {
   /** One-pass winnowing fingerprint set (codegen'd). */
   def winnowing(text: Column, k: Int, w: Int): Column =
     Bridge.column(WinnowingExpr(Bridge.expression(text), k, w))
+
+  /** Winnowing-selected k-gram substrings (codegen'd). */
+  def winnowingGrams(text: Column, k: Int, w: Int): Column =
+    Bridge.column(WinnowingGramsExpr(Bridge.expression(text), k, w))
 
   /** Distinct word n-gram shingles over a text column (codegen'd). */
   def wordShingles(text: Column, n: Int): Column =

@@ -173,13 +173,17 @@ object Sketches {
       width: Int,
       seed: Long = 0L): DataFrame = {
     require(depth >= 1 && width >= 2, s"cms needs depth>=1 width>=2, got $depth x $width")
-    val rows = (0 until depth).map { i =>
-      df.filter(col(itemCol).isNotNull).select(
-        lit(i).as("row"),
-        pmod(h60(concat_ws("|", lit(s"cms$seed"), lit(i.toString),
-          col(itemCol).cast("string"))), lit(width.toLong)).as("bucket"))
-    }
-    rows.reduce(_ unionByName _)
+    // ONE scan of the source: each row fans out to its `depth` hash
+    // rows via explode(sequence) — a union of per-row-index scans
+    // would read a 100 TB column `depth` times for identical output.
+    df.filter(col(itemCol).isNotNull)
+      .select(
+        explode(sequence(lit(0), lit(depth - 1))).as("row"),
+        col(itemCol).cast("string").as("_item"))
+      .select(
+        col("row"),
+        pmod(h60(concat_ws("|", lit(s"cms$seed"), col("row").cast("string"),
+          col("_item"))), lit(width.toLong)).as("bucket"))
       .groupBy(col("row"), col("bucket"))
       .agg(count(lit(1)).as("c"))
   }

@@ -416,6 +416,44 @@ object TextQueries extends QueryProvider {
       SELECT d.doc_id, f.n_fingerprints FROM documents d
       LEFT JOIN fp f ON f.doc_id = d.doc_id"""))
 
+  // ---- exact shared-substring near-dup pairs (Lee et al. 2022 style):
+  //      winnowing-SELECTED k-gram strings as the join key (candidate =
+  //      verified — equal gram IS equal text), document-frequency cap
+  //      as the deterministic stop-gram/skew guard. The hash-free
+  //      "h ∈ window-minima set" selection restatement makes the SQL
+  //      replay a set join with no argmin tie rule. ----
+  private val spanK = 12
+  private val spanW = 4
+  private val spanMaxDf = 64L
+  private val spanMinShared = 2L
+  private val qSharedSpans = Q(
+    "q_shared_span_pairs",
+    (s, d) => Dedup.sharedSpanPairs(
+      Tables.documents(s, d), "doc_id", "text", spanK, spanW, spanMaxDf, spanMinShared),
+    Some(s"""
+      WITH g AS (SELECT doc_id, text,
+          UNNEST(generate_series(1, GREATEST(LENGTH(text) - ${spanK - 1}, 1))) AS i
+        FROM documents),
+      gh AS (SELECT doc_id, SUBSTR(text, i, $spanK) AS gram, i,
+          ${h60Sql(s"SUBSTR(text, i, $spanK)")} AS h FROM g),
+      wm AS (SELECT doc_id, i, h,
+          MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN CURRENT ROW AND ${spanW - 1} FOLLOWING) AS m,
+          COUNT(*) OVER (PARTITION BY doc_id) AS ng
+        FROM gh),
+      minima AS (SELECT DISTINCT doc_id, m FROM wm
+        WHERE i <= GREATEST(ng - $spanW, 0) + 1),
+      sel AS (SELECT DISTINCT gh.doc_id, gh.gram
+        FROM gh JOIN minima ON minima.doc_id = gh.doc_id AND minima.m = gh.h),
+      rare AS (SELECT gram FROM sel GROUP BY gram HAVING COUNT(*) <= $spanMaxDf)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sel a
+      JOIN rare r ON r.gram = a.gram
+      JOIN sel b ON b.gram = a.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= $spanMinShared"""))
+
   // threshold low enough that the synthetic corpus yields pairs;
   // exercises multi-table bucketing + dedup + verify-join. numPlanes=8
   // → 256 buckets/table (the operator's scale floor); two tables
@@ -1317,5 +1355,6 @@ object TextQueries extends QueryProvider {
     qWinnow, qLshPairs, qCurate,
     qTokenTopK, qStratSample, qMixSources, qContamination, qRepetition, qCurationSignals,
     qPiiRedact, qLmScore, qAnnPq, qAnnIvfPq, qDedupClusters, qAnnIvfPruned, qAnnLshPruned,
-    qPack, qTfIdf, qChunk, qPackBins, qAnnRecall, qSemanticPairs, qShuffle)
+    qPack, qTfIdf, qChunk, qPackBins, qAnnRecall, qSemanticPairs, qShuffle,
+    qSharedSpans)
 }

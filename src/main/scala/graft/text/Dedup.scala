@@ -445,4 +445,51 @@ object Dedup {
           (col("_sza") + col("_szb") - coalesce(col("_inter"), lit(0L))).cast("double"))
           .as("jaccard"))
   }
+
+  /** Exact shared-SUBSTRING near-dup pairs (the "exact substring
+    * dedup" of Lee et al. 2022, Deduplicating Training Data Makes
+    * Language Models Better — re-expressed relationally): emit
+    * (doc_a, doc_b, n_shared) for document pairs sharing >= `minShared`
+    * winnowing-SELECTED k-character grams. The winnowing guarantee
+    * (Schleimer/Wilkerson/Aiken 2003) makes recall structural: ANY
+    * shared span of length >= k+w-1 characters contains at least one
+    * selected gram in both documents, so long verbatim overlaps —
+    * boilerplate, quoted passages, copy-paste — cannot escape, while
+    * only ~1/w of grams ever leave the row.
+    *
+    * Scale shape: the per-doc selection is ONE codegen'd pass
+    * (WinnowingGramsExpr, distinct grams per doc); only (id, gram)
+    * pairs shuffle. The skew bomb — stop-grams appearing in half the
+    * corpus — is removed by a DOCUMENT-FREQUENCY cap before the pair
+    * join: grams in more than `maxDocFreq` docs are dropped (count +
+    * left_semi prune, never a collect_list of a hot key), bounding
+    * per-gram pair fanout at maxDocFreq². Unlike a per-task hot-bucket
+    * cap, the df cap is a pure function of the data — an external SQL
+    * engine replays it exactly (HAVING COUNT(*) <= cap), so the whole
+    * operator is oracle-checkable bit for bit. Candidate = verified in
+    * one step: the join key IS the substring (equal gram = equal
+    * text), no second verification join over the wide text column. */
+  def sharedSpanPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 12,
+      w: Int = 4,
+      maxDocFreq: Long = 64L,
+      minShared: Long = 2L): DataFrame = {
+    val sel = df.select(
+      col(idCol).as("_id"),
+      explode(graft.functions.TextHashExpressions.winnowingGrams(
+        col(textCol), k, w)).as("_gram"))
+    val rare = sel.groupBy(col("_gram")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDocFreq)
+      .select(col("_gram"))
+    val pruned = sel.join(rare, Seq("_gram"), "left_semi")
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a._gram") === col("b._gram") && col("a._id") < col("b._id"))
+      .groupBy(col("a._id").as("doc_a"), col("b._id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -187,6 +187,22 @@ class PlanSpec extends SparkSpec {
     assert(gi >= 0 && p.indexOf("LeftSemi", gi) >= 0, p)
   }
 
+  test("shared-span pairs: equi-join on gram after a semi-join df prune, text never rides the pair join") {
+    val p = plan("q_shared_span_pairs")
+    // stop-gram guard: the pair self-join's inputs must be left_semi
+    // pruned against the under-cap gram set
+    assert(p.contains("LeftSemi"), p)
+    // the pair stage is an equi-join on the gram string — a plan
+    // regression to nested-loop/cartesian would be quadratic in docs
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
+    // the wide text column is consumed by the row-local winnowing
+    // Generate and must not appear in any exchange above it
+    val gi = p.indexOf("Generate")
+    assert(gi >= 0, p)
+    assert(!p.substring(0, gi).contains("text#"),
+      "text column rides above the gram explode:\n" + p.substring(0, gi))
+  }
+
   test("q_jaccard_pairs fixture honors the pre-blocked contract: candidates cover a small corpus fraction") {
     // the operator's contract is pairs from a BLOCKING stage — the
     // semi-join prune only earns its keep if candidates touch a small

@@ -343,4 +343,71 @@ class DedupSpec extends SparkSpec {
     assert(reps.get(1L).contains(1L) && reps.get(2L).contains(1L) && reps.get(4L).contains(1L))
     assert(!reps.contains(3L), "doc 3 shares no degraded bucket")
   }
+
+  test("winnowingGrams selects exactly the grams whose hash is a window minimum") {
+    val k = 5; val w = 4
+    val texts = Seq("abcdefghijklmnopqrstuvwxyz", "aaaaaaaa", "abc", "",
+      "the quick brown fox jumps over the lazy dog")
+    for (t <- texts) {
+      val row = Seq(Tuple1(t)).toDF("text").select(
+        graft.functions.TextHashExpressions.winnowing(col("text"), k, w).as("fps"),
+        graft.functions.TextHashExpressions.winnowingGrams(col("text"), k, w).as("grams"))
+        .head()
+      val fps = row.getSeq[Long](0).toSet
+      val grams = row.getSeq[String](1)
+      assert(grams.distinct == grams, s"grams not distinct for '$t'")
+      // independent reference: every k-gram of t whose md5-top60 is in
+      // the fingerprint set, and no others
+      val n = math.max(t.length - (k - 1), 1)
+      val allGrams = (0 until n).map(i => t.substring(i, math.min(i + k, t.length)))
+      val expected = allGrams.filter { g =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.getBytes("UTF-8"))
+        val top = (0 until 8).foldLeft(0L)((acc, j) => (acc << 8) | (d(j) & 0xffL)) >>> 4
+        fps.contains(top)
+      }.distinct
+      assert(grams.toSet == expected.toSet, s"mismatch for '$t'")
+    }
+  }
+
+  test("sharedSpanPairs: winnowing guarantee detects long shared spans; df cap kills stop-grams") {
+    val k = 12; val w = 4
+    val span = "this exact boilerplate sentence is shared verbatim between two documents"
+    val a = "unique preamble alpha ".concat(span).concat(" unique tail one")
+    val b = "different opening beta ".concat(span).concat(" other ending two")
+    val c = "totally unrelated text about distributed query processing at scale"
+    val corpus = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val pairs = Dedup.sharedSpanPairs(corpus, "doc_id", "text", k, w,
+      maxDocFreq = 64L, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // span length >> k+w-1 → structural guarantee: (1,2) must appear
+    assert(pairs.contains((1L, 2L)), s"guaranteed pair missing: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    // df cap: the same span in MANY docs makes its grams stop-grams.
+    // The cap is on SELECTED-gram document frequency (what the SQL
+    // oracle replays), so boundary-context selection differences can
+    // keep a few shared grams under the cap — the contract is subset
+    // + suppression of the saturated clique, not emptiness.
+    val flood = (10L until 20L).map(i => (i, s"doc number $i preamble ".concat(span)))
+    val flooded = (Seq((1L, a), (2L, b), (3L, c)) ++ flood).toDF("doc_id", "text")
+    def pairsAt(cap: Long) = Dedup.sharedSpanPairs(
+      flooded, "doc_id", "text", k, w, maxDocFreq = cap, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairsAt(1000L)
+    val capped = pairsAt(3L)
+    val floodFlood = (p: (Long, Long)) => p._1 >= 10L && p._2 >= 10L
+    // all C(10,2) flood pairs share " preamble "+span ≥ k+w-1 chars →
+    // structurally guaranteed without the cap
+    assert(uncapped.count(floodFlood) == 45, s"uncapped: ${uncapped.count(floodFlood)}")
+    assert(capped.subsetOf(uncapped))
+    // the guaranteed common gram sits in ≥10 docs > cap=3 → dropped;
+    // the 45-pair clique collapses
+    assert(capped.count(floodFlood) < 45, s"capped clique intact: ${capped.count(floodFlood)}")
+    // minShared raises the evidence bar: the long shared span yields
+    // several selected grams, so (1,2) survives minShared=2
+    val strict = Dedup.sharedSpanPairs(corpus, "doc_id", "text", k, w,
+      maxDocFreq = 64L, minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == Set((1L, 2L)), s"strict: $strict")
+  }
 }
