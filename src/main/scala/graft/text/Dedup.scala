@@ -477,18 +477,72 @@ object Dedup {
       w: Int = 4,
       maxDocFreq: Long = 64L,
       minShared: Long = 2L): DataFrame = {
-    val sel = df.select(
-      col(idCol).as("_id"),
+    val sel = selectedGrams(df, idCol, textCol, k, w)
+    spanPairJoin(sel, gramDocFreq(sel), maxDocFreq, minShared)
+  }
+
+  /** [[sharedSpanPairs]] with the family's global pair-output budget
+    * (graft.ops.PairBudget): the df cap bounds per-GRAM fanout but not
+    * the aggregate Σ df·(df−1)/2 across grams — a boilerplate-heavy
+    * corpus can stay under maxDocFreq per gram and still emit
+    * quadratically many pairs in total. The budget derives the largest
+    * df cap `t` whose under-t grams contribute ≤ `maxPairs` candidate
+    * pairs; grams with t < df ≤ maxDocFreq degrade to (id, rep_id)
+    * representative clusters (linear), and grams over maxDocFreq stay
+    * DROPPED (stop-grams are boilerplate noise, not duplicate
+    * evidence — same semantics as the unbounded form). Under-budget ≡
+    * unbounded; sizeCap is deterministic and oracle-replayable. */
+  def sharedSpanPairsBounded(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 12,
+      w: Int = 4,
+      maxDocFreq: Long = 64L,
+      minShared: Long = 2L,
+      maxPairs: Long = 10000000L): graft.ops.BoundedPairs = {
+    // persist the narrow (id, gram) selection: the budget decision is
+    // a separate driver job (histogram collect) before the pair plan
+    val sel = selectedGrams(df, idCol, textCol, k, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = gramDocFreq(sel)
+    val informative = sel.join(
+      sizes.filter(col("_df") <= maxDocFreq).select(col("_gram")),
+      Seq("_gram"), "left_semi")
+    val cap = math.min(maxDocFreq,
+      graft.ops.PairBudget.sizeCap(
+        sizes.filter(col("_df") <= maxDocFreq), "_df", maxPairs))
+    graft.ops.BoundedPairs(
+      spanPairJoin(informative, sizes, cap, minShared),
+      graft.ops.PairBudget.representatives(informative, Seq("_gram"), idCol, cap),
+      cap)
+  }
+
+  /** One codegen'd pass per doc: DISTINCT winnowing-selected k-gram
+    * substrings, exploded to narrow (id, gram) rows — the only shape
+    * that ever shuffles; the wide text column dies in the projection. */
+  private def selectedGrams(
+      df: DataFrame, idCol: String, textCol: String, k: Int, w: Int): DataFrame =
+    df.select(
+      col(idCol),
       explode(graft.functions.TextHashExpressions.winnowingGrams(
         col(textCol), k, w)).as("_gram"))
-    val rare = sel.groupBy(col("_gram")).agg(count(lit(1)).as("_df"))
-      .filter(col("_df") <= maxDocFreq)
-      .select(col("_gram"))
-    val pruned = sel.join(rare, Seq("_gram"), "left_semi")
+
+  private def gramDocFreq(sel: DataFrame): DataFrame =
+    sel.groupBy(col("_gram")).agg(count(lit(1)).as("_df"))
+
+  /** Shared tail of the capped and budgeted span-pair forms: df-cap
+    * prune (PairBudget.capPrune picks anti-broadcast vs semi by
+    * regime), equi-self-join on the gram string, shared-gram count. */
+  private def spanPairJoin(
+      sel: DataFrame, sizes: DataFrame, cap: Long, minShared: Long): DataFrame = {
+    val pruned = graft.ops.PairBudget.capPrune(
+      sel, sizes, "_df", Seq("_gram"), cap)
+    val idCol = pruned.columns.filter(_ != "_gram").head
     pruned.as("a")
       .join(pruned.as("b"),
-        col("a._gram") === col("b._gram") && col("a._id") < col("b._id"))
-      .groupBy(col("a._id").as("doc_a"), col("b._id").as("doc_b"))
+        col("a._gram") === col("b._gram") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }

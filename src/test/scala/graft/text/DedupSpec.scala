@@ -410,4 +410,40 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(strict == Set((1L, 2L)), s"strict: $strict")
   }
+
+  test("sharedSpanPairsBounded: under budget ≡ unbounded; binding budget → representatives; stop-grams stay dropped") {
+    val k = 12; val w = 4
+    val span = "this exact boilerplate sentence is shared verbatim between two documents"
+    val corpus = ((1L to 30L).map(i => (i, s"doc $i opening words ".concat(span))) :+
+      (99L, "completely unrelated content about query planning and shuffles"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = rows(Dedup.sharedSpanPairs(corpus, "doc_id", "text", k, w,
+      maxDocFreq = 64L, minShared = 1L))
+    assert(full.size >= 30 * 29 / 2, s"clique incomplete: ${full.size}") // guarantee
+    val under = Dedup.sharedSpanPairsBounded(corpus, "doc_id", "text", k, w,
+      maxDocFreq = 64L, minShared = 1L, maxPairs = 1000000000L)
+    assert(rows(under.pairs) == full)
+    assert(under.clusters.count() == 0L)
+    assert(under.sizeCap == 64L)
+    // a binding budget collapses the 30-doc gram groups to reps —
+    // every clique member maps to the min id reachable through a
+    // shared gram group (1 for the grams all 30 share)
+    val bound = Dedup.sharedSpanPairsBounded(corpus, "doc_id", "text", k, w,
+      maxDocFreq = 64L, minShared = 1L, maxPairs = 50L)
+    assert(bound.sizeCap < 30L, s"cap: ${bound.sizeCap}")
+    val reps = bound.clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 30L).forall(i => reps.get(i).contains(1L)), s"reps: ${reps.take(5)}")
+    assert(!reps.contains(99L))
+    assert(rows(bound.pairs).subsetOf(full))
+    // stop-grams are dropped in BOTH routes: with maxDocFreq below the
+    // clique size the shared-span grams are boilerplate, so neither
+    // pairs nor clusters mention them
+    val stopped = Dedup.sharedSpanPairsBounded(corpus, "doc_id", "text", k, w,
+      maxDocFreq = 10L, minShared = 1L, maxPairs = 1000000000L)
+    val stopReps = stopped.clusters.collect().map(r => r.getLong(0)).toSet
+    assert(!stopReps.exists(id => id >= 1L && id <= 30L) || stopReps.isEmpty,
+      s"stop-gram members leaked into clusters: $stopReps")
+  }
 }
