@@ -10,19 +10,21 @@ object Normalize {
     * subtract each sample's median of observed values from every value
     * of that sample. `±inf` already nulled upstream (Reshape.infToNull).
     *
-    * Plan: exact `median` per sample via groupBy (samples are few — the
-    * agg output is tiny) + broadcast rejoin. Exact median is a
-    * sort-based agg per group; at 100 TB per-sample partitions sort in
-    * parallel (one shuffle keyed by sample). Exactness is required for
-    * oracle parity (SURVEY §7.4) — pandas median is exact.
-    */
+    * Plan: exact interpolating median per sample via
+    * [[Quantiles.medianByGroup]] (two-level bucketed rank) + broadcast
+    * rejoin. Spark's `median` aggregate would buffer an entire
+    * sample's values in ONE final-aggregation task — samples are few
+    * but each can be a large fraction of a 100 TB table, which is
+    * exactly the hot-group OOM the bucketed-rank engine exists to
+    * avoid. Bitwise identical to the old `median()` path (same
+    * pandas/DuckDB interpolating definition, (lo+hi)/2 on doubles).
+    * Exactness is required for oracle parity (SURVEY §7.4) — pandas
+    * median is exact. */
   def subtractColumnMedian(
       df: DataFrame,
       sampleCol: String = "sample",
       valueCol: String = "value"): DataFrame = {
-    val medians = df
-      .groupBy(col(sampleCol))
-      .agg(median(col(valueCol)).as("_median"))
+    val medians = Quantiles.medianByGroup(df, sampleCol, valueCol)
     df.join(broadcast(medians), Seq(sampleCol), "left")
       .withColumn(valueCol, col(valueCol) - col("_median"))
       .drop("_median")

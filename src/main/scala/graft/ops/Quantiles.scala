@@ -74,6 +74,70 @@ object Quantiles {
     ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Exact INTERPOLATING median per group (pandas/DuckDB `MEDIAN`
+    * semantics: even n averages the two middle values) on the same
+    * bucketed-rank engine — one row per group, `(group, _median)`.
+    *
+    * This exists because Spark's `median`/`percentile` aggregate
+    * buffers every value of a group in the final aggregation task
+    * (ObjectHashAggregate): exact but O(group) memory on ONE task —
+    * at 100 TB a hot group OOMs the executor. Here ranks come from the
+    * (group, value-bucket) two-level pattern, so no task ever sorts or
+    * holds more than a bucket, and the median is the exact average of
+    * the rank-⌊(n+1)/2⌋ and rank-⌈(n+1)/2⌉ values (odd n: same row,
+    * (v+v)/2 = v bitwise). Ties need no tie-break columns: the VALUE
+    * at a given rank is invariant to the order among equal values.
+    * The (lo+hi)/2 tree must be mirrored verbatim in oracle SQL —
+    * /2.0 on doubles is exact, so both engines agree bitwise. */
+  def medianByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      numBuckets: Int = 1024,
+      outCol: String = "_median"): DataFrame = {
+    val data = df.filter(col(valueCol).isNotNull)
+    val stats = data.groupBy(col(groupCol)).agg(
+      min(col(valueCol)).cast("double").as("_mn"),
+      max(col(valueCol)).cast("double").as("_mx"),
+      count(lit(1)).as("_n"))
+    val span = when(col("_mx") > col("_mn"), col("_mx") - col("_mn")).otherwise(lit(1.0))
+    val bucket = floor(least(greatest(
+        (col(valueCol).cast("double") - col("_mn")) / span * numBuckets, lit(0.0)),
+      lit((numBuckets - 1).toDouble))).cast("int")
+    val bucketed = data.join(broadcast(stats), groupCol).withColumn("_rb", bucket)
+    val wBkt = Window.partitionBy(col(groupCol), col("_rb")).orderBy(col(valueCol))
+    val local = bucketed.withColumn("_lrn", row_number().over(wBkt))
+    val wGrp = Window.partitionBy(col(groupCol)).orderBy(col("_rb"))
+    val offsets = local.groupBy(col(groupCol), col("_rb")).agg(count(lit(1)).as("_bn"))
+      .withColumn("_off", coalesce(
+        sum(col("_bn")).over(wGrp.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(groupCol), col("_rb"), col("_off"))
+    val ranked = local.join(broadcast(offsets), Seq(groupCol, "_rb"))
+      .withColumn("_rn", col("_off") + col("_lrn"))
+    val half = (col("_n") + lit(1L)).cast("double") / lit(2.0)
+    ranked.groupBy(col(groupCol)).agg(
+      ((max(when(col("_rn") === floor(half), col(valueCol).cast("double"))) +
+        max(when(col("_rn") === ceil(half), col(valueCol).cast("double")))) / lit(2.0))
+        .as(outCol))
+  }
+
+  /** The DuckDB mirror of [[medianByGroup]] (same two-rank selection,
+    * same (lo+hi)/2 tree) — one row per group: `(groupCol, outCol)`. */
+  def medianOracleSql(
+      table: String, groupCol: String, valueCol: String,
+      outCol: String = "_median"): String = s"""
+      WITH mb AS (
+        SELECT $groupCol, $valueCol,
+          ROW_NUMBER() OVER (PARTITION BY $groupCol ORDER BY $valueCol) AS rn,
+          COUNT(*) OVER (PARTITION BY $groupCol) AS n
+        FROM $table WHERE $valueCol IS NOT NULL)
+      SELECT $groupCol,
+        (MAX(CASE WHEN rn = FLOOR((CAST(n AS DOUBLE) + 1) / 2)
+              THEN CAST($valueCol AS DOUBLE) END) +
+         MAX(CASE WHEN rn = CEIL((CAST(n AS DOUBLE) + 1) / 2)
+              THEN CAST($valueCol AS DOUBLE) END)) / 2 AS $outCol
+      FROM mb GROUP BY $groupCol"""
+
   /** The matching DuckDB SQL (same rank selection, same tie-break) —
     * kept adjacent so the trees stay structurally identical. */
   def oracleSql(

@@ -155,12 +155,24 @@ object CoreQueries extends QueryProvider {
       Normalize.subtractColumnMedian(long, "sample", "value")
         .select(col("l_orderkey"), col("l_linenumber"), col("sample"), col("value"))
     },
+    // the median mirrors Quantiles.medianByGroup's two-rank
+    // interpolating tree (NOT DuckDB's MEDIAN(), whose interpolation
+    // expression is not guaranteed to be the same (lo+hi)/2 IEEE tree)
     Some("""
+      WITH t AS (SELECT l_orderkey, l_linenumber, l_returnflag AS sample,
+                        l_extendedprice AS value FROM lineitem),
+      mb AS (SELECT sample, value,
+              ROW_NUMBER() OVER (PARTITION BY sample ORDER BY value) AS rn,
+              COUNT(*) OVER (PARTITION BY sample) AS n
+            FROM t WHERE value IS NOT NULL),
+      m AS (SELECT sample,
+              (MAX(CASE WHEN rn = FLOOR((CAST(n AS DOUBLE) + 1) / 2)
+                    THEN CAST(value AS DOUBLE) END) +
+               MAX(CASE WHEN rn = CEIL((CAST(n AS DOUBLE) + 1) / 2)
+                    THEN CAST(value AS DOUBLE) END)) / 2 AS med
+            FROM mb GROUP BY sample)
       SELECT l_orderkey, l_linenumber, sample, value - med AS value
-      FROM (SELECT l_orderkey, l_linenumber, l_returnflag AS sample,
-                   l_extendedprice AS value FROM lineitem) t
-      JOIN (SELECT l_returnflag AS sample, MEDIAN(l_extendedprice) AS med
-            FROM lineitem GROUP BY l_returnflag) m USING (sample)"""))
+      FROM t JOIN m USING (sample)"""))
 
   // ---- §2.5 modifiedaminoacids: value counts ----
   private val qValueCounts = Q(
