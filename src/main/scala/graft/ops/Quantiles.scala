@@ -37,41 +37,53 @@ object Quantiles {
       tieCols: Seq[String],
       numBuckets: Int = 1024): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0), "qs in (0, 1]")
-    val data = df.filter(col(valueCol).isNotNull)
-    // per-group value range + count: one partial-aggregated pass; the
-    // result is group-cardinality-sized (the operator's own output
-    // size), so broadcasting it back is always affordable
-    val stats = data.groupBy(col(groupCol)).agg(
-      min(col(valueCol)).cast("double").as("_mn"),
-      max(col(valueCol)).cast("double").as("_mx"),
-      count(lit(1)).as("_n"))
-    val span = when(col("_mx") > col("_mn"), col("_mx") - col("_mn")).otherwise(lit(1.0))
-    // clamp BEFORE floor/cast: under ANSI mode (invariant 5) floor of
-    // ±Inf overflows LONG and NaN fails the int cast; least/greatest
-    // treat NaN as the largest double, so -Inf→bucket 0, NaN/+Inf→last
-    // bucket — exactly where the sort order puts them
-    val bucket = floor(least(greatest(
-        (col(valueCol).cast("double") - col("_mn")) / span * numBuckets, lit(0.0)),
-      lit((numBuckets - 1).toDouble))).cast("int")
-    val bucketed = data.join(broadcast(stats), groupCol).withColumn("_rb", bucket)
-    // skew split numBuckets ways: the window key is (group, bucket)
-    val wBkt = Window.partitionBy(col(groupCol), col("_rb"))
-      .orderBy((col(valueCol) +: tieCols.map(col)): _*)
-    val local = bucketed.withColumn("_lrn", row_number().over(wBkt))
-    // per-(group, bucket) offsets: cumulative counts over ≤numBuckets
-    // summary rows per group — bounded at any scale
-    val wGrp = Window.partitionBy(col(groupCol)).orderBy(col("_rb"))
-    val offsets = local.groupBy(col(groupCol), col("_rb")).agg(count(lit(1)).as("_bn"))
-      .withColumn("_off", coalesce(
-        sum(col("_bn")).over(wGrp.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col(groupCol), col("_rb"), col("_off"))
-    val ranked = local.join(broadcast(offsets), Seq(groupCol, "_rb"))
-      .withColumn("_rn", col("_off") + col("_lrn"))
+    val ranked = groupRanked(df, Seq(groupCol), valueCol, tieCols, numBuckets)
     val aggs = qs.map { q =>
       val name = s"p${math.round(q * 100)}"
       max(when(col("_rn") === ceil(lit(q) * col("_n")), col(valueCol))).as(name)
     }
     ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Shared two-level bucketed-rank frame: the non-null rows of `df`
+    * with the exact per-group row number `_rn` (ordered by value, then
+    * `tieCols`) and group size `_n` — without any task ever sorting or
+    * holding more than one (group, value-bucket) slice.
+    *
+    * Per-group value range + count is one partial-aggregated pass; the
+    * result is group-cardinality-sized (the operator's own output
+    * size), so broadcasting it back is always affordable. Buckets
+    * clamp BEFORE floor/cast: under ANSI mode (invariant 5) floor of
+    * ±Inf overflows LONG and NaN fails the int cast; least/greatest
+    * treat NaN as the largest double, so -Inf→bucket 0, NaN/+Inf→last
+    * bucket — exactly where the sort order puts them. Per-bucket rank
+    * offsets come from a (group × ≤numBuckets)-row cumulative sum —
+    * bounded at any scale. */
+  private def groupRanked(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      tieCols: Seq[String], numBuckets: Int): DataFrame = {
+    val gs = groupCols.map(col)
+    val data = df.filter(col(valueCol).isNotNull)
+    val stats = data.groupBy(gs: _*).agg(
+      min(col(valueCol)).cast("double").as("_mn"),
+      max(col(valueCol)).cast("double").as("_mx"),
+      count(lit(1)).as("_n"))
+    val span = when(col("_mx") > col("_mn"), col("_mx") - col("_mn")).otherwise(lit(1.0))
+    val bucket = floor(least(greatest(
+        (col(valueCol).cast("double") - col("_mn")) / span * numBuckets, lit(0.0)),
+      lit((numBuckets - 1).toDouble))).cast("int")
+    val bucketed = data.join(broadcast(stats), groupCols).withColumn("_rb", bucket)
+    // skew split numBuckets ways: the window key is (group, bucket)
+    val wBkt = Window.partitionBy((gs :+ col("_rb")): _*)
+      .orderBy((col(valueCol) +: tieCols.map(col)): _*)
+    val local = bucketed.withColumn("_lrn", row_number().over(wBkt))
+    val wGrp = Window.partitionBy(gs: _*).orderBy(col("_rb"))
+    val offsets = local.groupBy((gs :+ col("_rb")): _*).agg(count(lit(1)).as("_bn"))
+      .withColumn("_off", coalesce(
+        sum(col("_bn")).over(wGrp.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select((gs :+ col("_rb") :+ col("_off")): _*)
+    local.join(broadcast(offsets), groupCols :+ "_rb")
+      .withColumn("_rn", col("_off") + col("_lrn"))
   }
 
   /** Exact INTERPOLATING median per group (pandas/DuckDB `MEDIAN`
@@ -95,30 +107,87 @@ object Quantiles {
       valueCol: String,
       numBuckets: Int = 1024,
       outCol: String = "_median"): DataFrame = {
-    val data = df.filter(col(valueCol).isNotNull)
-    val stats = data.groupBy(col(groupCol)).agg(
-      min(col(valueCol)).cast("double").as("_mn"),
-      max(col(valueCol)).cast("double").as("_mx"),
-      count(lit(1)).as("_n"))
-    val span = when(col("_mx") > col("_mn"), col("_mx") - col("_mn")).otherwise(lit(1.0))
-    val bucket = floor(least(greatest(
-        (col(valueCol).cast("double") - col("_mn")) / span * numBuckets, lit(0.0)),
-      lit((numBuckets - 1).toDouble))).cast("int")
-    val bucketed = data.join(broadcast(stats), groupCol).withColumn("_rb", bucket)
-    val wBkt = Window.partitionBy(col(groupCol), col("_rb")).orderBy(col(valueCol))
-    val local = bucketed.withColumn("_lrn", row_number().over(wBkt))
-    val wGrp = Window.partitionBy(col(groupCol)).orderBy(col("_rb"))
-    val offsets = local.groupBy(col(groupCol), col("_rb")).agg(count(lit(1)).as("_bn"))
-      .withColumn("_off", coalesce(
-        sum(col("_bn")).over(wGrp.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col(groupCol), col("_rb"), col("_off"))
-    val ranked = local.join(broadcast(offsets), Seq(groupCol, "_rb"))
-      .withColumn("_rn", col("_off") + col("_lrn"))
+    val ranked = groupRanked(df, Seq(groupCol), valueCol, Nil, numBuckets)
     val half = (col("_n") + lit(1L)).cast("double") / lit(2.0)
     ranked.groupBy(col(groupCol)).agg(
       ((max(when(col("_rn") === floor(half), col(valueCol).cast("double"))) +
         max(when(col("_rn") === ceil(half), col(valueCol).cast("double")))) / lit(2.0))
         .as(outCol))
+  }
+
+  /** Per-group five-number box-plot summary `(groups..., n, lo, q1,
+    * med, q3, hi)` with LINEARLY INTERPOLATED quartiles (numpy/pandas
+    * `quantile` default: position 1+(n−1)·q, fractional positions
+    * interpolate v_lo + (v_hi − v_lo)·frac) — on the bucketed-rank
+    * engine for the same reason as [[medianByGroup]]: Spark's
+    * `percentile`/`median` aggregates buffer a whole group in the
+    * final task, and a box plot's groups are routinely corpus-scale.
+    * Groups whose values are ALL null emit no row (a box plot draws
+    * nothing for them). The interpolation tree must be mirrored
+    * verbatim in oracle SQL — see [[fiveNumberOracleSql]]. */
+  def fiveNumberByGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      numBuckets: Int = 1024): DataFrame = {
+    val ranked = groupRanked(df, groupCols, valueCol, Nil, numBuckets)
+    def pos(q: Double) = lit(1.0) + (col("_n").cast("double") - lit(1.0)) * lit(q)
+    val quartiles = Seq("q1" -> 0.25, "med" -> 0.5, "q3" -> 0.75)
+    val aggs = quartiles.flatMap { case (name, q) =>
+      Seq(
+        max(when(col("_rn") === floor(pos(q)), col(valueCol).cast("double")))
+          .as(s"_l_$name"),
+        max(when(col("_rn") === ceil(pos(q)), col(valueCol).cast("double")))
+          .as(s"_h_$name"))
+    } ++ Seq(
+      max(col("_n")).as("n"),
+      min(col(valueCol).cast("double")).as("lo"),
+      max(col(valueCol).cast("double")).as("hi"))
+    val g = ranked.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    def posOut(q: Double) =
+      lit(1.0) + (col("n").cast("double") - lit(1.0)) * lit(q)
+    val outs = quartiles.map { case (name, q) =>
+      (col(s"_l_$name") + (col(s"_h_$name") - col(s"_l_$name")) *
+        (posOut(q) - floor(posOut(q)).cast("double"))).as(name)
+    }
+    g.select((groupCols.map(col) :+ col("n") :+ col("lo")) ++
+      outs :+ col("hi"): _*)
+  }
+
+  /** The DuckDB mirror of [[fiveNumberByGroup]] (same rank selection,
+    * same interpolation tree; q injected as CAST('q' AS DOUBLE) so the
+    * products are double×double on both engines). */
+  def fiveNumberOracleSql(
+      table: String, groupCols: Seq[String], valueCol: String): String = {
+    val gs = groupCols.mkString(", ")
+    def posSql(q: String) =
+      s"(1 + (CAST(n AS DOUBLE) - 1) * CAST('$q' AS DOUBLE))"
+    val quartiles = Seq("q1" -> "0.25", "med" -> "0.5", "q3" -> "0.75")
+    val caseAggs = quartiles.map { case (name, q) =>
+      s"""MAX(CASE WHEN rn = FLOOR(${posSql(q)})
+              THEN CAST($valueCol AS DOUBLE) END) AS l_$name,
+          MAX(CASE WHEN rn = CEIL(${posSql(q)})
+              THEN CAST($valueCol AS DOUBLE) END) AS h_$name"""
+    }.mkString(",\n          ")
+    val outs = quartiles.map { case (name, q) =>
+      s"l_$name + (h_$name - l_$name) * (${posSql(q)} - FLOOR(${posSql(q)})) AS $name"
+    }.mkString(",\n        ")
+    s"""
+      WITH mb AS (
+        SELECT $gs, $valueCol,
+          ROW_NUMBER() OVER (PARTITION BY $gs ORDER BY $valueCol) AS rn,
+          COUNT(*) OVER (PARTITION BY $gs) AS n
+        FROM $table WHERE $valueCol IS NOT NULL),
+      g AS (
+        SELECT $gs, CAST(MAX(n) AS BIGINT) AS n,
+          MIN(CAST($valueCol AS DOUBLE)) AS lo,
+          MAX(CAST($valueCol AS DOUBLE)) AS hi,
+          $caseAggs
+        FROM mb GROUP BY $gs)
+      SELECT $gs, n, lo,
+        $outs,
+        hi
+      FROM g"""
   }
 
   /** The DuckDB mirror of [[medianByGroup]] (same two-rank selection,

@@ -555,6 +555,19 @@ object StatQueries extends QueryProvider {
              MEDIAN(l_quantity) AS value
       FROM lineitem GROUP BY 1, 2"""))
 
+  // ---- §2.10 box-plot data contract: per-group five-number summary
+  //      with numpy-interpolated quartiles on the bucketed-rank engine
+  //      (no whole-group buffering — see Quantiles.fiveNumberByGroup).
+  //      The oracle mirrors the interpolation tree verbatim. ----
+  private val qBoxSummary = Q(
+    "q_box_summary",
+    (s, d) => graft.stats.Summaries.boxData(
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_extendedprice")),
+      Seq("l_returnflag", "l_linestatus"), "l_extendedprice"),
+    Some(graft.ops.Quantiles.fiveNumberOracleSql(
+      "lineitem", Seq("l_returnflag", "l_linestatus"), "l_extendedprice")))
+
   // ---- §2.5 _non_zero_sum ----
   private val qNonZeroSum = Q(
     "q_nonzero_sum",
@@ -604,6 +617,6 @@ object StatQueries extends QueryProvider {
     }))
 
   def all: Seq[Q] = Seq(qTtest, qTtestWelch, qChiSq, qDescribe, qMannWhitney, qKruskal, anovaBuild, qCorr, qQvalues, qQvaluesStorey,
-    qTtest1, qMedianCollapse, qNonZeroSum, qEventsWindow, qSessionize, qVolcano,
+    qTtest1, qMedianCollapse, qBoxSummary, qNonZeroSum, qEventsWindow, qSessionize, qVolcano,
     qVolcanoSurface)
 }

@@ -201,16 +201,14 @@ object Summaries {
   }
 
   /** `box` data contract (ref visualize.py:1673): per-group
-    * five-number summary + count (the numbers a box plot draws). */
+    * five-number summary + count (the numbers a box plot draws), with
+    * numpy-interpolated quartiles. Routed through the bucketed-rank
+    * engine ([[graft.ops.Quantiles.fiveNumberByGroup]]) because box
+    * groups are routinely corpus-scale and Spark's
+    * `percentile`/`median` aggregates buffer a whole group in one
+    * task. All-null groups emit no row (previously: a row of nulls). */
   def boxData(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
-    df.groupBy(groupCols.map(col): _*)
-      .agg(
-        count(col(valueCol)).as("n"),
-        min(col(valueCol)).as("lo"),
-        percentile(col(valueCol), lit(0.25)).as("q1"),
-        median(col(valueCol)).as("med"),
-        percentile(col(valueCol), lit(0.75)).as("q3"),
-        max(col(valueCol)).as("hi"))
+    graft.ops.Quantiles.fiveNumberByGroup(df, groupCols, valueCol)
 
   /** `plot_point_cov`/`plot_cov_ellipse` data (ref visualize.py:60-113):
     * 2×2 covariance of an (x, y) cloud + eigen decomposition →

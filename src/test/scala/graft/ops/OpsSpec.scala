@@ -113,6 +113,36 @@ class OpsSpec extends SparkSpec {
     assert(out("b") == ((20.0, 20.0)))
   }
 
+  test("medianByGroup / fiveNumberByGroup match Spark's own median/percentile aggregates") {
+    import graft.ops.Quantiles
+    import org.apache.spark.sql.functions.{col, lit, median, percentile, count, min => smin, max => smax}
+    val rnd = new scala.util.Random(42)
+    // both parities (even/odd n), duplicates, and a null
+    val rows = (1 to 501).map(i => ("odd", math.floor(rnd.nextDouble() * 100) / 4)) ++
+      (1 to 400).map(i => ("even", math.floor(rnd.nextDouble() * 100) / 4))
+    val df = rows.toDF("g", "v")
+      .unionByName(Seq(("even", Option.empty[Double])).toDF("g", "v"))
+    val ref = df.groupBy(col("g")).agg(
+      count(col("v")).as("n"), smin(col("v")).as("lo"),
+      percentile(col("v"), lit(0.25)).as("q1"), median(col("v")).as("med"),
+      percentile(col("v"), lit(0.75)).as("q3"), smax(col("v")).as("hi"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    val med = Quantiles.medianByGroup(df, "g", "v", numBuckets = 7)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(med("odd") == ref("odd")._4 && med("even") == ref("even")._4)
+    val five = Quantiles.fiveNumberByGroup(df, Seq("g"), "v", numBuckets = 7)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(five("odd") == ref("odd") && five("even") == ref("even"),
+      s"five: $five vs ref: $ref")
+    // all-null group emits no row (box plots draw nothing for it)
+    val allNull = Seq(("x", Option.empty[Double]), ("x", None)).toDF("g", "v")
+    assert(Quantiles.fiveNumberByGroup(allNull, Seq("g"), "v").count() == 0L)
+  }
+
   test("exactGroupQuantiles: dominant group (99% of rows) splits across value buckets") {
     import graft.ops.Quantiles
     // one group holds 9900 of 10000 rows — the skew shape the bucketed
