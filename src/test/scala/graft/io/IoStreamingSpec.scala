@@ -292,6 +292,26 @@ class IoStreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streaming Count-Min sketch equals the batch sketch (commutative counters)") {
+    // counter addition is commutative — the property that makes the
+    // CMS artifact merge-order independent also makes the SAME
+    // relational build (explode → groupBy count) a valid streaming
+    // aggregation: any micro-batch slicing lands on identical counters
+    import graft.ops.Sketches
+    val dir = "/root/testdata/sf0.001"
+    val stream = Sketches.cmsBuild(
+      EventStream.readEvents(spark, eventsDir), "user_id", depth = 3, width = 64)
+    val q = EventStream.runToMemory(stream, "cms_stream", outputMode = "complete")
+    q.stop()
+    val got = spark.table("cms_stream")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = Sketches.cmsBuild(
+        graft.Tables.events(spark, dir), "user_id", depth = 3, width = 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty)
+    assert(got == batch)
+  }
+
   test("streaming priority-sample aggregate equals the batch aggregate") {
     // sample-as-you-ingest: the top-k-by-priority buffer merges across
     // micro-batches to the same set as one-shot batch
