@@ -230,14 +230,22 @@ object TextHash {
     * order. md5, not a rolling Karp-Rabin: engine-portable gram hashes
     * make the fingerprint set SQL-replayable; swap the kernel for a
     * rolling hash if oracle-parity is ever not needed. */
-  def winnowing(text: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int): ArrayData = {
+  /** Shared winnowing kernel: UTF-8 code-point starts table, per-gram
+    * md5-top60 hashes, and the window-minima fingerprint set (insertion
+    * order = window order). Hashing works on byte SLICES at code-point
+    * boundaries: a UTF-8 substring's bytes ARE the byte range between
+    * its code points' offsets, so each gram hash equals
+    * md5Top60(substringSQL(i+1, k)) without allocating a UTF8String +
+    * byte copy per gram. [[winnowing]] and [[winnowingGrams]] differ
+    * only in what they emit from this kernel — keep selection fixes
+    * HERE so the "grams ≡ hashes in the fingerprint set" contract
+    * (DedupSpec, the SQL oracles) cannot drift one-sided. */
+  private def winnowKernel(
+      text: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int):
+      (Array[Byte], Array[Int], Array[Long], java.util.LinkedHashSet[java.lang.Long]) = {
     val len = text.numChars()
     val nGrams = math.max(len - (k - 1), 1)
     val grams = new Array[Long](nGrams)
-    // hash byte SLICES at code-point boundaries: a UTF-8 substring's
-    // bytes ARE the byte range between its code points' offsets, so
-    // this equals md5Top60(substringSQL(i+1, k)) without allocating a
-    // UTF8String + byte copy per gram
     val bytes = text.getBytes
     val starts = new Array[Int](len + 1)
     var ci = 0
@@ -262,18 +270,23 @@ object TextHash {
       i += 1
     }
     val lastStart = math.max(nGrams - w, 0)
-    val out = new java.util.LinkedHashSet[java.lang.Long]
+    val minima = new java.util.LinkedHashSet[java.lang.Long]
     i = 0
     while (i <= lastStart) {
       var m = grams(i)
       var j = i + 1
       val end = math.min(i + w, nGrams)
       while (j < end) { if (grams(j) < m) m = grams(j); j += 1 }
-      out.add(m)
+      minima.add(m)
       i += 1
     }
-    val arr = new Array[Any](out.size)
-    val it = out.iterator()
+    (bytes, starts, grams, minima)
+  }
+
+  def winnowing(text: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int): ArrayData = {
+    val (_, _, _, minima) = winnowKernel(text, k, w)
+    val arr = new Array[Any](minima.size)
+    val it = minima.iterator()
     var p = 0
     while (it.hasNext) { arr(p) = it.next().longValue(); p += 1 }
     new GenericArrayData(arr)
@@ -289,46 +302,11 @@ object TextHash {
     * exact shared substring, so candidate = verified in one step. */
   def winnowingGrams(
       text: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int): ArrayData = {
-    val len = text.numChars()
-    val nGrams = math.max(len - (k - 1), 1)
-    val grams = new Array[Long](nGrams)
-    val bytes = text.getBytes
-    val starts = new Array[Int](len + 1)
-    var ci = 0
-    var bi = 0
-    while (ci < len) {
-      starts(ci) = bi
-      val b = bytes(bi)
-      bi += (if ((b & 0x80) == 0) 1
-             else if ((b & 0xe0) == 0xc0) 2
-             else if ((b & 0xf0) == 0xe0) 3
-             else 4)
-      ci += 1
-    }
-    starts(len) = bytes.length
-    val md = md5Local.get()
-    val digestBuf = new Array[Byte](16)
-    var i = 0
-    while (i < nGrams) {
-      val from = starts(i)
-      val until = starts(math.min(i + k, len))
-      grams(i) = top60(md, bytes, from, until - from, digestBuf)
-      i += 1
-    }
-    val lastStart = math.max(nGrams - w, 0)
-    val minima = new java.util.HashSet[java.lang.Long]
-    i = 0
-    while (i <= lastStart) {
-      var m = grams(i)
-      var j = i + 1
-      val end = math.min(i + w, nGrams)
-      while (j < end) { if (grams(j) < m) m = grams(j); j += 1 }
-      minima.add(m)
-      i += 1
-    }
+    val (bytes, starts, grams, minima) = winnowKernel(text, k, w)
+    val len = starts.length - 1
     val out = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]
-    i = 0
-    while (i < nGrams) {
+    var i = 0
+    while (i < grams.length) {
       if (minima.contains(grams(i))) {
         val from = starts(i)
         val until = starts(math.min(i + k, len))

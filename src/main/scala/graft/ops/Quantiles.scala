@@ -63,7 +63,13 @@ object Quantiles {
       df: DataFrame, groupCols: Seq[String], valueCol: String,
       tieCols: Seq[String], numBuckets: Int): DataFrame = {
     val gs = groupCols.map(col)
-    val data = df.filter(col(valueCol).isNotNull)
+    // prune to the columns the rank needs BEFORE any exchange: callers
+    // pass full frames (subtractColumnMedian, boxData), and shuffling
+    // every column twice to produce a per-group scalar would dominate
+    // the cost at scale
+    val data = df
+      .select((groupCols ++ (valueCol +: tieCols)).distinct.map(col): _*)
+      .filter(col(valueCol).isNotNull)
     val stats = data.groupBy(gs: _*).agg(
       min(col(valueCol)).cast("double").as("_mn"),
       max(col(valueCol)).cast("double").as("_mx"),
@@ -72,7 +78,11 @@ object Quantiles {
     val bucket = floor(least(greatest(
         (col(valueCol).cast("double") - col("_mn")) / span * numBuckets, lit(0.0)),
       lit((numBuckets - 1).toDouble))).cast("int")
-    val bucketed = data.join(broadcast(stats), groupCols).withColumn("_rb", bucket)
+    // NULL-SAFE group match: groupBy keeps a NULL group — and so do
+    // the SQL mirrors' GROUP BYs — so a plain equi-join here would
+    // silently drop every row of a NULL-keyed group
+    val bucketed = nullSafeBroadcastJoin(data, stats, groupCols)
+      .withColumn("_rb", bucket)
     // skew split numBuckets ways: the window key is (group, bucket)
     val wBkt = Window.partitionBy((gs :+ col("_rb")): _*)
       .orderBy((col(valueCol) +: tieCols.map(col)): _*)
@@ -82,8 +92,18 @@ object Quantiles {
       .withColumn("_off", coalesce(
         sum(col("_bn")).over(wGrp.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select((gs :+ col("_rb") :+ col("_off")): _*)
-    local.join(broadcast(offsets), groupCols :+ "_rb")
+    nullSafeBroadcastJoin(local, offsets, groupCols :+ "_rb")
       .withColumn("_rn", col("_off") + col("_lrn"))
+  }
+
+  /** Broadcast inner join that matches NULL keys to NULL keys
+    * (EqualNullSafe is a valid hash-join key, so this stays a
+    * BroadcastHashJoin). Right-side key columns are dropped. */
+  private def nullSafeBroadcastJoin(
+      left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame = {
+    val renamed = keys.foldLeft(right)((d, k) => d.withColumnRenamed(k, s"_r_$k"))
+    val cond = keys.map(k => left(k) <=> renamed(s"_r_$k")).reduce(_ && _)
+    left.join(broadcast(renamed), cond).drop(keys.map(k => s"_r_$k"): _*)
   }
 
   /** Exact INTERPOLATING median per group (pandas/DuckDB `MEDIAN`
@@ -109,10 +129,17 @@ object Quantiles {
       outCol: String = "_median"): DataFrame = {
     val ranked = groupRanked(df, Seq(groupCol), valueCol, Nil, numBuckets)
     val half = (col("_n") + lit(1L)).cast("double") / lit(2.0)
-    ranked.groupBy(col(groupCol)).agg(
-      ((max(when(col("_rn") === floor(half), col(valueCol).cast("double"))) +
-        max(when(col("_rn") === ceil(half), col(valueCol).cast("double")))) / lit(2.0))
-        .as(outCol))
+    val g = ranked.groupBy(col(groupCol)).agg(
+      max(when(col("_rn") === floor(half), col(valueCol).cast("double"))).as("_l"),
+      max(when(col("_rn") === ceil(half), col(valueCol).cast("double"))).as("_h"),
+      max(col("_n")).as("_gn"))
+    // odd n: both ranks select the SAME row — return it directly
+    // rather than (v+v)/2, which overflows to Infinity for
+    // |v| > Double.MaxValue/2 (the old median() returned v exactly)
+    val halfOut = (col("_gn") + lit(1L)).cast("double") / lit(2.0)
+    g.select(col(groupCol),
+      when(floor(halfOut) === ceil(halfOut), col("_l"))
+        .otherwise((col("_l") + col("_h")) / lit(2.0)).as(outCol))
   }
 
   /** Per-group five-number box-plot summary `(groups..., n, lo, q1,
@@ -199,13 +226,19 @@ object Quantiles {
         SELECT $groupCol, $valueCol,
           ROW_NUMBER() OVER (PARTITION BY $groupCol ORDER BY $valueCol) AS rn,
           COUNT(*) OVER (PARTITION BY $groupCol) AS n
-        FROM $table WHERE $valueCol IS NOT NULL)
+        FROM $table WHERE $valueCol IS NOT NULL),
+      mg AS (
+        SELECT $groupCol, MAX(n) AS n,
+          MAX(CASE WHEN rn = FLOOR((CAST(n AS DOUBLE) + 1) / 2)
+                THEN CAST($valueCol AS DOUBLE) END) AS l,
+          MAX(CASE WHEN rn = CEIL((CAST(n AS DOUBLE) + 1) / 2)
+                THEN CAST($valueCol AS DOUBLE) END) AS h
+        FROM mb GROUP BY $groupCol)
       SELECT $groupCol,
-        (MAX(CASE WHEN rn = FLOOR((CAST(n AS DOUBLE) + 1) / 2)
-              THEN CAST($valueCol AS DOUBLE) END) +
-         MAX(CASE WHEN rn = CEIL((CAST(n AS DOUBLE) + 1) / 2)
-              THEN CAST($valueCol AS DOUBLE) END)) / 2 AS $outCol
-      FROM mb GROUP BY $groupCol"""
+        CASE WHEN FLOOR((CAST(n AS DOUBLE) + 1) / 2)
+                = CEIL((CAST(n AS DOUBLE) + 1) / 2)
+             THEN l ELSE (l + h) / 2 END AS $outCol
+      FROM mg"""
 
   /** The matching DuckDB SQL (same rank selection, same tie-break) —
     * kept adjacent so the trees stay structurally identical. */

@@ -165,12 +165,17 @@ object CoreQueries extends QueryProvider {
               ROW_NUMBER() OVER (PARTITION BY sample ORDER BY value) AS rn,
               COUNT(*) OVER (PARTITION BY sample) AS n
             FROM t WHERE value IS NOT NULL),
+      mg AS (SELECT sample, MAX(n) AS n,
+              MAX(CASE WHEN rn = FLOOR((CAST(n AS DOUBLE) + 1) / 2)
+                    THEN CAST(value AS DOUBLE) END) AS l,
+              MAX(CASE WHEN rn = CEIL((CAST(n AS DOUBLE) + 1) / 2)
+                    THEN CAST(value AS DOUBLE) END) AS h
+            FROM mb GROUP BY sample),
       m AS (SELECT sample,
-              (MAX(CASE WHEN rn = FLOOR((CAST(n AS DOUBLE) + 1) / 2)
-                    THEN CAST(value AS DOUBLE) END) +
-               MAX(CASE WHEN rn = CEIL((CAST(n AS DOUBLE) + 1) / 2)
-                    THEN CAST(value AS DOUBLE) END)) / 2 AS med
-            FROM mb GROUP BY sample)
+              CASE WHEN FLOOR((CAST(n AS DOUBLE) + 1) / 2)
+                      = CEIL((CAST(n AS DOUBLE) + 1) / 2)
+                   THEN l ELSE (l + h) / 2 END AS med
+            FROM mg)
       SELECT l_orderkey, l_linenumber, sample, value - med AS value
       FROM t JOIN m USING (sample)"""))
 

@@ -426,12 +426,12 @@ object TextQueries extends QueryProvider {
   private val spanW = 4
   private val spanMaxDf = 64L
   private val spanMinShared = 2L
-  private val qSharedSpans = Q(
-    "q_shared_span_pairs",
-    (s, d) => Dedup.sharedSpanPairs(
-      Tables.documents(s, d), "doc_id", "text", spanK, spanW, spanMaxDf, spanMinShared),
-    Some(s"""
-      WITH g AS (SELECT doc_id, text,
+
+  /** The winnowing-selection CTE chain shared by the span-pair oracles:
+    * yields `sel(doc_id, gram)` — distinct selected k-grams per doc —
+    * and `fdf(gram, dfn)` — each gram's selected-document frequency. */
+  private def spanSelCtes: String = s"""
+      g AS (SELECT doc_id, text,
           UNNEST(generate_series(1, GREATEST(LENGTH(text) - ${spanK - 1}, 1))) AS i
         FROM documents),
       gh AS (SELECT doc_id, SUBSTR(text, i, $spanK) AS gram, i,
@@ -445,14 +445,73 @@ object TextQueries extends QueryProvider {
         WHERE i <= GREATEST(ng - $spanW, 0) + 1),
       sel AS (SELECT DISTINCT gh.doc_id, gh.gram
         FROM gh JOIN minima ON minima.doc_id = gh.doc_id AND minima.m = gh.h),
-      rare AS (SELECT gram FROM sel GROUP BY gram HAVING COUNT(*) <= $spanMaxDf)
+      fdf AS (SELECT gram, COUNT(*) AS dfn FROM sel GROUP BY gram)"""
+
+  private def spanPairsSql(cap: Long): String = s"""
+      WITH $spanSelCtes,
+      rare AS (SELECT gram FROM fdf WHERE dfn <= $cap)
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         CAST(COUNT(*) AS BIGINT) AS n_shared
       FROM sel a
       JOIN rare r ON r.gram = a.gram
       JOIN sel b ON b.gram = a.gram AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-      HAVING COUNT(*) >= $spanMinShared"""))
+      HAVING COUNT(*) >= $spanMinShared"""
+
+  private val qSharedSpans = Q(
+    "q_shared_span_pairs",
+    (s, d) => Dedup.sharedSpanPairs(
+      Tables.documents(s, d), "doc_id", "text", spanK, spanW, spanMaxDf, spanMinShared),
+    Some(spanPairsSql(spanMaxDf)))
+
+  // ---- budget routes of the bounded span form: a deliberately
+  //      binding pair budget splits the informative grams into
+  //      pair-enumerated (df ≤ cap) and representative-collapsed
+  //      (cap < df ≤ maxDocFreq); the oracle replays the run-recorded
+  //      cap literal, so the split is demonstrated, not assumed. ----
+  // at the sf0.01 gate the selected-gram df histogram puts the cap at
+  // 6 (Σ pairs: df≤6 → 27956 ≤ budget < 30497 → df≤7), so BOTH routes
+  // are non-trivially exercised: df≤6 grams pair-enumerate, 6<df≤64
+  // grams collapse to representatives
+  private val spanDemoBudget = 30000L
+  private val lastSpanPairsCap = new java.util.concurrent.atomic.AtomicReference[java.lang.Long]()
+  private val lastSpanClustersCap = new java.util.concurrent.atomic.AtomicReference[java.lang.Long]()
+
+  private def boundedSpanDemo(s: org.apache.spark.sql.SparkSession, d: String) =
+    Dedup.sharedSpanPairsBounded(
+      Tables.documents(s, d), "doc_id", "text", spanK, spanW,
+      maxDocFreq = spanMaxDf, minShared = spanMinShared, maxPairs = spanDemoBudget)
+
+  private val qSpanBudgetPairs = Q(
+    "q_span_budget_pairs",
+    (s, d) => {
+      val b = boundedSpanDemo(s, d)
+      lastSpanPairsCap.set(b.sizeCap)
+      b.pairs
+    },
+    None,
+    oracleGen = Some(() => Option(lastSpanPairsCap.get()).map(cap =>
+      spanPairsSql(cap.longValue()))))
+
+  private val qSpanBudgetClusters = Q(
+    "q_span_budget_clusters",
+    (s, d) => {
+      val b = boundedSpanDemo(s, d)
+      lastSpanClustersCap.set(b.sizeCap)
+      b.clusters
+    },
+    None,
+    oracleGen = Some(() => Option(lastSpanClustersCap.get()).map { cap =>
+      s"""
+      WITH $spanSelCtes,
+      over_mem AS (SELECT sel.doc_id, sel.gram
+        FROM sel JOIN fdf ON fdf.gram = sel.gram
+        WHERE fdf.dfn <= $spanMaxDf AND fdf.dfn > $cap),
+      reps AS (SELECT gram, MIN(doc_id) AS rep FROM over_mem GROUP BY gram)
+      SELECT m.doc_id, CAST(MIN(r.rep) AS BIGINT) AS rep_id
+      FROM over_mem m JOIN reps r ON r.gram = m.gram
+      GROUP BY m.doc_id"""
+    }))
 
   // threshold low enough that the synthetic corpus yields pairs;
   // exercises multi-table bucketing + dedup + verify-join. numPlanes=8
@@ -1356,5 +1415,5 @@ object TextQueries extends QueryProvider {
     qTokenTopK, qStratSample, qMixSources, qContamination, qRepetition, qCurationSignals,
     qPiiRedact, qLmScore, qAnnPq, qAnnIvfPq, qDedupClusters, qAnnIvfPruned, qAnnLshPruned,
     qPack, qTfIdf, qChunk, qPackBins, qAnnRecall, qSemanticPairs, qShuffle,
-    qSharedSpans)
+    qSharedSpans, qSpanBudgetPairs, qSpanBudgetClusters)
 }
