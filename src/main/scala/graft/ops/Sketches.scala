@@ -173,17 +173,20 @@ object Sketches {
       width: Int,
       seed: Long = 0L): DataFrame = {
     require(depth >= 1 && width >= 2, s"cms needs depth>=1 width>=2, got $depth x $width")
-    // ONE scan of the source: each row fans out to its `depth` hash
-    // rows via explode(sequence) — a union of per-row-index scans
-    // would read a 100 TB column `depth` times for identical output.
+    // ONE scan of the source — a union of per-row-index scans would
+    // read a 100 TB column `depth` times for identical output. All
+    // depth hashes are computed in a single projection (the "cms<seed>|
+    // <i>|" prefix folds to a literal per slot) and posexplode just
+    // unpacks the precomputed (row, bucket) longs; hashing inside the
+    // generator's output side would re-build the concat per emitted
+    // row. (A local micro-bench can still favor the 3-scan union —
+    // it triples map tasks when the input is a single small split —
+    // but that inverts as soon as the scan has real width.)
+    val item = col(itemCol).cast("string")
+    val buckets = (0 until depth).map(i =>
+      pmod(h60(concat(lit(s"cms$seed|$i|"), item)), lit(width.toLong)))
     df.filter(col(itemCol).isNotNull)
-      .select(
-        explode(sequence(lit(0), lit(depth - 1))).as("row"),
-        col(itemCol).cast("string").as("_item"))
-      .select(
-        col("row"),
-        pmod(h60(concat_ws("|", lit(s"cms$seed"), col("row").cast("string"),
-          col("_item"))), lit(width.toLong)).as("bucket"))
+      .select(posexplode(array(buckets: _*)).as(Seq("row", "bucket")))
       .groupBy(col("row"), col("bucket"))
       .agg(count(lit(1)).as("c"))
   }
