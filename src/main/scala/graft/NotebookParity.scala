@@ -47,6 +47,10 @@ object NotebookParity {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // invariant 4: every session carries the nanos fallback so a
+      // future stage reading events parquet doesn't throw on the
+      // TIMESTAMP(NANOS) testdata generation
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

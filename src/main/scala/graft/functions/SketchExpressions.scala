@@ -143,7 +143,13 @@ case class TopKPriorityAgg(
   private def insert(buf: java.util.TreeSet[Entry], e: Entry): Boolean = {
     if (buf.size < k) { buf.add(e); true }
     else if (TopKPriorityAgg.ord.compare(e, buf.last) < 0) {
-      buf.add(e); buf.pollLast(); true
+      // evict ONLY when something was actually inserted: for a
+      // duplicate entry add() returns false, and an unconditional
+      // pollLast() would shrink the sample and shift the τ slot.
+      // Still report accepted — a duplicate is within top-k order, so
+      // merge's best-first early-stop must keep scanning.
+      if (buf.add(e)) { buf.pollLast(): Unit }
+      true
     } else false
   }
 

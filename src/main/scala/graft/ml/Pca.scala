@@ -108,46 +108,70 @@ object Pca {
 
   /** Scores per sample (sklearn convention: V·Σ — the projection of
     * each feature-centered sample row onto the unit feature
-    * components). One distributed matvec + tiny output; the feature
-    * means re-derive in-plan (never collected). */
+    * components). One distributed matvec + tiny output.
+    *
+    * The projection runs over ALL cells of the zero-filled matrix —
+    * including (feature, sample) cells with no long-form row, whose
+    * centered value is (0 − μ_f). Rather than densifying, the absent
+    * mass folds into one constant per component:
+    *   Σ_all (x − μ_f)·w[f,c] = Σ_present x·w[f,c] − K_c,
+    *   K_c = Σ_f μ_f·w[f,c]
+    * (K is a 1-row distributed aggregate over the weights, collected
+    * and injected as a literal). A present-rows-only centered sum —
+    * the previous formulation — silently dropped every absent cell's
+    * (0 − μ_f)·w term, diverging from sklearn on sparse long frames. */
   def sampleScores(
       spark: SparkSession, df: DataFrame, model: PcaModel,
       idCol: String, sampleCol: String, valueCol: String): DataFrame = {
+    val v = coalesce(col(valueCol), lit(0.0))
     val weights = featureWeightsRaw(df, model, idCol, sampleCol, valueCol)
-    val centered = centerByFeature(df, model, idCol, sampleCol, valueCol)
+    val kAggs = model.eigenvalues.indices.map(c =>
+      graft.stats.Moments.sumProdExact(col("_fmu"), col(s"w_$c")).as(s"k_$c"))
+    // weights carries _fmu per feature, so K needs no extra join
+    val kRow = weights.agg(kAggs.head, kAggs.tail: _*).head()
     val aggs = model.eigenvalues.zipWithIndex.map { case (lam, c) =>
-      (graft.stats.Moments.sumProdExact(col("_c"), col(s"w_$c")) / math.sqrt(lam)).as(s"pc_$c")
+      ((graft.stats.Moments.sumProdExact(v, col(s"w_$c")) -
+        lit(kRow.getDouble(c))) / math.sqrt(lam)).as(s"pc_$c")
     }.toIndexedSeq
-    centered.join(weights, idCol)
+    df.join(weights, idCol)
       .groupBy(col(sampleCol))
       .agg(aggs.head, aggs.tail: _*)
   }
 
-  /** value − per-feature mean, with the mean derived in-plan as
-    * sum/nSamples (missing cells are zeros: they count in the
-    * denominator but not the sum). */
-  private def centerByFeature(
-      df: DataFrame, model: PcaModel,
-      idCol: String, sampleCol: String, valueCol: String): DataFrame = {
+  /** Per-feature means derived in-plan as sum/nSamples (missing cells
+    * are zeros: they count in the denominator but not the sum). */
+  private def featMeans(
+      df: DataFrame, model: PcaModel, idCol: String, valueCol: String): DataFrame = {
     val v = coalesce(col(valueCol), lit(0.0))
-    val featMeans = df.groupBy(col(idCol))
+    df.groupBy(col(idCol))
       .agg((graft.stats.Moments.sumExactFine(v) /
         model.nSamples.toDouble).as("_fmu"))
-    df.join(featMeans, idCol).withColumn("_c", v - col("_fmu"))
   }
 
   /** Unnormalized feature weights w[f,c] = Σ_s centered(f,s)·u_c[s]
-    * (= σ_c·v_c[f]); [[sampleScores]] divides by σ_c. */
+    * (= σ_c·v_c[f]); [[sampleScores]] divides by σ_c. The `_fmu`
+    * column rides along for the K constant.
+    *
+    * Like the scores, the sum covers ALL samples of the zero-filled
+    * matrix: Σ_all (x−μ_f)·u = Σ_present x·u − μ_f·S_c with
+    * S_c = Σ_s u_c[s] (a model constant — exactly 0 for λ≠0
+    * eigenvectors of the centered Gram, kept for numerical
+    * faithfulness to the actual eigenvector). */
   private def featureWeightsRaw(
       df: DataFrame, model: PcaModel,
       idCol: String, sampleCol: String, valueCol: String): DataFrame = {
-    val centered = centerByFeature(df, model, idCol, sampleCol, valueCol)
+    val v = coalesce(col(valueCol), lit(0.0))
     val aggs = model.components.zipWithIndex.map { case (comp, c) =>
       val compMap = map(model.sampleOrder.zip(comp)
         .flatMap { case (sm, w) => Seq(lit(sm), lit(w)) }: _*)
-      graft.stats.Moments.sumProdExact(col("_c"), element_at(compMap, col(sampleCol))).as(s"w_$c")
-    }
-    centered.groupBy(col(idCol)).agg(aggs.head, aggs.toIndexedSeq.tail: _*)
+      graft.stats.Moments.sumProdExact(v, element_at(compMap, col(sampleCol)))
+        .as(s"_raw_$c")
+    } :+ max(col("_fmu")).as("_fmu") // constant within the feature group
+    val g = df.join(featMeans(df, model, idCol, valueCol), idCol)
+      .groupBy(col(idCol)).agg(aggs.head, aggs.toIndexedSeq.tail: _*)
+    g.select((col(idCol) +: model.components.zipWithIndex.map { case (comp, c) =>
+      (col(s"_raw_$c") - col("_fmu") * lit(comp.sum)).as(s"w_$c")
+    } :+ col("_fmu")).toIndexedSeq: _*)
   }
 
   /** Feature weights in the reference's convention (unit loadings

@@ -58,13 +58,17 @@ object Storage {
     val statCols = dims.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val stats = df.agg(statCols.head, statCols.tail: _*).head()
-    if (stats.isNullAt(0)) { // empty input: just write the schema
+    if ((0 until 2 * nd).forall(stats.isNullAt)) {
+      // empty input (or every dim all-null): nothing to cluster on
       df.write.mode("overwrite").parquet(path); return
     }
     val side = 1L << bitsPerDim
     val buckets = dims.zipWithIndex.map { case (c, i) =>
-      val mn = stats.getDouble(2 * i)
-      val mx = stats.getDouble(2 * i + 1)
+      // an ALL-NULL dim has null min/max: every row lands in bucket 0
+      // for that dim (consistent with "nulls map to the minimum
+      // bucket") instead of NPE-ing the stat read mid-write
+      val mn = if (stats.isNullAt(2 * i)) 0.0 else stats.getDouble(2 * i)
+      val mx = if (stats.isNullAt(2 * i + 1)) 0.0 else stats.getDouble(2 * i + 1)
       val span = if (mx > mn) mx - mn else 1.0
       least(greatest(
           floor((coalesce(col(c).cast("double"), lit(mn)) - mn) / span * side),

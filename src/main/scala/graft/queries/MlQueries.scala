@@ -68,11 +68,19 @@ object MlQueries extends QueryProvider {
     },
     None,
     oracleGen = Some(() => Option(lastPca.get()).map { m =>
+      // mirrors Pca.featureWeightsRaw / sampleScores: sums over
+      // PRESENT rows plus the absent-cell constants (μ_f·S_c per
+      // feature, K_c per component) — see Pca.scala scaladoc
       val wCols = m.components.zipWithIndex.map { case (comp, c) =>
-        s"${MS.sumProdExact("c", caseMap("sample", m.sampleOrder.zip(comp.toSeq)))} AS w_$c"
+        s"${MS.sumProdExact("l.value", caseMap("l.sample", m.sampleOrder.zip(comp.toSeq)))}" +
+          s" - MAX(fm.fmu) * ${dlit(comp.sum)} AS w_$c"
+      }.mkString(",\n          ")
+      val kCols = m.eigenvalues.indices.map { c =>
+        s"${MS.sumProdExact("fm.fmu", s"w.w_$c")} AS k_$c"
       }.mkString(",\n          ")
       val scoreCols = m.eigenvalues.zipWithIndex.map { case (lam, c) =>
-        s"${MS.sumProdExact("cent.c", s"w.w_$c")} / ${dlit(math.sqrt(lam))} AS pc_$c"
+        s"(${MS.sumProdExact("l.value", s"w.w_$c")} - MAX(k.k_$c))" +
+          s" / ${dlit(math.sqrt(lam))} AS pc_$c"
       }.mkString(",\n          ")
       s"""
       WITH long AS (
@@ -80,16 +88,17 @@ object MlQueries extends QueryProvider {
       fm AS (SELECT vec_id,
           ${MS.sumExactFine("value")} / CAST('${m.nSamples.toDouble}' AS DOUBLE) AS fmu
         FROM long GROUP BY vec_id),
-      cent AS (SELECT l.vec_id AS vec_id, l.sample AS sample,
-          l.value - fm.fmu AS c
-        FROM long l JOIN fm ON fm.vec_id = l.vec_id),
-      w AS (SELECT vec_id,
+      w AS (SELECT l.vec_id AS vec_id,
           $wCols
-        FROM cent GROUP BY vec_id)
-      SELECT cent.sample AS sample,
+        FROM long l JOIN fm ON fm.vec_id = l.vec_id
+        GROUP BY l.vec_id),
+      k AS (SELECT
+          $kCols
+        FROM w JOIN fm ON fm.vec_id = w.vec_id)
+      SELECT l.sample AS sample,
           $scoreCols
-      FROM cent JOIN w ON w.vec_id = cent.vec_id
-      GROUP BY cent.sample"""
+      FROM long l JOIN w ON w.vec_id = l.vec_id CROSS JOIN k
+      GROUP BY l.sample"""
     }))
 
   // ---- PLS: the NIPALS loop's sample-space vectors (t, centered y)

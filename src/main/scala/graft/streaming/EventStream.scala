@@ -28,9 +28,19 @@ object EventStream {
     * `ts` as both TIMESTAMP(NANOS)→long and µs timestamp — so take the
     * physical schema from one footer (a driver-side metadata read, not
     * a data scan) and normalize to the nanos-long contract the
-    * downstream operators share with the batch side (Tables.events). */
+    * downstream operators share with the batch side (Tables.events).
+    * A directory with no footers yet — the normal state of an ingest
+    * dir before the first file lands — falls back to the current
+    * (µs timestamp) generation's schema instead of refusing to start:
+    * a stream must be startable ahead of data arrival. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    val physical = spark.read.parquet(dir).schema
+    val physical =
+      try spark.read.parquet(dir).schema
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          StructType(eventsSchema.map(f =>
+            if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f))
+      }
     spark.readStream
       .schema(physical)
       .parquet(dir)

@@ -234,7 +234,7 @@ class IoStreamingSpec extends SparkSpec {
       "enrich_stream")
     q.stop()
     val got = spark.table("enrich_stream")
-    val batch = spark.read.schema(EventStream.eventsSchema).parquet(eventsDir)
+    val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
       .join(dim, Seq("event_type"), "left")
       .select($"event_id", $"category")
     assert(got.count() == batch.count()) // left join: every event survives
@@ -290,6 +290,16 @@ class IoStreamingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
     assert(got.nonEmpty)
     assert(got == batch)
+  }
+
+  test("readEvents starts on an empty ingest directory (schema fallback)") {
+    // a streaming ingest dir normally exists BEFORE the first file
+    // lands; schema inference from footers must fall back, not refuse
+    val dir = Files.createTempDirectory("events_empty").toString
+    val q = EventStream.runToMemory(
+      EventStream.readEvents(spark, dir).select($"event_id"), "empty_stream")
+    q.stop()
+    assert(spark.table("empty_stream").count() == 0L)
   }
 
   test("streaming Count-Min sketch equals the batch sketch (commutative counters)") {

@@ -30,6 +30,31 @@ class MlSpec extends SparkSpec {
     assert(approx(scores("s1")._2, -0.0241276248, 1e-6))
   }
 
+  test("Pca on a SPARSE long frame equals the explicitly zero-filled frame") {
+    // missing (feature, sample) rows ARE zero cells (the reference
+    // NaN→0-fills df.values.T): fit, scores and weights must all be
+    // bitwise identical whether the zeros are implicit or explicit.
+    // The absent-cell mass reaches scores/weights through the K_c /
+    // μ_f·S_c constants — dropping it (summing centered PRESENT rows
+    // only) diverges from sklearn on any sparse frame.
+    val sparse = pcaLong.filter(!(col("id") === "f2" && col("sample") === "s3") &&
+      !(col("id") === "f4" && col("sample") === "s1"))
+    val dense = sparse.unionByName(
+      Seq(("f2", "s3", 0.0), ("f4", "s1", 0.0)).toDF("id", "sample", "value"))
+    val mS = Pca.fit(sparse, "id", "sample", "value", nComponents = 2)
+    val mD = Pca.fit(dense, "id", "sample", "value", nComponents = 2)
+    assert(mS.eigenvalues.toSeq == mD.eigenvalues.toSeq)
+    assert(mS.components.map(_.toSeq).toSeq == mD.components.map(_.toSeq).toSeq)
+    def scoresOf(df: org.apache.spark.sql.DataFrame, m: Pca.PcaModel) =
+      Pca.sampleScores(spark, df, m, "id", "sample", "value")
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(scoresOf(sparse, mS) == scoresOf(dense, mD))
+    def weightsOf(df: org.apache.spark.sql.DataFrame, m: Pca.PcaModel) =
+      Pca.featureWeights(df, m, "id", "sample", "value")
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(weightsOf(sparse, mS) == weightsOf(dense, mD))
+  }
+
   test("Ward clusters obvious 2-cluster structure") {
     // samples s0,s1 near origin; s2,s3 near (10,10) — features are coords
     val long = Seq(

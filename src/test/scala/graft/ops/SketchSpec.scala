@@ -139,6 +139,24 @@ class SketchSpec extends SparkSpec {
     assert(perGroup.values.forall(_ == 50)) // 1000 rows per group >> k
   }
 
+  test("duplicate entries cannot shrink the top-k priority buffer") {
+    // every row duplicated: the same (pri, id, w) entry reaches a full
+    // buffer repeatedly (and merge unions buffers containing the same
+    // entries) — an unconditional evict-after-add would shrink the
+    // sample below k and shift the τ slot
+    val base = spark.range(1, 2001).select(col("id"),
+      lit("g").as("grp"), (pmod(col("id"), lit(19)) + 1).cast("double").as("w"))
+    val dup = base.unionAll(base).repartition(13, col("w"))
+    val fromDup = Sketches.prioritySampleByKey(dup, Seq("grp"), "id", "w", 100, 3L)
+      .select(col("id"), col("weight"), col("est_weight"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val fromBase = Sketches.prioritySampleByKey(base, Seq("grp"), "id", "w", 100, 3L)
+      .select(col("id"), col("weight"), col("est_weight"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(fromDup.size == 100)
+    assert(fromDup == fromBase)
+  }
+
   test("priority sample is partitioning-invariant") {
     val df = spark.range(1, 3001).select(col("id"), (pmod(col("id"), lit(13)) + 1).cast("double").as("w"))
     val a = Sketches.prioritySample(df, "id", "w", 64, 7L)
