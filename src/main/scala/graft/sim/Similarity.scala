@@ -259,10 +259,6 @@ object Similarity {
       threshold: Double, centroids: Array[Array[Double]],
       maxCellRows: Long = 100000L): (DataFrame, () => Unit) = {
     require(centroids.nonEmpty, "need a fitted coarse quantizer")
-    val v = col(vecCol)
-    val unitVecs = embeddings
-      .select(col(idCol), v.as("_v"), norm(v).as("_n"))
-      .select(col(idCol), transform(col("_v"), x => try_divide(x, col("_n"))).as("_unit"))
     // cells are assigned on the RAW vectors (the space the quantizer
     // was fitted in); only the verify is on unit vectors. The argmin
     // tree is k·d literals wide — PERSIST the narrow (id, cell) result
@@ -272,21 +268,54 @@ object Similarity {
     val cells = assignCells(embeddings, vecCol, centroids)
       .select(col(idCol), col("_cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pruned = graft.ops.PairBudget.capPrune(
-      cells, cells.groupBy(col("_cell")).agg(count(lit(1)).as("_cn")),
-      "_cn", Seq("_cell"), maxCellRows)
-    val candidates = pruned.select(col("_cell"), col(idCol).as("id_a"))
-      .join(pruned.select(col("_cell"), col(idCol).as("id_b")), Seq("_cell"))
+    val candidates = bucketCandidates(
+      cells, Seq("_cell"), idCol,
+      cells.groupBy(col("_cell")).agg(count(lit(1)).as("_cn")),
+      "_cn", maxCellRows)
+    val out = cosineVerify(
+      candidates, unitVecsOf(embeddings, idCol, vecCol), idCol, threshold)
+    (out, () => { cells.unpersist(); () })
+  }
+
+  /** Pre-normalized (id, _unit) projection: cosine of unit vectors is
+    * one dot product, so the O(pairs) verify stage does one array fold
+    * instead of three. Callers persist when the frame feeds multiple
+    * passes. */
+  private def unitVecsOf(
+      embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    embeddings
+      .select(col(idCol), v.as("_v"), norm(v).as("_n"))
+      .select(col(idCol), transform(col("_v"), x => try_divide(x, col("_n"))).as("_unit"))
+  }
+
+  /** Shared candidate tail of the near-dup pair family: cap-prune the
+    * bucket membership (PairBudget.capPrune picks the anti-broadcast/
+    * semi shape by regime), self-join ids within each bucket. The
+    * wide vector column never rides this quadratic stage. */
+  private def bucketCandidates(
+      members: DataFrame, keys: Seq[String], idCol: String,
+      sizes: DataFrame, nCol: String, cap: Long): DataFrame = {
+    val pruned = graft.ops.PairBudget.capPrune(members, sizes, nCol, keys, cap)
+    pruned.select((keys.map(col) :+ col(idCol).as("id_a")): _*)
+      .join(pruned.select((keys.map(col) :+ col(idCol).as("id_b")): _*), keys)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-    val out = candidates
+  }
+
+  /** Shared verify tail: fetch each candidate side's unit vector and
+    * keep pairs at exact cosine ≥ threshold — a change here changes
+    * all four near-dup pair operators together (the bounded/unbounded
+    * "under-budget ≡" contract cannot drift one-sided). */
+  private def cosineVerify(
+      candidates: DataFrame, unitVecs: DataFrame, idCol: String,
+      threshold: Double): DataFrame =
+    candidates
       .join(unitVecs.select(col(idCol).as("id_a"), col("_unit").as("_va")), "id_a")
       .join(unitVecs.select(col(idCol).as("id_b"), col("_unit").as("_vb")), "id_b")
       .withColumn("cosine", dot(col("_va"), col("_vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
-    (out, () => { cells.unpersist(); () })
-  }
 
   /** Near-dup pair detection over embeddings via multi-table sign-LSH
     * (mirrors `Dedup.minHashCandidatePairs`' banded shape): bucket
@@ -348,37 +377,34 @@ object Similarity {
         "degenerate toward all-pairs. Raise numPlanes (recoup recall with " +
         "numTables) or pass minPlanes explicitly for small-data tests.")
     require(numTables >= 1, "need at least one hash table")
-    // Pre-normalize ONCE: cosine of unit vectors is one dot product, so
-    // the O(pairs) verify stage does one array fold instead of three.
-    val v = col(vecCol)
-    val unitVecs = embeddings
-      .select(col(idCol), v.as("_v"), norm(v).as("_n"))
-      .select(col(idCol), transform(col("_v"), x => try_divide(x, col("_n"))).as("_unit"))
+    // Pre-normalize ONCE; the frame feeds the banding pass + two
+    // verify fetches, so it is persisted.
+    val unitVecs = unitVecsOf(embeddings, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // (table, bucket, id) triples — narrow; signs are scale-invariant
-    // so bucketing the unit vector equals bucketing the raw vector
+    val banded = signLshTriples(unitVecs, idCol, dim, numPlanes, numTables)
+    // hot-bucket guard: cap group size before the quadratic join;
+    // distinct — a pair colliding in several tables verifies once
+    val candidates = bucketCandidates(
+      banded, Seq("_t", "_b"), idCol,
+      banded.groupBy(col("_t"), col("_b")).agg(count(lit(1)).as("_bn")),
+      "_bn", maxBucketRows)
+      .distinct()
+    val out = cosineVerify(candidates, unitVecs, idCol, threshold)
+    (out, () => { unitVecs.unpersist(); () })
+  }
+
+  /** Narrow (id, table, bucket) triples of the multi-table sign-LSH —
+    * signs are scale-invariant, so bucketing the unit vector equals
+    * bucketing the raw vector. */
+  private def signLshTriples(
+      unitVecs: DataFrame, idCol: String,
+      dim: Int, numPlanes: Int, numTables: Int): DataFrame = {
     val tableBuckets = (0 until numTables).map { t =>
       struct(lit(t).as("t"), signLshTableBucket(col("_unit"), dim, numPlanes, t).as("b"))
     }
-    val banded = unitVecs
+    unitVecs
       .select(col(idCol), explode(array(tableBuckets: _*)).as("_tb"))
       .select(col(idCol), col("_tb.t").as("_t"), col("_tb.b").as("_b"))
-    // hot-bucket guard: cap group size before the quadratic join
-    val pruned = graft.ops.PairBudget.capPrune(
-      banded, banded.groupBy(col("_t"), col("_b")).agg(count(lit(1)).as("_bn")),
-      "_bn", Seq("_t", "_b"), maxBucketRows)
-    val candidates = pruned.select(col("_t"), col("_b"), col(idCol).as("id_a"))
-      .join(pruned.select(col("_t"), col("_b"), col(idCol).as("id_b")), Seq("_t", "_b"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct() // a pair colliding in several tables verifies once
-    val out = candidates
-      .join(unitVecs.select(col(idCol).as("id_a"), col("_unit").as("_va")), "id_a")
-      .join(unitVecs.select(col(idCol).as("id_b"), col("_unit").as("_vb")), "id_b")
-      .withColumn("cosine", dot(col("_va"), col("_vb")))
-      .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
-    (out, () => { unitVecs.unpersist(); () })
   }
 
   /** [[cosineNearDupPairs]] under a global candidate-pair budget
@@ -403,39 +429,21 @@ object Similarity {
       s"numPlanes=$numPlanes gives only ${1 << numPlanes} buckets/table — " +
         s"below the 2^$minPlanes scale floor (see cosineNearDupPairsWithCleanup)")
     require(numTables >= 1, "need at least one hash table")
-    val v = col(vecCol)
-    val unitVecs = embeddings
-      .select(col(idCol), v.as("_v"), norm(v).as("_n"))
-      .select(col(idCol), transform(col("_v"), x => try_divide(x, col("_n"))).as("_unit"))
+    val unitVecs = unitVecsOf(embeddings, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tableBuckets = (0 until numTables).map { t =>
-      struct(lit(t).as("t"), signLshTableBucket(col("_unit"), dim, numPlanes, t).as("b"))
-    }
     // persist the narrow (table, bucket, id) triples: the budget
     // histogram is a separate job before the pair plan, and the
     // triples feed three passes (histogram, pair join,
     // representatives) — without the cache each re-pays numPlanes
     // dot products per row per table
-    val banded = unitVecs
-      .select(col(idCol), explode(array(tableBuckets: _*)).as("_tb"))
-      .select(col(idCol), col("_tb.t").as("_t"), col("_tb.b").as("_b"))
+    val banded = signLshTriples(unitVecs, idCol, dim, numPlanes, numTables)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = banded.groupBy(col("_t"), col("_b")).agg(count(lit(1)).as("_bn"))
     val cap = math.min(maxBucketRows,
       graft.ops.PairBudget.sizeCap(sizes, "_bn", maxPairs))
-    val pruned = graft.ops.PairBudget.capPrune(
-      banded, sizes, "_bn", Seq("_t", "_b"), cap)
-    val candidates = pruned.select(col("_t"), col("_b"), col(idCol).as("id_a"))
-      .join(pruned.select(col("_t"), col("_b"), col(idCol).as("id_b")), Seq("_t", "_b"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    val pairs = candidates
-      .join(unitVecs.select(col(idCol).as("id_a"), col("_unit").as("_va")), "id_a")
-      .join(unitVecs.select(col(idCol).as("id_b"), col("_unit").as("_vb")), "id_b")
-      .withColumn("cosine", dot(col("_va"), col("_vb")))
-      .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+    val pairs = cosineVerify(
+      bucketCandidates(banded, Seq("_t", "_b"), idCol, sizes, "_bn", cap).distinct(),
+      unitVecs, idCol, threshold)
     val clusters = graft.ops.PairBudget.representatives(
       banded, Seq("_t", "_b"), idCol, cap)
     (graft.ops.BoundedPairs(pairs, clusters, cap),
@@ -457,28 +465,15 @@ object Similarity {
       maxCellRows: Long = 100000L,
       maxPairs: Long = 10000000L): (graft.ops.BoundedPairs, () => Unit) = {
     require(centroids.nonEmpty, "need a fitted coarse quantizer")
-    val v = col(vecCol)
-    val unitVecs = embeddings
-      .select(col(idCol), v.as("_v"), norm(v).as("_n"))
-      .select(col(idCol), transform(col("_v"), x => try_divide(x, col("_n"))).as("_unit"))
     val cells = assignCells(embeddings, vecCol, centroids)
       .select(col(idCol), col("_cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = cells.groupBy(col("_cell")).agg(count(lit(1)).as("_cn"))
     val cap = math.min(maxCellRows,
       graft.ops.PairBudget.sizeCap(sizes, "_cn", maxPairs))
-    val pruned = graft.ops.PairBudget.capPrune(
-      cells, sizes, "_cn", Seq("_cell"), cap)
-    val candidates = pruned.select(col("_cell"), col(idCol).as("id_a"))
-      .join(pruned.select(col("_cell"), col(idCol).as("id_b")), Seq("_cell"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-    val pairs = candidates
-      .join(unitVecs.select(col(idCol).as("id_a"), col("_unit").as("_va")), "id_a")
-      .join(unitVecs.select(col(idCol).as("id_b"), col("_unit").as("_vb")), "id_b")
-      .withColumn("cosine", dot(col("_va"), col("_vb")))
-      .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+    val pairs = cosineVerify(
+      bucketCandidates(cells, Seq("_cell"), idCol, sizes, "_cn", cap),
+      unitVecsOf(embeddings, idCol, vecCol), idCol, threshold)
     val clusters = graft.ops.PairBudget.representatives(
       cells, Seq("_cell"), idCol, cap)
     (graft.ops.BoundedPairs(pairs, clusters, cap), () => { cells.unpersist(); () })
