@@ -49,8 +49,16 @@ import org.apache.spark.sql.functions._
   * @param sizeCap  the effective per-bucket cap actually applied
   *                 (min of the caller's skew cap and the budget-derived
   *                 cap) — deterministic, so oracle-replayable
+  * @param cleanup  unpersists the operator's internal working sets
+  *                 (banded/blocked/gram membership triples). Call ONLY
+  *                 after BOTH output frames are materialized — the
+  *                 plans read the caches at execution. Default no-op;
+  *                 convenience callers may leave the blocks to the
+  *                 session's LRU (MEMORY_AND_DISK is evictable).
   */
-final case class BoundedPairs(pairs: DataFrame, clusters: DataFrame, sizeCap: Long)
+final case class BoundedPairs(
+    pairs: DataFrame, clusters: DataFrame, sizeCap: Long,
+    cleanup: () => Unit = () => ())
 
 object PairBudget {
 

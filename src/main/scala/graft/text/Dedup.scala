@@ -111,7 +111,8 @@ object Dedup {
     BoundedPairs(
       bandPairJoin(banded, idCol, cap),
       PairBudget.representatives(banded, Seq("band_idx", "band_hash"), idCol, cap),
-      cap)
+      cap,
+      () => { banded.unpersist(); () })
   }
 
   /** Bucket-capped candidate self-join over (band_idx, band_hash)
@@ -255,7 +256,8 @@ object Dedup {
     BoundedPairs(
       simHashPairJoin(blocked, idCol, simhashCol, maxHamming, cap),
       PairBudget.representatives(blocked, Seq("block_idx", "block_val"), idCol, cap),
-      cap)
+      cap,
+      () => { blocked.unpersist(); () })
   }
 
   /** (id, simhash, block_idx, block_val) membership rows — one per
@@ -515,7 +517,8 @@ object Dedup {
     graft.ops.BoundedPairs(
       spanPairJoin(informative, sizes, cap, minShared),
       graft.ops.PairBudget.representatives(informative, Seq("_gram"), idCol, cap),
-      cap)
+      cap,
+      () => { sel.unpersist(); () })
   }
 
   /** One codegen'd pass per doc: DISTINCT winnowing-selected k-gram

@@ -445,5 +445,8 @@ class DedupSpec extends SparkSpec {
     val stopReps = stopped.clusters.collect().map(r => r.getLong(0)).toSet
     assert(!stopReps.exists(id => id >= 1L && id <= 30L) || stopReps.isEmpty,
       s"stop-gram members leaked into clusters: $stopReps")
+    // both outputs are materialized above: releasing the internal
+    // working sets must be safe
+    under.cleanup(); bound.cleanup(); stopped.cleanup()
   }
 }
