@@ -130,8 +130,11 @@ object Pca {
     // weights carries _fmu per feature, so K needs no extra join
     val kRow = weights.agg(kAggs.head, kAggs.tail: _*).head()
     val aggs = model.eigenvalues.zipWithIndex.map { case (lam, c) =>
+      // empty/all-null weights aggregate to null K: substitute 0.0 so
+      // the projection yields an empty frame instead of NPE-ing here
+      val kc = if (kRow.isNullAt(c)) 0.0 else kRow.getDouble(c)
       ((graft.stats.Moments.sumProdExact(v, col(s"w_$c")) -
-        lit(kRow.getDouble(c))) / math.sqrt(lam)).as(s"pc_$c")
+        lit(kc)) / math.sqrt(lam)).as(s"pc_$c")
     }.toIndexedSeq
     df.join(weights, idCol)
       .groupBy(col(sampleCol))

@@ -16,10 +16,13 @@ object Normalize {
     * sample's values in ONE final-aggregation task — samples are few
     * but each can be a large fraction of a 100 TB table, which is
     * exactly the hot-group OOM the bucketed-rank engine exists to
-    * avoid. Bitwise identical to the old `median()` path (same
-    * pandas/DuckDB interpolating definition, (lo+hi)/2 on doubles).
-    * Exactness is required for oracle parity (SURVEY §7.4) — pandas
-    * median is exact. */
+    * avoid. Same interpolating definition as pandas/DuckDB median —
+    * medianByGroup computes (lo+hi)/2, whereas Spark's `median`
+    * aggregate computes lo+(hi−lo)·0.5, a different IEEE tree that can
+    * differ in the last ulp for even-n groups; the oracle SQL mirrors
+    * the (lo+hi)/2 tree, so parity holds (invariant 1). Exactness is
+    * required for oracle parity (SURVEY §7.4) — pandas median is
+    * exact. */
   def subtractColumnMedian(
       df: DataFrame,
       sampleCol: String = "sample",

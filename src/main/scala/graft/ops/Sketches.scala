@@ -98,7 +98,23 @@ object Sketches {
       idCol: String,
       k: Int,
       qs: Seq[Double],
-      tag: String = "sq"): DataFrame = {
+      tag: String = "sq"): DataFrame =
+    sampleQuantilesWithCleanup(df, valueCol, idCol, k, qs, tag)._1
+
+  /** [[sampleQuantiles]] plus an unpersist hook for the pinned ≤k-row
+    * sample (same contract as Impute.plsWithCleanup and the pair
+    * family's cleanup handles): call it only after the returned frame
+    * is materialized — the plan reads the cached sample at execution
+    * time, and unpersisting earlier would re-run the TakeOrdered over
+    * the full corpus. Without the hook the blocks live until the
+    * session's ContextCleaner collects them. */
+  def sampleQuantilesWithCleanup(
+      df: DataFrame,
+      valueCol: String,
+      idCol: String,
+      k: Int,
+      qs: Seq[Double],
+      tag: String = "sq"): (DataFrame, () => Unit) = {
     val spark = df.sparkSession
     import spark.implicits._
     // persist the ≤k-row sample: the rank machinery below runs several
@@ -112,8 +128,9 @@ object Sketches {
     val (ranked, m) = DistributedRank.rowNumberCounted(
       sample, valueCol, ascending = true, tieCols = Seq(idCol), outCol = "_rn")
     val targets = qs.map(q => (q, math.max(1L, math.ceil(q * m).toLong))).toDF("q", "_tr")
-    ranked.join(broadcast(targets), col("_rn") === col("_tr"))
+    val out = ranked.join(broadcast(targets), col("_rn") === col("_tr"))
       .select(col("q"), col(valueCol).cast("double").as("value"))
+    (out, () => { sample.unpersist(); () })
   }
 
   /** Per-group [[sampleQuantiles]]: bottom-k hash sample WITHIN each
@@ -268,7 +285,19 @@ object Sketches {
       idCol: String,
       weightCol: String,
       k: Int,
-      seed: Long): DataFrame = {
+      seed: Long): DataFrame =
+    prioritySampleWithCleanup(df, idCol, weightCol, k, seed)._1
+
+  /** [[prioritySample]] plus an unpersist hook for the pinned
+    * (k+1)-row top set (same contract as
+    * [[sampleQuantilesWithCleanup]]): call it only after the returned
+    * frame is materialized. */
+  def prioritySampleWithCleanup(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      seed: Long): (DataFrame, () => Unit) = {
     val u = (h60(concat_ws("|", lit(s"ps$seed"), col(idCol).cast("string")))
       .cast("double") + lit(0.5)) / lit(TwoPow60)
     val top = df
@@ -284,10 +313,11 @@ object Sketches {
       top, "_pri", ascending = false, tieCols = Seq(idCol), outCol = "_rn")
     val tau = ranked.filter(col("_rn") === (k + 1))
       .select(lit(1).as("_j"), col("_pri").as("_tau"))
-    ranked.filter(col("_rn") <= k)
+    val out = ranked.filter(col("_rn") <= k)
       .withColumn("_j", lit(1))
       .join(broadcast(tau), Seq("_j"), "left")
       .select(col(idCol), col("weight"),
         greatest(col("weight"), coalesce(col("_tau"), col("weight"))).as("est_weight"))
+    (out, () => { top.unpersist(); () })
   }
 }

@@ -70,10 +70,14 @@ object Storage {
       val mn = if (stats.isNullAt(2 * i)) 0.0 else stats.getDouble(2 * i)
       val mx = if (stats.isNullAt(2 * i + 1)) 0.0 else stats.getDouble(2 * i + 1)
       val span = if (mx > mn) mx - mn else 1.0
-      least(greatest(
-          floor((coalesce(col(c).cast("double"), lit(mn)) - mn) / span * side),
+      // clamp BEFORE floor (mirrors Quantiles.groupRanked /
+      // DistributedRank): under ANSI mode floor of ±Inf overflows the
+      // LONG cast and floor of NaN fails; least/greatest treat NaN as
+      // the largest double, so -Inf→bucket 0, NaN/+Inf→last bucket
+      floor(least(greatest(
+          (coalesce(col(c).cast("double"), lit(mn)) - mn) / span * side,
           lit(0.0)),
-        lit((side - 1).toDouble)).cast("long")
+        lit((side - 1).toDouble))).cast("long")
     }
     // bit j of dim i lands at position j*nd + i
     val z = (0 until bitsPerDim).flatMap { j =>

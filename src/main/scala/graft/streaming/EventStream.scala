@@ -32,12 +32,22 @@ object EventStream {
     * A directory with no footers yet — the normal state of an ingest
     * dir before the first file lands — falls back to the current
     * (µs timestamp) generation's schema instead of refusing to start:
-    * a stream must be startable ahead of data arrival. */
+    * a stream must be startable ahead of data arrival. Only that
+    * no-footer-yet case gets the fallback: a nonexistent path or a
+    * corrupt/mixed-generation footer set rethrows the real error —
+    * swallowing it would silently start the stream on the wrong
+    * generation's schema and mis-read files that land later. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     val physical =
       try spark.read.parquet(dir).schema
       catch {
-        case _: org.apache.spark.sql.AnalysisException =>
+        case e: org.apache.spark.sql.AnalysisException =>
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val emptyIngestDir = fs.exists(p) && fs.getFileStatus(p).isDirectory &&
+            !fs.listStatus(p).exists(s =>
+              s.isFile && s.getPath.getName.endsWith(".parquet"))
+          if (!emptyIngestDir) throw e
           StructType(eventsSchema.map(f =>
             if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f))
       }

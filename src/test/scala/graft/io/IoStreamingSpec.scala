@@ -302,6 +302,20 @@ class IoStreamingSpec extends SparkSpec {
     assert(spark.table("empty_stream").count() == 0L)
   }
 
+  test("readEvents rethrows on a nonexistent path and on corrupt footers") {
+    // ONLY the empty-ingest-dir case gets the schema fallback — a
+    // missing path or an unreadable footer silently falling back would
+    // start the stream on the wrong generation's schema
+    intercept[org.apache.spark.sql.AnalysisException] {
+      EventStream.readEvents(spark, "/tmp/definitely/does/not/exist")
+    }
+    val dir = Files.createTempDirectory("events_corrupt")
+    Files.write(dir.resolve("bad.parquet"), "not a parquet file".getBytes)
+    intercept[Exception] {
+      EventStream.readEvents(spark, dir.toString)
+    }
+  }
+
   test("streaming Count-Min sketch equals the batch sketch (commutative counters)") {
     // counter addition is commutative — the property that makes the
     // CMS artifact merge-order independent also makes the SAME

@@ -143,6 +143,30 @@ class OpsSpec extends SparkSpec {
     assert(Quantiles.fiveNumberByGroup(allNull, Seq("g"), "v").count() == 0L)
   }
 
+  test("medianByGroup pins the (lo+hi)/2 IEEE tree on ulp-boundary even groups") {
+    import graft.ops.Quantiles
+    // Spark's median aggregate computes lo+(hi-lo)*0.5, a DIFFERENT
+    // IEEE tree from medianByGroup's (lo+hi)/2 — for lo=-1, hi=1+ulp
+    // the former gives 0.0 (hi-lo rounds to 2 under round-to-even)
+    // while the latter gives 2^-53. The oracle SQL mirrors (lo+hi)/2,
+    // so pin THAT tree on values sitting on the divergence boundary.
+    val u = math.ulp(1.0)
+    val cases = Seq(
+      ("a", -1.0, 1.0 + u),
+      ("b", -(1.0 + u), 1.0),
+      ("c", 0.1, 0.1 + math.ulp(0.1)),
+      ("d", 3.0 + math.ulp(3.0), 3.0 + 2 * math.ulp(3.0)))
+    // the first case is genuinely adversarial: the two trees disagree
+    assert((-1.0 + (1.0 + u - -1.0) * 0.5) != (-1.0 + (1.0 + u)) / 2)
+    val df = cases.flatMap { case (g, lo, hi) => Seq((g, lo), (g, hi)) }
+      .toDF("g", "v")
+    val med = Quantiles.medianByGroup(df, "g", "v", numBuckets = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    cases.foreach { case (g, lo, hi) =>
+      assert(med(g) == (lo + hi) / 2, s"group $g: ${med(g)} vs ${(lo + hi) / 2}")
+    }
+  }
+
   test("exactGroupQuantiles: dominant group (99% of rows) splits across value buckets") {
     import graft.ops.Quantiles
     // one group holds 9900 of 10000 rows — the skew shape the bucketed

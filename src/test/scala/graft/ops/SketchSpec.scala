@@ -75,6 +75,19 @@ class SketchSpec extends SparkSpec {
     assert(qs(1.0) == 100.0)
   }
 
+  test("WithCleanup hooks release the pinned sketch working sets") {
+    val df = spark.range(1, 5001).select(
+      col("id"), (col("id") % 97).cast("double").as("v"))
+    val (qs, qsClean) = Sketches.sampleQuantilesWithCleanup(df, "v", "id", 200, Seq(0.5))
+    val (ps, psClean) = Sketches.prioritySampleWithCleanup(df, "id", "v", 100, 7L)
+    assert(qs.count() > 0 && ps.count() > 0)
+    // both internal pins are registered while the frames are live
+    val during = spark.sparkContext.getPersistentRDDs.size
+    qsClean(); psClean()
+    assert(spark.sparkContext.getPersistentRDDs.size <= during - 2,
+      s"cleanup hooks did not unpersist (still $during persistent RDDs)")
+  }
+
   test("per-group sample quantiles: k >= group size is exact, partitioning-invariant") {
     val df = spark.range(1, 301).select(col("id"),
       (col("id") % 3).cast("string").as("g"),

@@ -80,6 +80,19 @@ class StorageSpec extends SparkSpec {
     assert(zY < 0.6 * sY)
   }
 
+  test("z-ordered write survives NaN/±Inf in a clustered dim (ANSI mode)") {
+    // floor of ±Inf overflows the LONG cast and floor of NaN fails
+    // under ANSI — the clamp must run BEFORE floor. NaN also poisons
+    // max(): span falls back to 1.0 and rows still land in a bucket.
+    val df = Seq(
+      (Double.NaN, 1.0, 1), (Double.PositiveInfinity, 2.0, 2),
+      (Double.NegativeInfinity, 3.0, 3), (5.0, 4.0, 4), (6.0, 5.0, 5),
+      (7.0, 6.0, 6), (8.0, 7.0, 7)).toDF("x", "y", "id")
+    val dir = java.nio.file.Files.createTempDirectory("znf").toString + "/t"
+    Storage.writeZOrdered(df, dir, Seq("x", "y"), numFiles = 2)
+    assert(spark.read.parquet(dir).count() == 7)
+  }
+
   test("approx median within tolerance of exact; approx distinct near exact") {
     val rng = new scala.util.Random(13)
     val long = (1 to 20000).map(i => (i, "s", rng.nextGaussian() * 10 + 50))
