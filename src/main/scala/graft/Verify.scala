@@ -22,6 +22,12 @@ object Verify {
     // column) to capture them during this run; Bench never sets this,
     // so it never pays the extra recording action.
     System.setProperty("graft.record.oracle", "1")
+    // The winnowing/shared-span family's ORACLE mode: md5 gram hashes
+    // are what the DuckDB oracle SQL replays (HAVING over md5-hash
+    // minima). Production (Bench, library default) runs the rolling
+    // Karp-Rabin kernel — same recall guarantee, ~5-10× less CPU, no
+    // SQL image (see Dedup.defaultRollingHash).
+    System.setProperty("graft.gramhash", "md5")
     new java.io.File(outDir).mkdirs()
     // optional extra args = query-name filter for local iteration (the
     // driver passes exactly two args → full registry). NOTE a filtered

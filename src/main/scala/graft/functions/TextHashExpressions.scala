@@ -227,25 +227,32 @@ object TextHash {
     * clamps at the end, so a short text yields one whole-text gram),
     * window minima over w consecutive gram hashes (the final window
     * set clamps to whatever remains), distinct in first-occurrence
-    * order. md5, not a rolling Karp-Rabin: engine-portable gram hashes
-    * make the fingerprint set SQL-replayable; swap the kernel for a
-    * rolling hash if oracle-parity is ever not needed. */
+    * order. md5 is the ORACLE mode: engine-portable gram hashes make
+    * the fingerprint set SQL-replayable. The PRODUCTION mode
+    * ([[rollingGramHashes]]) swaps the per-gram md5 for a rolling
+    * Karp-Rabin polynomial — O(len) total instead of O(len·k) digest
+    * rounds — at the cost of SQL replayability; the winnowing
+    * guarantee is hash-agnostic (equal windows select equal-content
+    * grams under ANY deterministic content hash), so only the
+    * selection DETAIL differs, never the "shared span ≥ k+w−1 is
+    * detected" recall floor (DedupSpec property tests). */
   /** Shared winnowing kernel: UTF-8 code-point starts table, per-gram
-    * md5-top60 hashes, and the window-minima fingerprint set (insertion
-    * order = window order). Hashing works on byte SLICES at code-point
-    * boundaries: a UTF-8 substring's bytes ARE the byte range between
-    * its code points' offsets, so each gram hash equals
-    * md5Top60(substringSQL(i+1, k)) without allocating a UTF8String +
-    * byte copy per gram. [[winnowing]] and [[winnowingGrams]] differ
-    * only in what they emit from this kernel — keep selection fixes
-    * HERE so the "grams ≡ hashes in the fingerprint set" contract
-    * (DedupSpec, the SQL oracles) cannot drift one-sided. */
+    * hashes (md5-top60 or rolling Karp-Rabin), and the window-minima
+    * fingerprint set (insertion order = window order). md5 hashing
+    * works on byte SLICES at code-point boundaries: a UTF-8
+    * substring's bytes ARE the byte range between its code points'
+    * offsets, so each gram hash equals md5Top60(substringSQL(i+1, k))
+    * without allocating a UTF8String + byte copy per gram.
+    * [[winnowing]] and [[winnowingGrams]] differ only in what they
+    * emit from this kernel — keep selection fixes HERE so the
+    * "grams ≡ hashes in the fingerprint set" contract (DedupSpec, the
+    * SQL oracles) cannot drift one-sided. */
   private def winnowKernel(
-      text: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int):
-      (Array[Byte], Array[Int], Array[Long], java.util.LinkedHashSet[java.lang.Long]) = {
+      text: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int,
+      rolling: Boolean = false):
+      (Array[Byte], Array[Int], Array[Long], LongOrderedSet) = {
     val len = text.numChars()
     val nGrams = math.max(len - (k - 1), 1)
-    val grams = new Array[Long](nGrams)
     val bytes = text.getBytes
     val starts = new Array[Int](len + 1)
     var ci = 0
@@ -260,18 +267,24 @@ object TextHash {
       ci += 1
     }
     starts(len) = bytes.length
-    val md = md5Local.get()
-    val digestBuf = new Array[Byte](16)
-    var i = 0
-    while (i < nGrams) {
-      val from = starts(i)
-      val until = starts(math.min(i + k, len))
-      grams(i) = top60(md, bytes, from, until - from, digestBuf)
-      i += 1
-    }
+    val grams =
+      if (rolling) rollingGramHashes(bytes, starts, len, k)
+      else {
+        val out = new Array[Long](nGrams)
+        val md = md5Local.get()
+        val digestBuf = new Array[Byte](16)
+        var i = 0
+        while (i < nGrams) {
+          val from = starts(i)
+          val until = starts(math.min(i + k, len))
+          out(i) = top60(md, bytes, from, until - from, digestBuf)
+          i += 1
+        }
+        out
+      }
     val lastStart = math.max(nGrams - w, 0)
-    val minima = new java.util.LinkedHashSet[java.lang.Long]
-    i = 0
+    val minima = new LongOrderedSet(math.max(2 * nGrams / (w + 1), 8))
+    var i = 0
     while (i <= lastStart) {
       var m = grams(i)
       var j = i + 1
@@ -283,12 +296,108 @@ object TextHash {
     (bytes, starts, grams, minima)
   }
 
+  /** Insertion-ordered open-addressing set of NONNEGATIVE longs (both
+    * gram-hash modes emit 60-bit values) for the winnowing hot path:
+    * the boxed LinkedHashSet[java.lang.Long] it replaces spent more
+    * time boxing/hashing wrappers than the rolling kernel spends
+    * hashing. -1 marks an empty slot; capacity doubles at 60% load. */
+  private[functions] final class LongOrderedSet(initialCap: Int) {
+    private var cap = Integer.highestOneBit(math.max(initialCap, 8) * 2 - 1) << 1
+    private var table = new Array[Long](cap)
+    java.util.Arrays.fill(table, -1L)
+    private var order = new Array[Long](math.max(initialCap, 8))
+    private var n = 0
+    def size: Int = n
+    def orderedAt(i: Int): Long = order(i)
+    private def idx(v: Long): Int = {
+      var z = v * -7046029254386353131L // Murmur3-style spread
+      z ^= z >>> 32
+      var i = (z & (cap - 1)).toInt
+      while (table(i) != -1L && table(i) != v) i = (i + 1) & (cap - 1)
+      i
+    }
+    def contains(v: Long): Boolean = table(idx(v)) == v
+    def add(v: Long): Boolean = {
+      val i = idx(v)
+      if (table(i) == v) return false
+      table(i) = v
+      if (n == order.length) order = java.util.Arrays.copyOf(order, n * 2)
+      order(n) = v
+      n += 1
+      if (n * 5 > cap * 3) { // grow at 60% load
+        cap <<= 1
+        table = new Array[Long](cap)
+        java.util.Arrays.fill(table, -1L)
+        var j = 0
+        while (j < n) { table(idx(order(j))) = order(j); j += 1 }
+      }
+      true
+    }
+  }
+
+  /** SplitMix64 finalizer narrowed to 60 bits — same domain as
+    * [[top60]] so the two gram-hash modes are drop-in interchangeable
+    * (nonnegative, signed comparison = unsigned comparison). */
+  private def mix60(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    (z ^ (z >>> 31)) >>> 4
+  }
+
+  /** Odd multiplier of the rolling polynomial (invertible mod 2⁶⁴). */
+  private val RollB = 0x9e3779b97f4a7c15L
+
+  /** Rolling Karp-Rabin gram hashes over CODE POINTS: h(i) =
+    * Σ_j cp(i+j)·B^(k−1−j) mod 2⁶⁴, rolled in O(1) per gram
+    * (subtract cp(i)·B^(k−1), multiply by B, add cp(i+k)), finalized
+    * through [[mix60]] because a raw polynomial's low bits are too
+    * structured for minima selection. Hash of a gram is a pure
+    * function of its code-point sequence = its substring content, so
+    * winnowing's structural guarantee survives the swap. Total cost
+    * O(len) — no digest rounds, no allocation beyond the cp table. */
+  private def rollingGramHashes(
+      bytes: Array[Byte], starts: Array[Int], len: Int, k: Int): Array[Long] = {
+    val nGrams = math.max(len - (k - 1), 1)
+    val grams = new Array[Long](nGrams)
+    val cps = new Array[Int](len)
+    var ci = 0
+    while (ci < len) {
+      val off = starts(ci)
+      val b0 = bytes(off)
+      cps(ci) =
+        if ((b0 & 0x80) == 0) b0
+        else if ((b0 & 0xe0) == 0xc0)
+          ((b0 & 0x1f) << 6) | (bytes(off + 1) & 0x3f)
+        else if ((b0 & 0xf0) == 0xe0)
+          ((b0 & 0x0f) << 12) | ((bytes(off + 1) & 0x3f) << 6) | (bytes(off + 2) & 0x3f)
+        else
+          ((b0 & 0x07) << 18) | ((bytes(off + 1) & 0x3f) << 12) |
+            ((bytes(off + 2) & 0x3f) << 6) | (bytes(off + 3) & 0x3f)
+      ci += 1
+    }
+    val kk = math.min(k, len) // short text: ONE whole-text gram
+    var h = 0L
+    var j = 0
+    while (j < kk) { h = h * RollB + cps(j); j += 1 }
+    grams(0) = mix60(h)
+    var bk = 1L // B^(k-1) for the leading-term removal
+    j = 1
+    while (j < kk) { bk *= RollB; j += 1 }
+    var i = 1
+    while (i < nGrams) { // nGrams > 1 implies len > k, so i+k-1 < len
+      h = (h - cps(i - 1) * bk) * RollB + cps(i + k - 1)
+      grams(i) = mix60(h)
+      i += 1
+    }
+    grams
+  }
+
   def winnowing(text: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int): ArrayData = {
     val (_, _, _, minima) = winnowKernel(text, k, w)
     val arr = new Array[Any](minima.size)
-    val it = minima.iterator()
     var p = 0
-    while (it.hasNext) { arr(p) = it.next().longValue(); p += 1 }
+    while (p < arr.length) { arr(p) = minima.orderedAt(p); p += 1 }
     new GenericArrayData(arr)
   }
 
@@ -301,8 +410,18 @@ object TextHash {
     * what [[graft.text.Dedup.sharedSpanPairs]] joins on: equal gram =
     * exact shared substring, so candidate = verified in one step. */
   def winnowingGrams(
-      text: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int): ArrayData = {
-    val (bytes, starts, grams, minima) = winnowKernel(text, k, w)
+      text: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int): ArrayData =
+    winnowingGrams(text, k, w, rolling = false)
+
+  /** [[winnowingGrams]] with the gram-hash mode explicit: `rolling =
+    * true` is the production mode (rolling Karp-Rabin selection,
+    * ~one multiply per gram instead of an md5 digest), `false` the
+    * SQL-replayable oracle mode. Emitted values are SUBSTRINGS either
+    * way — only which grams get selected differs. */
+  def winnowingGrams(
+      text: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int,
+      rolling: Boolean): ArrayData = {
+    val (bytes, starts, grams, minima) = winnowKernel(text, k, w, rolling)
     val len = starts.length - 1
     val out = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]
     var i = 0
@@ -446,15 +565,21 @@ case class WinnowingExpr(child: Expression, k: Int, w: Int)
   override def prettyName: String = "winnowing_fingerprints"
 }
 
-/** Winnowing-selected k-gram substrings (distinct) over a text column. */
-case class WinnowingGramsExpr(child: Expression, k: Int, w: Int)
+/** Winnowing-selected k-gram substrings (distinct) over a text
+  * column. `rolling = false` (oracle mode) selects via per-gram md5;
+  * `rolling = true` (production mode) via the rolling Karp-Rabin
+  * kernel — same structural recall guarantee, ~5-10× less CPU, no SQL
+  * replay. */
+case class WinnowingGramsExpr(child: Expression, k: Int, w: Int,
+    rolling: Boolean = false)
     extends UnaryExpression with Serializable {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(in: Any): Any =
-    TextHash.winnowingGrams(in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+    TextHash.winnowingGrams(
+      in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w, rolling)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.TextHash.winnowingGrams($a, $k, $w);")
+      s"${ev.value} = graft.functions.TextHash.winnowingGrams($a, $k, $w, $rolling);")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "winnowing_grams"
 }
@@ -530,9 +655,11 @@ object TextHashExpressions {
   def winnowing(text: Column, k: Int, w: Int): Column =
     Bridge.column(WinnowingExpr(Bridge.expression(text), k, w))
 
-  /** Winnowing-selected k-gram substrings (codegen'd). */
-  def winnowingGrams(text: Column, k: Int, w: Int): Column =
-    Bridge.column(WinnowingGramsExpr(Bridge.expression(text), k, w))
+  /** Winnowing-selected k-gram substrings (codegen'd). `rolling`
+    * picks the production Karp-Rabin kernel over the SQL-replayable
+    * md5 one (see [[WinnowingGramsExpr]]). */
+  def winnowingGrams(text: Column, k: Int, w: Int, rolling: Boolean = false): Column =
+    Bridge.column(WinnowingGramsExpr(Bridge.expression(text), k, w, rolling))
 
   /** Distinct word n-gram shingles over a text column (codegen'd). */
   def wordShingles(text: Column, n: Int): Column =

@@ -370,6 +370,75 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("rolling-mode winnowingGrams: every w-window contributes a selected gram (guarantee is hash-agnostic)") {
+    // implementation-independent restatement of the winnowing
+    // guarantee, checked from the OUTPUT alone: in every window of w
+    // consecutive k-grams, at least one gram is selected. That is the
+    // whole recall proof — a shared span ≥ k+w−1 contains a full
+    // window in both docs with identical gram content, and identical
+    // windows select identical-content minima under ANY deterministic
+    // content hash.
+    val k = 5; val w = 4
+    val rnd = new scala.util.Random(1234)
+    // 2- and 3-byte BMP cps exercise the decoder (no lone surrogates)
+    val alphabet = "abcdefgh αβγ中文"
+    def randText(n: Int) = (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val texts = Seq("abcdefghijklmnopqrstuvwxyz", "aaaaaaaa", "abc", "",
+      "the quick brown fox jumps over the lazy dog",
+      "emoji 🚀 grams 🎉 hit the 4-byte decode path 🚀🚀 twice") ++
+      (1 to 20).map(_ => randText(60))
+    for (t <- texts; rolling <- Seq(true, false)) {
+      val sel = Seq(Tuple1(t)).toDF("text").select(
+        graft.functions.TextHashExpressions.winnowingGrams(col("text"), k, w, rolling)
+          .as("grams")).head().getSeq[String](0)
+      assert(sel.distinct == sel, s"grams not distinct for '$t' rolling=$rolling")
+      val cps = t.codePoints().toArray
+      def gram(i: Int) = new String(cps, i, math.min(k, cps.length - i))
+      val n = math.max(cps.length - (k - 1), 1)
+      val selSet = sel.toSet
+      (0 to math.max(n - w, 0)).foreach { i =>
+        val window = (i until math.min(i + w, n)).map(gram)
+        assert(window.exists(selSet.contains),
+          s"window $i of '$t' (rolling=$rolling) has no selected gram: $window vs $selSet")
+      }
+    }
+  }
+
+  test("rolling vs md5 span detection: planted spans caught by BOTH; pair sets agree (equivalence floor)") {
+    val k = 12; val w = 4
+    val rnd = new scala.util.Random(77)
+    val words = Vector("alpha", "beta", "gamma", "delta", "query", "spark",
+      "shuffle", "column", "vector", "tensor", "corpus", "window")
+    def randDoc(len: Int) = (1 to len).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    // plant spans of EXACTLY k+w-1 = 15 chars (the guarantee boundary)
+    // and comfortably longer ones between disjoint doc pairs
+    val boundarySpan = "XBOUNDARYSPANZQ" // 15 chars
+    val longSpan = "this much longer verbatim boilerplate passage is shared in full"
+    val planted = Seq(
+      (1L, 2L, boundarySpan), (3L, 4L, boundarySpan),
+      (5L, 6L, longSpan), (7L, 8L, longSpan))
+    val docs = planted.flatMap { case (ia, ib, span) =>
+      Seq((ia, s"${randDoc(8)} $span ${randDoc(8)}"),
+        (ib, s"${randDoc(8)} $span ${randDoc(8)}"))
+    } ++ (20L until 40L).map(i => (i, randDoc(20)))
+    val corpus = docs.toDF("doc_id", "text")
+    def pairSet(rolling: Boolean) = Dedup.sharedSpanPairs(
+      corpus, "doc_id", "text", k, w, 64L, 1L, rollingHash = rolling)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val md5Pairs = pairSet(false)
+    val rollPairs = pairSet(true)
+    // structural guarantee, both modes: every planted pair detected
+    planted.foreach { case (ia, ib, span) =>
+      assert(md5Pairs.contains((ia, ib)), s"md5 missed planted ($ia,$ib) '$span'")
+      assert(rollPairs.contains((ia, ib)), s"rolling missed planted ($ia,$ib) '$span'")
+    }
+    // equivalence floor: the modes may differ on sub-guarantee
+    // accidental overlaps, but must agree on ≥90% of md5's detections
+    val recall = if (md5Pairs.isEmpty) 1.0
+      else md5Pairs.intersect(rollPairs).size.toDouble / md5Pairs.size
+    assert(recall >= 0.9, s"rolling recall of md5 pairs $recall: md5=$md5Pairs roll=$rollPairs")
+  }
+
   test("sharedSpanPairs: winnowing guarantee detects long shared spans; df cap kills stop-grams") {
     val k = 12; val w = 4
     val span = "this exact boilerplate sentence is shared verbatim between two documents"
