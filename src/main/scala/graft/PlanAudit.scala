@@ -45,6 +45,22 @@ object PlanAudit {
       spark.stop()
       return
     }
+    if (args.headOption.contains("--scan-plans")) {
+      // the full structural sweep: unpartitioned windows (invariant 6)
+      // + CartesianProduct / CollectLimit anti-patterns, zero across
+      // the registry (shared detectors with PlanSpec)
+      var bad = 0
+      for (name <- queries.Registry.queries.keys.toSeq.sorted) {
+        val p = queries.Registry.queries(name)(spark, d)
+          .queryExecution.explainString(ExplainMode.fromString("formatted"))
+        val hits = PlanChecks.unpartitionedWindowSpecs(p).map("UNPARTITIONED-WINDOW " + _) ++
+          PlanChecks.structuralAntiPatterns(p)
+        if (hits.nonEmpty) { bad += 1; println(s"PLAN-FAIL $name: ${hits.mkString(" | ")}") }
+      }
+      println(if (bad == 0) "scan done: all plans clean" else s"scan done: $bad queries flagged")
+      spark.stop()
+      return
+    }
     for (name <- args) {
       val p = queries.Registry.queries(name)(spark, d)
         .queryExecution.explainString(ExplainMode.fromString("simple"))

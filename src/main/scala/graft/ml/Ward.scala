@@ -96,8 +96,26 @@ object Ward {
     (0 until n).map(i => i -> roots(find(i))).toMap
   }
 
+  /** Hard ceiling on the SAMPLE axis for the driver-side linkage.
+    * The agglomeration holds the full s×s distance matrix plus a
+    * pair-keyed working map on the driver and iterates an O(s²)
+    * closest-pair scan s times (O(s³) total): at 4096 samples that is
+    * ~134 MB of matrix + a ~3·10¹⁰-step loop — the measured practical
+    * edge of "seconds-to-minutes on one driver core" (the reference
+    * workload clusters ≤ ~10³ samples; scipy's own linkage has the
+    * same O(s²) memory wall). Beyond it the failure mode without this
+    * guard is a driver OOM/1-core stall deep inside a Spark job, so
+    * [[clusterSamples]] rejects early with the remediation spelled
+    * out. For sample-rich corpora cluster on the FEATURE axis
+    * instead (trivially this same operator with (idCol, sampleCol)
+    * swapped) or bridge to spark.ml's distributed BisectingKMeans —
+    * hierarchical-ish splits without a driver-side matrix. */
+  val MaxLinkageSamples: Int = 4096
+
   /** End-to-end: distributed distances → driver linkage → assignment
-    * DataFrame (sample, cluster). */
+    * DataFrame (sample, cluster). The sample axis is capped at
+    * [[MaxLinkageSamples]] (driver O(s²) memory / O(s³) time — see
+    * the scaladoc there for the distributed alternatives). */
   def clusterSamples(
       spark: SparkSession, df: DataFrame,
       idCol: String, sampleCol: String, valueCol: String, k: Int): DataFrame = {
@@ -106,6 +124,11 @@ object Ward {
       .collect().map(_.get(0).toString).sorted
     val idx = samples.zipWithIndex.toMap
     val n = samples.length
+    require(n <= MaxLinkageSamples,
+      s"Ward linkage is driver-side O(s^2) memory / O(s^3) time by design and " +
+      s"is capped at $MaxLinkageSamples samples (got $n). For sample-rich " +
+      s"corpora cluster on the feature axis (swap idCol/sampleCol) or use " +
+      s"spark.ml BisectingKMeans for a distributed hierarchical split.")
     val sq = Array.ofDim[Double](n, n)
     pairwiseSqDist(df, idCol, sampleCol, valueCol).collect().foreach { r =>
       val a = idx(r.get(0).toString); val b = idx(r.get(1).toString)

@@ -70,6 +70,19 @@ class MlSpec extends SparkSpec {
     assert(out("s0") != out("s2"))
   }
 
+  test("Ward rejects a sample axis over MaxLinkageSamples with the remediation spelled out") {
+    // the driver-side linkage is O(s²) memory / O(s³) time by design —
+    // past the cap the failure without this guard is an OOM/stall deep
+    // inside a job, so the reject must be early and actionable
+    val wide = (0 until Ward.MaxLinkageSamples + 1)
+      .map(s => ("f0", s"s$s", s.toDouble)).toDF("id", "sample", "value")
+    val e = intercept[IllegalArgumentException] {
+      Ward.clusterSamples(spark, wide, "id", "sample", "value", k = 2)
+    }
+    assert(e.getMessage.contains("feature axis") &&
+      e.getMessage.contains("BisectingKMeans"), e.getMessage)
+  }
+
   test("Ward linkage matches hand-computed merge order and heights") {
     val sq = Array(
       Array(0.0, 1.0, 200.0, 221.0),
