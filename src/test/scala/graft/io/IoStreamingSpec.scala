@@ -400,6 +400,35 @@ class IoStreamingSpec extends SparkSpec {
     assert(spark.table("doc_curate").count() == batchFps.size)
   }
 
+  test("streaming curation sustains a sane ingest rate and bounds dedup state to gated fingerprints") {
+    // the rate assertion behind the BENCH_NOTES cycle measurement
+    // (graft.StreamBench: ~3.2k docs/s at sf1 on a contended host).
+    // The floor here is deliberately 100× under that — it exists to
+    // catch a regression to per-batch quadratic work or per-row
+    // driver round-trips, not to benchmark the CI host.
+    val dir = Files.createTempDirectory("docs_rate")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(400)
+    docs.write.mode("overwrite").parquet(dir.toString)
+    val cfg = graft.pipeline.TrainingData.CurationConfig(
+      minQuality = 0.1, langs = Set("en", "de", "fr", "es", "zh"), minTokens = 3)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir.toString)
+      .withColumn("ingest_ts", current_timestamp())
+    val t0 = System.nanoTime()
+    val q = EventStream.runToMemory(
+      graft.streaming.DocStream.curateStream(stream, "doc_id", "text", "ingest_ts", cfg),
+      "doc_rate", outputMode = "append")
+    val ingestSec = (System.nanoTime() - t0) / 1e9
+    // dedup state = exactly the gated fingerprints inside the
+    // watermark horizon — the stream's memory bound
+    val stateRows = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+    q.stop()
+    val kept = spark.table("doc_rate").count()
+    assert(stateRows == kept, s"state $stateRows != kept $kept")
+    val rate = 400.0 / ingestSec
+    assert(rate > 30.0, f"ingest rate $rate%.1f docs/s — quadratic regression?")
+  }
+
   test("stream ingest + batch near-dup compaction ≡ one-shot batch curation") {
     // the production split: the stream gates + exact-dedups within the
     // watermark; the periodic batch compaction (TrainingData.curateFull
