@@ -18,7 +18,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * per-row array folds, so this is where embedding-scan time goes).
   *
   * Semantics are IDENTICAL to the HOF form, bitwise (oracle rule,
-  * CLAUDE.md invariant 1): accumulate `0.0 + a(0)*b(0) + a(1)*b(1) + …`
+  * INVARIANTS.md §1): accumulate `0.0 + a(0)*b(0) + a(1)*b(1) + …`
   * in index order; null array, length mismatch, or any null element →
   * null (zip_with pads the shorter side with null, which nulls the
   * aggregate). DuckDB `list_reduce(list_transform(list_zip(...)))`

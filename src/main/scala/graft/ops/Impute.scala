@@ -23,7 +23,7 @@ object Impute {
     *    same row on any cluster size, any partitioning, any re-run —
     *    and is reproducible by an external engine (DuckDB md5), so the
     *    whole operator oracle-checks. z is rounded at 1e-7 (the
-    *    portable-transcendental rule for ln/cos, CLAUDE.md inv. 1);
+    *    portable-transcendental rule for ln/cos, INVARIANTS.md §1);
     *    per-sample moments are exact-decimal.
     *  - moments are one broadcast-joined aggregation instead of a
     *    per-column Python loop. Also emits `was_imputed` (the

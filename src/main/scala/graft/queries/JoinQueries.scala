@@ -25,7 +25,7 @@ object JoinQueries extends QueryProvider {
     (s, d) => {
       // µs-truncated time axis on both sides: DuckDB reads the
       // TIMESTAMP(NANOS) parquet at µs precision, so nanos are not
-      // oracle-comparable (cf. CLAUDE.md invariant 4).
+      // oracle-comparable (cf. INVARIANTS.md §4).
       val ev = Tables.events(s, d).withColumn("ts_us", expr("ts DIV 1000"))
       val views = ev.filter(col("event_type") === "view")
         .groupBy(col("user_id"), col("ts_us"))

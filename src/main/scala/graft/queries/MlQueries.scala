@@ -16,7 +16,7 @@ import graft.stats.Moments.{Sql => MS}
   * tiny driver objects (means, components, eigenvalues, NIPALS
   * scalars, cluster assignments) and the oracles replay the full
   * distributed chain in DuckDB with only those literals injected
-  * (CLAUDE.md invariant 2's Storey-pi0 technique). What stays
+  * (INVARIANTS.md §2's Storey-pi0 technique). What stays
   * rows-only is only what no SQL can express (the seeded KMeans fit
   * itself is covered by injecting its centroids; the kernel-PLS solve
   * in q_impute_pls by MlSpec goldens).

@@ -146,7 +146,7 @@ object Summaries {
     val exprCols = df.columns.filter(_.matches(".*(Intensity|Ratio).*")).toSeq
     // try_cast: expression columns may arrive string-typed from a loose
     // TSV read — ANSI mode would throw on a bare numeric compare
-    // (CLAUDE.md invariant 5)
+    // (INVARIANTS.md §5)
     val quantified = exprCols
       .map(c => coalesce(col(c).try_cast("double") =!= 0, lit(false)))
       .reduceOption(_ || _).getOrElse(lit(false))

@@ -488,7 +488,7 @@ def s0_filter(dr, p, s0=1e-5, fdr=0.05, threshold=2.0, curve_interval=0.001):
 
 def volcano_match(outdir, stage, ids, dr, p, sig):
     # tolerance 5e-6: the engine's oracle-determinism contract
-    # (CLAUDE.md invariant 1) aggregates stat inputs through exact
+    # (INVARIANTS.md §1) aggregates stat inputs through exact
     # DECIMAL sums quantized at 6 decimals (Moments.dec), so arbitrary
     # log2 doubles carry ~1e-7 quantization vs float pandas; the
     # Catalyst t-CDF vs mpmath golden adds ~1e-8 on p
