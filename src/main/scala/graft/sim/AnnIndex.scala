@@ -97,11 +97,10 @@ object AnnIndex {
       attempts += 1
       require(attempts <= 64, s"could not claim a manifest version under $base")
       val next = highestVersion(fs, base) + 1
-      try {
-        fs.create(new org.apache.hadoop.fs.Path(base, s"$ManifestFile.claim.$next"),
-          false).close()
+      if (createExclusive(fs,
+          new org.apache.hadoop.fs.Path(base, s"$ManifestFile.claim.$next")))
         claimed = next
-      } catch { case _: java.io.IOException => /* lost the race; re-read */ }
+      // else: lost the race; re-read and claim a higher number
     }
     val files = additions match {
       case Some(add) =>
@@ -163,6 +162,29 @@ object AnnIndex {
       if (!hidden && rel.endsWith(".parquet")) files += rel
     }
     files.toSeq
+  }
+
+  /** Atomic create-exclusive — the CAS primitive behind the version
+    * claim. Hadoop's LOCAL filesystem implements `create(path,
+    * overwrite=false)` as a non-atomic exists-then-create (two racing
+    * claimants can both "win"), so local paths go through
+    * java.nio's O_EXCL createFile; HDFS/object-store schemes keep
+    * `fs.create(p, false)`, which IS atomic there (namenode-arbitrated
+    * / conditional put). */
+  private def createExclusive(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean = fs match {
+    case _: org.apache.hadoop.fs.LocalFileSystem |
+         _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      try {
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(p.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    case _ =>
+      try { fs.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
   }
 
   /** Highest version number among published manifests AND outstanding
@@ -419,7 +441,8 @@ object AnnIndex {
         val lines =
           try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toArray
           finally in.close()
-        Some((lines.head,
+        if (lines.isEmpty) None // torn/empty pointer: treat as unpublished
+        else Some((lines.head,
           lines.tail.map(_.split(",").map(java.lang.Double.parseDouble))))
       }
     } catch { case _: java.io.FileNotFoundException => None }

@@ -317,6 +317,29 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("manifest version claim is atomic: 8 simultaneous publishers get 8 distinct versions") {
+    // the CAS primitive must be O_EXCL-atomic — Hadoop's local
+    // create(path, overwrite=false) is exists-then-create and lets two
+    // racers both 'win' a version, whose renames then silently drop
+    // one writer's manifest content
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val base = (0L until 4L).map(i => (i, Array(0.9f, 0.1f * i))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("annclaim").toString + "/idx"
+    AnnIndex.writeIvfIndexed(Similarity.assignCells(base, "embedding", cents), dir)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val threads = (1 to 8).map(_ => new Thread(() =>
+      try { gate.await(); AnnIndex.publishManifest(spark, dir) }
+      catch { case t: Throwable => errs.compareAndSet(null, t) }))
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join(30000))
+    assert(errs.get() == null, String.valueOf(errs.get()))
+    val versions = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.matches("_graft_manifest\\.v\\d+")).sorted.toSeq
+    // initial write published v1; 8 racers must have claimed 8 MORE
+    // distinct versions (no overwrites, no losses)
+    assert(versions.size == 9, s"expected 9 distinct manifests, got $versions")
+  }
+
   test("sweepManifests: retention keeps serving intact, older versions + claims deleted") {
     val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
     val base = (0L until 6L).map(i => (i, Array(0.9f, 0.05f * i))).toDF("vec_id", "embedding")
