@@ -393,8 +393,18 @@ object TextHash {
     grams
   }
 
-  def winnowing(text: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int): ArrayData = {
-    val (_, _, _, minima) = winnowKernel(text, k, w)
+  def winnowing(text: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int): ArrayData =
+    winnowing(text, k, w, rolling = false)
+
+  /** [[winnowing]] with the gram-hash mode explicit. In rolling mode
+    * the fingerprint set doubles as the PRODUCTION span-join key set:
+    * a gram is selected iff its hash is a window minimum, so the
+    * distinct selected-gram HASH set IS the minima set — joining on
+    * these 8-byte longs instead of the gram strings is the classic
+    * MOSS fingerprint join (exact up to 60-bit collisions). */
+  def winnowing(text: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int,
+      rolling: Boolean): ArrayData = {
+    val (_, _, _, minima) = winnowKernel(text, k, w, rolling)
     val arr = new Array[Any](minima.size)
     var p = 0
     while (p < arr.length) { arr(p) = minima.orderedAt(p); p += 1 }
@@ -552,15 +562,19 @@ case class SimHash60(child: Expression)
   override def prettyName: String = "simhash60"
 }
 
-/** One-pass winnowing fingerprint set over a text column. */
-case class WinnowingExpr(child: Expression, k: Int, w: Int)
+/** One-pass winnowing fingerprint set over a text column (md5 =
+  * SQL-replayable oracle mode; rolling = production mode, whose
+  * fingerprints double as the span-family join keys). */
+case class WinnowingExpr(child: Expression, k: Int, w: Int,
+    rolling: Boolean = false)
     extends UnaryExpression with Serializable {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(in: Any): Any =
-    TextHash.winnowing(in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+    TextHash.winnowing(
+      in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w, rolling)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.TextHash.winnowing($a, $k, $w);")
+      s"${ev.value} = graft.functions.TextHash.winnowing($a, $k, $w, $rolling);")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "winnowing_fingerprints"
 }
@@ -651,9 +665,11 @@ object TextHashExpressions {
   def bpeIshCount(text: Column): Column =
     Bridge.column(BpeIshCountExpr(Bridge.expression(text)))
 
-  /** One-pass winnowing fingerprint set (codegen'd). */
-  def winnowing(text: Column, k: Int, w: Int): Column =
-    Bridge.column(WinnowingExpr(Bridge.expression(text), k, w))
+  /** One-pass winnowing fingerprint set (codegen'd). `rolling` picks
+    * the production Karp-Rabin kernel (fingerprints = span join keys)
+    * over the SQL-replayable md5 one. */
+  def winnowing(text: Column, k: Int, w: Int, rolling: Boolean = false): Column =
+    Bridge.column(WinnowingExpr(Bridge.expression(text), k, w, rolling))
 
   /** Winnowing-selected k-gram substrings (codegen'd). `rolling`
     * picks the production Karp-Rabin kernel over the SQL-replayable

@@ -558,13 +558,33 @@ object Dedup {
   /** One codegen'd pass per doc: DISTINCT winnowing-selected k-gram
     * substrings, exploded to narrow (id, gram) rows — the only shape
     * that ever shuffles; the wide text column dies in the projection. */
+  /** The per-doc selection, mode-shaped for its consumer: md5 mode
+    * emits the selected gram SUBSTRINGS (the oracle contract — equal
+    * gram = equal text, candidate = verified, SQL-replayable);
+    * rolling mode emits the selected grams' 60-bit FINGERPRINTS
+    * (= the window-minima set: a gram is selected iff its hash is a
+    * minimum, so the distinct selected-hash set IS the fingerprint
+    * set). The fingerprint route is the classic MOSS join — only
+    * (id, long) ever shuffles, no gram string is even MATERIALIZED
+    * per row — at the cost of exactness up to 60-bit collisions:
+    * a false shared-span pair needs `minShared` independent
+    * collisions against a ~2⁻⁶⁰ per-gram rate, far below the noise
+    * floor of any dedup decision. Everything downstream (df cap,
+    * budget histogram, pair join, representatives) is agnostic to
+    * the key's type. */
   private def selectedGrams(
       df: DataFrame, idCol: String, textCol: String, k: Int, w: Int,
       rollingHash: Boolean): DataFrame =
-    df.select(
-      col(idCol),
-      explode(graft.functions.TextHashExpressions.winnowingGrams(
-        col(textCol), k, w, rollingHash)).as("_gram"))
+    if (rollingHash)
+      df.select(
+        col(idCol),
+        explode(graft.functions.TextHashExpressions.winnowing(
+          col(textCol), k, w, rolling = true)).as("_gram"))
+    else
+      df.select(
+        col(idCol),
+        explode(graft.functions.TextHashExpressions.winnowingGrams(
+          col(textCol), k, w)).as("_gram"))
 
   private def gramDocFreq(sel: DataFrame): DataFrame =
     sel.groupBy(col("_gram")).agg(count(lit(1)).as("_df"))
