@@ -20,19 +20,28 @@ object CoreQueries extends QueryProvider {
       val li = Tables.lineitem(s, d)
       li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
+        // int/money images + a DECIMAL product sum, not dec(15,6)
+        // doubles: at sf10 these fact sums reach ~2.7e11 and the
+        // scale-6 mantissa passes 2^53, where the engines'
+        // decimal->double double-rounding diverges by 1 ulp (caught
+        // by the round-9 sf10 parity run — Moments.sumExact scaladoc).
+        // Quantities are integers and prices are cent-valued, so their
+        // coarse images are exact and convert correctly to ~sf10000;
+        // the discount product has no exact coarse image and is
+        // emitted as DECIMAL (no conversion at all — sumExactDec).
         .agg(
-          Moments.sumExact(col("l_quantity")).as("sum_qty"),
-          Moments.sumExact(col("l_extendedprice")).as("sum_base_price"),
-          Moments.sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-          (Moments.sumExact(col("l_quantity")) / count(lit(1)).cast("double")).as("avg_qty"),
+          Moments.sumExactInt(col("l_quantity")).as("sum_qty"),
+          Moments.sumExactMoney(col("l_extendedprice")).as("sum_base_price"),
+          Moments.sumExactDec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          (Moments.sumExactInt(col("l_quantity")) / count(lit(1)).cast("double")).as("avg_qty"),
           count(lit(1)).as("count_order"))
     },
     Some(s"""
       SELECT l_returnflag, l_linestatus,
-        ${MS.sumExact("l_quantity")} AS sum_qty,
-        ${MS.sumExact("l_extendedprice")} AS sum_base_price,
-        ${MS.sumExact("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
-        ${MS.sumExact("l_quantity")} / CAST(COUNT(1) AS DOUBLE) AS avg_qty,
+        ${MS.sumExactInt("l_quantity")} AS sum_qty,
+        ${MS.sumExactMoney("l_extendedprice")} AS sum_base_price,
+        ${MS.sumExactDec("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+        ${MS.sumExactInt("l_quantity")} / CAST(COUNT(1) AS DOUBLE) AS avg_qty,
         CAST(COUNT(1) AS BIGINT) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -102,12 +111,16 @@ object CoreQueries extends QueryProvider {
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
-          Moments.sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          // DECIMAL output: the sf10 revenue sum passes sumExact's
+          // 2^53 double-conversion bound, and a product sum has no
+          // exact coarser image (round-9 parity catch — see
+          // Moments.sumExactDec)
+          Moments.sumExactDec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n_items"))
     },
     Some(s"""
       SELECT n_name,
-        ${MS.sumExact("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+        ${MS.sumExactDec("l_extendedprice * (1.0 - l_discount)")} AS revenue,
         CAST(COUNT(1) AS BIGINT) AS n_items
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
@@ -135,14 +148,15 @@ object CoreQueries extends QueryProvider {
     (s, d) => Tables.lineitem(s, d)
       .groupBy(col("l_linestatus"))
       .agg(
-        Moments.sumExact(when(col("l_returnflag") === "A", col("l_quantity"))).as("qty_a"),
-        Moments.sumExact(when(col("l_returnflag") === "N", col("l_quantity"))).as("qty_n"),
-        Moments.sumExact(when(col("l_returnflag") === "R", col("l_quantity"))).as("qty_r")),
+        // integer images (round-9: sumExact's 2^53 conversion bound)
+        Moments.sumExactInt(when(col("l_returnflag") === "A", col("l_quantity"))).as("qty_a"),
+        Moments.sumExactInt(when(col("l_returnflag") === "N", col("l_quantity"))).as("qty_n"),
+        Moments.sumExactInt(when(col("l_returnflag") === "R", col("l_quantity"))).as("qty_r")),
     Some(s"""
       SELECT l_linestatus,
-        CAST(SUM(CASE WHEN l_returnflag = 'A' THEN ${MS.dec("l_quantity")} END) AS DOUBLE) AS qty_a,
-        CAST(SUM(CASE WHEN l_returnflag = 'N' THEN ${MS.dec("l_quantity")} END) AS DOUBLE) AS qty_n,
-        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN ${MS.dec("l_quantity")} END) AS DOUBLE) AS qty_r
+        CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(27,0)) END) AS DOUBLE) AS qty_a,
+        CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(27,0)) END) AS DOUBLE) AS qty_n,
+        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(27,0)) END) AS DOUBLE) AS qty_r
       FROM lineitem GROUP BY l_linestatus"""))
 
   // ---- §2.5 subtract_column_median (exact median, group + rejoin) ----

@@ -80,13 +80,15 @@ object JoinQueries extends QueryProvider {
       .agg(
         grouping(col("l_returnflag")).cast("bigint").as("g_flag"),
         grouping(col("l_linestatus")).cast("bigint").as("g_status"),
-        Moments.sumExact(col("l_quantity")).as("sum_qty"),
+        // integer image: headroom past sumExact's 2^53 conversion
+        // bound (round-9 sf10 parity catch on the sibling cube)
+        Moments.sumExactInt(col("l_quantity")).as("sum_qty"),
         count(lit(1)).as("n")),
     Some(s"""
       SELECT l_returnflag, l_linestatus,
         CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
         CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
-        ${MS.sumExact("l_quantity")} AS sum_qty,
+        ${MS.sumExactInt("l_quantity")} AS sum_qty,
         CAST(COUNT(1) AS BIGINT) AS n
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
 
@@ -98,13 +100,15 @@ object JoinQueries extends QueryProvider {
       .agg(
         grouping(col("l_returnflag")).cast("bigint").as("g_flag"),
         grouping(col("l_linestatus")).cast("bigint").as("g_status"),
-        Moments.sumExact(col("l_extendedprice")).as("sum_price"),
+        // money image: the sf10 price sum passes sumExact's 2^53
+        // conversion bound (round-9 parity catch)
+        Moments.sumExactMoney(col("l_extendedprice")).as("sum_price"),
         count(lit(1)).as("n")),
     Some(s"""
       SELECT l_returnflag, l_linestatus,
         CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
         CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
-        ${MS.sumExact("l_extendedprice")} AS sum_price,
+        ${MS.sumExactMoney("l_extendedprice")} AS sum_price,
         CAST(COUNT(1) AS BIGINT) AS n
       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""))
 

@@ -33,8 +33,43 @@ object Moments {
     * values ≥ ~1e4 (e.g. extendedprice²). */
   def decProd(x: Column, y: Column): Column = (x * y).cast("decimal(28,10)")
 
-  /** Exact sum as double (deterministic). */
+  /** Exact sum as double (deterministic).
+    *
+    * SCALE BOUND: the final decimal→double conversion is correctly
+    * rounded in both engines ONLY while the sum's integer mantissa
+    * (|sum|·10⁶) stays under 2⁵³ ≈ 9·10¹⁵, i.e. |sum| ≲ 9·10⁹. Beyond
+    * that, double(m) itself rounds before the 10⁻ˢ scaling and the
+    * engines' double-rounding paths diverge by 1 ulp (found by the
+    * sf10 parity run: lineitem price sums ≈ 2.7·10¹¹). Money-scale
+    * aggregates over big fact tables must use [[sumExactMoney]] /
+    * [[sumExactInt]], whose coarser exact-at-scale images push the
+    * bound out by 10⁴–10⁶×. */
   def sumExact(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Exact sum of MONEY-SCALE data (≤2 exact decimals per value, e.g.
+    * prices — or any value the contract ROUNDS to cents: the scale-2
+    * cast of a double is engine-identical by the non-midpoint
+    * argument). The scale-2 image keeps the sum's mantissa under 2⁵³
+    * up to |sum| ≈ 9·10¹³ — three orders past [[sumExact]]'s bound —
+    * so the double conversion stays correctly rounded in both engines
+    * far beyond any bench SF. */
+  def sumExactMoney(c: Column): Column = sum(c.cast("decimal(27,2)")).cast("double")
+
+  /** Exact sum of INTEGER-VALUED data (counts, TPC-H quantities): the
+    * scale-0 image is exact and the double conversion correctly
+    * rounded up to |sum| ≈ 9·10¹⁵. */
+  def sumExactInt(c: Column): Column = sum(c.cast("decimal(27,0)")).cast("double")
+
+  /** Exact sum emitted as DECIMAL(38,6) — for sums of 6-significant-
+    * decimal row images (e.g. price·(1−discount) products) whose
+    * magnitude can pass every double-conversion bound. No conversion,
+    * no rescale, no rounding anywhere: both engines hold the identical
+    * exact decimal, so the output hash-matches at ANY scale. (A
+    * decimal→decimal rescale is NOT an alternative: Spark rounds
+    * rescale ties HALF_UP while DuckDB rounds them toward zero —
+    * probed, 123.455000→123.46 vs 123.45 — so any tie-capable
+    * rounding of the sum is a latent 1-in-10⁴ hash landmine.) */
+  def sumExactDec(c: Column): Column = sum(dec(c)).cast("decimal(38,6)")
 
   /** Fine decimal image for unit-scale data (embeddings, z-scores):
     * |x| < 1e16 at 1e-12 resolution. dec(15,6) would quantize a ~0.5
@@ -87,6 +122,12 @@ object Moments {
     def sumExactFine(c: String): String = s"CAST(SUM(${decFine(c)}) AS DOUBLE)"
     def decProd(x: String, y: String): String = s"CAST(($x) * ($y) AS DECIMAL(28,10))"
     def sumExact(c: String): String = s"CAST(SUM(${dec(c)}) AS DOUBLE)"
+    def sumExactMoney(c: String): String =
+      s"CAST(SUM(CAST($c AS DECIMAL(27,2))) AS DOUBLE)"
+    def sumExactInt(c: String): String =
+      s"CAST(SUM(CAST($c AS DECIMAL(27,0))) AS DOUBLE)"
+    def sumExactDec(c: String): String =
+      s"CAST(SUM(${dec(c)}) AS DECIMAL(38,6))"
     def sumSqExact(c: String): String = s"CAST(SUM(${decProd(c, c)}) AS DOUBLE)"
     def sumProdExact(x: String, y: String): String =
       s"CAST(SUM(${decProd(x, y)}) AS DOUBLE)"
