@@ -156,6 +156,29 @@ object PlanChecks {
       .filter(l => l.contains("CartesianProduct") || l.contains("CollectLimit"))
       .map(_.trim).toList
 
+  /** Output columns whose type is NOT driver-gate-portable.
+    *
+    * The driver's correctness hasher canonicalizes only
+    * double/bigint/string/boolean/timestamp reliably; a DECIMAL
+    * output hash-mismatched the round-9 gate even with bit-identical
+    * values on both engines (q1_agg / q_design_join_agg,
+    * CORRECTNESS_r09), and array/struct outputs would hit the same
+    * representation ambiguity. int is allowed alongside bigint: 19
+    * registry queries emitted int32 columns through every green
+    * driver round (both sides canonicalize to the same integer).
+    * Every registered query's schema must pass this lint (PlanSpec
+    * gate + Verify warning) — route exact sums through a
+    * Moments.sumExact* double image instead (INVARIANTS.md §2). */
+  def nonPortableOutputColumns(schema: org.apache.spark.sql.types.StructType): List[String] = {
+    import org.apache.spark.sql.types._
+    schema.fields.toList.collect {
+      case f if !(f.dataType match {
+        case DoubleType | LongType | IntegerType | StringType | BooleanType | TimestampType => true
+        case _ => false
+      }) => s"${f.name}: ${f.dataType.simpleString}"
+    }
+  }
+
   private val Marker = "windowspecdefinition("
   private val SortSuffixes = Seq(
     "ASC NULLS FIRST", "ASC NULLS LAST", "DESC NULLS FIRST", "DESC NULLS LAST")

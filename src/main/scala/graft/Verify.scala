@@ -37,9 +37,20 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          val df = fn(spark, sfDir)
+          // Output-type lint (round-9 incident): a DECIMAL/array/struct
+          // output hash-mismatches the driver gate even when values are
+          // bit-identical. PlanSpec fails the build on this; here we
+          // scream in the dump log too so a driver run can't silently
+          // carry a non-portable column to the hasher.
+          val bad = PlanChecks.nonPortableOutputColumns(df.schema)
+          if (bad.nonEmpty)
+            System.err.println(s"[verify] LINT $name emits non-portable output " +
+              s"type(s): ${bad.mkString(", ")} — expect a driver hash mismatch " +
+              "(see Moments.sumExactScale4 scaladoc)")
+          df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }

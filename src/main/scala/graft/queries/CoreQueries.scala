@@ -20,19 +20,21 @@ object CoreQueries extends QueryProvider {
       val li = Tables.lineitem(s, d)
       li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
-        // int/money images + a DECIMAL product sum, not dec(15,6)
-        // doubles: at sf10 these fact sums reach ~2.7e11 and the
-        // scale-6 mantissa passes 2^53, where the engines'
-        // decimal->double double-rounding diverges by 1 ulp (caught
-        // by the round-9 sf10 parity run — Moments.sumExact scaladoc).
-        // Quantities are integers and prices are cent-valued, so their
-        // coarse images are exact and convert correctly to ~sf10000;
-        // the discount product has no exact coarse image and is
-        // emitted as DECIMAL (no conversion at all — sumExactDec).
+        // int/money/scale-4 images, not dec(15,6) doubles: at sf10
+        // these fact sums reach ~2.7e11 and the scale-6 mantissa
+        // passes 2^53, where the engines' decimal->double
+        // double-rounding diverges by 1 ulp (caught by the round-9
+        // sf10 parity run — Moments.sumExact scaladoc). Quantities
+        // are integers, prices cent-valued, and the discount product
+        // is exact at 4 decimals (2dp × 2dp), so each coarse image is
+        // exact and its double conversion correctly rounded far past
+        // sf10. (sumExactScale4 replaced a DECIMAL(38,6) output here:
+        // DECIMAL outputs hash-mismatch the driver gate even when
+        // bit-identical — Verify output-type lint.)
         .agg(
           Moments.sumExactInt(col("l_quantity")).as("sum_qty"),
           Moments.sumExactMoney(col("l_extendedprice")).as("sum_base_price"),
-          Moments.sumExactDec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          Moments.sumExactScale4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
           (Moments.sumExactInt(col("l_quantity")) / count(lit(1)).cast("double")).as("avg_qty"),
           count(lit(1)).as("count_order"))
     },
@@ -40,7 +42,7 @@ object CoreQueries extends QueryProvider {
       SELECT l_returnflag, l_linestatus,
         ${MS.sumExactInt("l_quantity")} AS sum_qty,
         ${MS.sumExactMoney("l_extendedprice")} AS sum_base_price,
-        ${MS.sumExactDec("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+        ${MS.sumExactScale4("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
         ${MS.sumExactInt("l_quantity")} / CAST(COUNT(1) AS DOUBLE) AS avg_qty,
         CAST(COUNT(1) AS BIGINT) AS count_order
       FROM lineitem
@@ -111,16 +113,16 @@ object CoreQueries extends QueryProvider {
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
-          // DECIMAL output: the sf10 revenue sum passes sumExact's
-          // 2^53 double-conversion bound, and a product sum has no
-          // exact coarser image (round-9 parity catch — see
-          // Moments.sumExactDec)
-          Moments.sumExactDec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          // scale-4 image: the sf10 revenue sum passes sumExact's
+          // 2^53 double-conversion bound; the 2dp×2dp product is
+          // exact at scale 4, which pushes the bound to ~9e11
+          // (round-9 parity catch — see Moments.sumExactScale4)
+          Moments.sumExactScale4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n_items"))
     },
     Some(s"""
       SELECT n_name,
-        ${MS.sumExactDec("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+        ${MS.sumExactScale4("l_extendedprice * (1.0 - l_discount)")} AS revenue,
         CAST(COUNT(1) AS BIGINT) AS n_items
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey

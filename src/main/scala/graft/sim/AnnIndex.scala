@@ -119,22 +119,49 @@ object AnnIndex {
   }
 
   /** Wait (bounded) for manifest version `n` to be published and read
-    * it. n ≤ 0 → the empty baseline (first commit). None on timeout:
-    * the claimant of n crashed between claim and publish (or n was a
-    * burned claim number) — callers fall back to a listing. */
+    * it.
+    *
+    * n ≤ 0 means this append is the FIRST versioned commit: the
+    * baseline is the LEGACY un-suffixed manifest if one exists (a
+    * pre-versioning index being upgraded — returning the empty
+    * baseline here made v1 contain only the appended batch, silently
+    * dropping every base vector from serving; round-9 advisory), and
+    * None otherwise (caller self-heals via the recursive listing,
+    * which on a fresh dir is exactly the appended files).
+    *
+    * None on timeout/abandonment: the claimant of n crashed between
+    * claim and publish. Abandonment is detected from the claim file's
+    * mtime — a live writer publishes within ms of claiming (append
+    * bodies are precomputed) or within seconds (full publish lists
+    * first), so a claim older than [[ClaimAbandonMs]] with no
+    * manifest is a crashed writer and we stop burning driver time on
+    * it; a missing claim file (swept) likewise returns immediately
+    * instead of stalling the full window. */
+  private val ClaimAbandonMs = 15000L
   private def predecessorManifest(
       fs: org.apache.hadoop.fs.FileSystem, base: org.apache.hadoop.fs.Path,
       n: Long): Option[Seq[String]] = {
-    if (n <= 0L) return Some(Nil)
+    def readManifest(p: org.apache.hadoop.fs.Path): Seq[String] = {
+      val in = fs.open(p)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      content.split("\n").toSeq.filter(_.nonEmpty)
+    }
+    if (n <= 0L) {
+      val legacy = new org.apache.hadoop.fs.Path(base, ManifestFile)
+      return if (fs.exists(legacy)) Some(readManifest(legacy)) else None
+    }
     val p = new org.apache.hadoop.fs.Path(base, s"$ManifestFile.v$n")
+    val claim = new org.apache.hadoop.fs.Path(base, s"$ManifestFile.claim.$n")
     var waited = 0
-    while (waited < 300) { // ≤30 s — publish follows claim within ms
-      if (fs.exists(p)) {
-        val in = fs.open(p)
-        val content =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        return Some(content.split("\n").toSeq.filter(_.nonEmpty))
+    while (waited < 300) { // hard cap ≤30 s; abandonment usually exits sooner
+      if (fs.exists(p)) return Some(readManifest(p))
+      try {
+        val age = System.currentTimeMillis() - fs.getFileStatus(claim).getModificationTime
+        if (age > ClaimAbandonMs) return None // claimant crashed post-claim
+      } catch {
+        case _: java.io.FileNotFoundException => return None // claim swept
       }
       Thread.sleep(100)
       waited += 1

@@ -46,13 +46,17 @@ object Moments {
     * bound out by 10⁴–10⁶×. */
   def sumExact(c: Column): Column = sum(dec(c)).cast("double")
 
-  /** Exact sum of MONEY-SCALE data (≤2 exact decimals per value, e.g.
-    * prices — or any value the contract ROUNDS to cents: the scale-2
-    * cast of a double is engine-identical by the non-midpoint
-    * argument). The scale-2 image keeps the sum's mantissa under 2⁵³
-    * up to |sum| ≈ 9·10¹³ — three orders past [[sumExact]]'s bound —
-    * so the double conversion stays correctly rounded in both engines
-    * far beyond any bench SF. */
+  /** Exact sum of MONEY-SCALE data: inputs EXACT at 2 decimals only
+    * (cent-valued prices). The double carrier sits within ulps of the
+    * true 2-dp value — never near a scale-2 half-boundary — so the
+    * round-to-nearest cast recovers the exact cents identically in
+    * both engines. NOT safe for arbitrary doubles (ratios, products
+    * of >2-dp factors): Spark casts via shortest-repr and DuckDB via
+    * the exact binary value, and those diverge with no midpoint
+    * involved (INVARIANTS.md §1). The scale-2 image keeps the sum's
+    * mantissa under 2⁵³ up to |sum| ≈ 9·10¹³ — three orders past
+    * [[sumExact]]'s bound — so the double conversion stays correctly
+    * rounded in both engines far beyond any bench SF. */
   def sumExactMoney(c: Column): Column = sum(c.cast("decimal(27,2)")).cast("double")
 
   /** Exact sum of INTEGER-VALUED data (counts, TPC-H quantities): the
@@ -60,16 +64,22 @@ object Moments {
     * rounded up to |sum| ≈ 9·10¹⁵. */
   def sumExactInt(c: Column): Column = sum(c.cast("decimal(27,0)")).cast("double")
 
-  /** Exact sum emitted as DECIMAL(38,6) — for sums of 6-significant-
-    * decimal row images (e.g. price·(1−discount) products) whose
-    * magnitude can pass every double-conversion bound. No conversion,
-    * no rescale, no rounding anywhere: both engines hold the identical
-    * exact decimal, so the output hash-matches at ANY scale. (A
-    * decimal→decimal rescale is NOT an alternative: Spark rounds
-    * rescale ties HALF_UP while DuckDB rounds them toward zero —
-    * probed, 123.455000→123.46 vs 123.45 — so any tie-capable
-    * rounding of the sum is a latent 1-in-10⁴ hash landmine.) */
-  def sumExactDec(c: Column): Column = sum(dec(c)).cast("decimal(38,6)")
+  /** Exact sum of data exact at FOUR decimals (2-dp × 2-dp products,
+    * e.g. price·(1−discount)). The double product sits within ulps of
+    * the true 4-decimal value — never near a scale-4 half-boundary —
+    * so the round-to-nearest cast recovers the exact product
+    * identically in both engines (same non-midpoint argument as
+    * [[sumExactMoney]]), and the final decimal→double conversion is
+    * correctly rounded while |sum|·10⁴ < 2⁵³, i.e. |sum| ≲ 9·10¹¹ —
+    * past the sf10 global revenue sum of 2.7·10¹¹ and far past any
+    * per-group sum.
+    *
+    * This replaced a DECIMAL(38,6)-typed output (round-9 incident):
+    * a DECIMAL output column hash-mismatched the driver gate even
+    * with bit-identical values on both engines — query outputs must
+    * be double/bigint/string/boolean/timestamp, enforced by the
+    * Verify output-type lint. */
+  def sumExactScale4(c: Column): Column = sum(c.cast("decimal(27,4)")).cast("double")
 
   /** Fine decimal image for unit-scale data (embeddings, z-scores):
     * |x| < 1e16 at 1e-12 resolution. dec(15,6) would quantize a ~0.5
@@ -126,8 +136,8 @@ object Moments {
       s"CAST(SUM(CAST($c AS DECIMAL(27,2))) AS DOUBLE)"
     def sumExactInt(c: String): String =
       s"CAST(SUM(CAST($c AS DECIMAL(27,0))) AS DOUBLE)"
-    def sumExactDec(c: String): String =
-      s"CAST(SUM(${dec(c)}) AS DECIMAL(38,6))"
+    def sumExactScale4(c: String): String =
+      s"CAST(SUM(CAST($c AS DECIMAL(27,4))) AS DOUBLE)"
     def sumSqExact(c: String): String = s"CAST(SUM(${decProd(c, c)}) AS DOUBLE)"
     def sumProdExact(x: String, y: String): String =
       s"CAST(SUM(${decProd(x, y)}) AS DOUBLE)"

@@ -23,6 +23,38 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Whether an ingest directory holds ANY non-hidden parquet file —
+    * decided RECURSIVELY with the same hidden-path rule Spark's file
+    * index applies (dot-prefixed segments and `_`-prefixed segments
+    * without `=` are invisible; `date=1`-style partition dirs are
+    * not). The "no footers yet → fallback schema" branch of
+    * [[readEvents]] keys off this: a PARTITIONED ingest dir whose
+    * parquet lives in subdirectories but fails `spark.read` for a
+    * real reason (mixed-generation footers) must rethrow, not be
+    * misclassified as empty — the old top-level-only probe did
+    * exactly that (round-9 advisory). */
+  def ingestDirHasFooters(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val root = fs.makeQualified(p)
+    val it = fs.listFiles(p, true)
+    var found = false
+    while (!found && it.hasNext) {
+      val f = it.next().getPath
+      var cur = f
+      var hidden = false
+      while (!hidden && cur != null && cur != root) {
+        val n = cur.getName
+        if (n.startsWith(".") || (n.startsWith("_") && !n.contains("=")))
+          hidden = true
+        cur = cur.getParent
+      }
+      if (!hidden && f.getName.endsWith(".parquet")) found = true
+    }
+    found
+  }
+
   /** Streaming scan of an events directory. A streaming file source
     * needs an explicit schema, and the driver's testdata has shipped
     * `ts` as both TIMESTAMP(NANOS)→long and µs timestamp — so take the
@@ -45,8 +77,7 @@ object EventStream {
           val p = new org.apache.hadoop.fs.Path(dir)
           val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           val emptyIngestDir = fs.exists(p) && fs.getFileStatus(p).isDirectory &&
-            !fs.listStatus(p).exists(s =>
-              s.isFile && s.getPath.getName.endsWith(".parquet"))
+            !ingestDirHasFooters(spark, dir)
           if (!emptyIngestDir) throw e
           StructType(eventsSchema.map(f =>
             if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f))

@@ -128,6 +128,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("NO query emits a non-portable output type — DECIMAL/array/struct outputs banned") {
+    // round-9 incident: q1_agg / q_design_join_agg emitted DECIMAL(38,6)
+    // and the driver gate hash-mismatched them despite bit-identical
+    // values. Query outputs must be double/bigint/string/boolean/
+    // timestamp ONLY (INVARIANTS.md §2; Moments.sumExactScale4).
+    for (name <- Registry.queries.keys.toSeq.sorted) {
+      val schema = Registry.queries(name)(spark, sf).schema
+      val bad = PlanChecks.nonPortableOutputColumns(schema)
+      assert(bad.isEmpty,
+        s"$name emits non-portable output column(s): ${bad.mkString(", ")} — " +
+          "driver gate hashes only double/bigint/string/boolean/timestamp (round-9 DECIMAL incident)")
+    }
+  }
+
+  test("the output-type lint actually fires on DECIMAL, array, and struct outputs") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(3).toDF("x")
+      .select(col("x").cast("decimal(38,6)").as("d"),
+        array(col("x")).as("a"), struct(col("x")).as("s"),
+        col("x").as("ok_long"), col("x").cast("double").as("ok_dbl"))
+    val bad = PlanChecks.nonPortableOutputColumns(df.schema)
+    assert(bad.size == 3 && bad.exists(_.startsWith("d:")) &&
+      bad.exists(_.startsWith("a:")) && bad.exists(_.startsWith("s:")), bad.toString)
+  }
+
   test("NO query plans a CartesianProduct or CollectLimit — scale anti-patterns held structurally") {
     // round-8 judge item 5: the hand-audited absences become a gate so
     // future queries can't regress them. CartesianProduct = a

@@ -120,6 +120,48 @@ class AnnIndexSpec extends SparkSpec {
     assert(all.filter($"vec_id" >= 300).count() == 100)
   }
 
+  test("append onto a LEGACY (pre-versioning) manifest index keeps the base vectors in v1") {
+    // round-9 advisory (high): the first versioned append against an
+    // index carrying only the un-suffixed _graft_manifest used the
+    // EMPTY baseline, so manifest v1 held just the appended batch and
+    // readers (who prefer v1 over legacy) silently lost every base
+    // vector. The baseline must be the legacy manifest's content.
+    val base = vecs(300, 8)
+    val batch = (300 until 400).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 1.9 + j * 0.7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val (assigned, cents) = Similarity.ivfIndex(base, "vec_id", "embedding", nCells = 8)
+    val dir = java.nio.file.Files.createTempDirectory("annlegacy").toString + "/idx"
+    AnnIndex.writeIvfIndexed(assigned, dir)
+    // downgrade to the pre-versioning layout: sole un-suffixed manifest
+    val d = new java.io.File(dir)
+    val v1 = new java.io.File(d, "_graft_manifest.v1")
+    assert(v1.exists(), d.listFiles().mkString(","))
+    assert(v1.renameTo(new java.io.File(d, "_graft_manifest")))
+    new java.io.File(d, "_graft_manifest.claim.1").delete()
+    val baseFiles = java.nio.file.Files.readString(
+      new java.io.File(d, "_graft_manifest").toPath).split("\n").filter(_.nonEmpty).toSet
+    assert(baseFiles.nonEmpty)
+    // first versioned commit on the upgraded index
+    AnnIndex.appendIvfIndexed(batch, cents, dir)
+    // the NEW v1 manifest (which readers prefer over legacy) must
+    // carry the legacy baseline, not just the appended batch
+    val v1Files = java.nio.file.Files.readString(
+      new java.io.File(d, "_graft_manifest.v1").toPath).split("\n").filter(_.nonEmpty).toSet
+    assert(baseFiles.subsetOf(v1Files),
+      s"base files dropped from upgraded manifest: ${(baseFiles -- v1Files).mkString(",")}")
+    assert(v1Files.size > baseFiles.size, "appended batch missing from v1")
+    val all = AnnIndex.readIvfIndexed(spark, dir)
+    assert(all.count() == 400)
+    // and the serve path (manifest-resolved) sees the base vectors too
+    val q = base.filter($"vec_id" === 0)
+      .select(transform($"embedding", _.cast("double")).as("q"))
+      .head().getSeq[Double](0).toArray
+    val served = AnnIndex.ivfTopKServe(spark, dir, cents,
+      "vec_id", "embedding", q, k = 15, nProbe = 8).collect()
+    assert(served.exists(_.getLong(0) == 0L), served.mkString(","))
+  }
+
   test("appendLshIndexed: append-grown index serves identically to a full rebuild") {
     val base = vecs(300, 8)
     val batch = (300 until 400).map { i =>

@@ -20,19 +20,23 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(rows):
+    # Type- AND repr-strict (round-9 incident): the driver's hasher
+    # distinguishes representations that Python `==` equates — a
+    # Decimal('1.5') on one side vs float 1.5 on the other passed the
+    # old comparison but failed the driver gate. Canonicalizing every
+    # value to "typename:repr" makes this gate at least as strict:
+    # repr() is injective on doubles (shortest-roundtrip), so any ulp
+    # or representation divergence fails here first.
     out = []
     for row in rows:
         canon_row = []
         for v in row:
             if isinstance(v, float):
-                if math.isnan(v):
-                    canon_row.append("NaN")
-                else:
-                    canon_row.append(v)
+                canon_row.append("float:NaN" if math.isnan(v) else f"float:{v!r}")
             else:
-                canon_row.append(v)
+                canon_row.append(f"{type(v).__name__}:{v!r}")
         out.append(tuple(canon_row))
-    return sorted(out, key=repr)
+    return sorted(out)
 
 
 def main(sf_dir, out_dir):
