@@ -316,6 +316,32 @@ class IoStreamingSpec extends SparkSpec {
     }
   }
 
+  test("empty-ingest probe is recursive with Spark's hidden-path rule (partitioned ingest is NOT empty)") {
+    // round-9 advisory: a dir whose parquet lives only in partition
+    // SUBDIRECTORIES was misclassified as empty by the top-level-only
+    // probe, so a real spark.read failure (mixed-generation footers)
+    // silently got the fallback schema. The classification itself:
+    val empty = Files.createTempDirectory("probe_empty").toString
+    assert(!EventStream.ingestDirHasFooters(spark, empty))
+    // parquet under a key=value partition dir → NOT empty (the fix)
+    val part = Files.createTempDirectory("probe_part")
+    Files.createDirectories(part.resolve("date=1"))
+    Files.write(part.resolve("date=1/x.parquet"), Array[Byte](1))
+    assert(EventStream.ingestDirHasFooters(spark, part.toString))
+    // parquet only under hidden segments (staging/committer temp) →
+    // still empty, same rule Spark's own file index applies
+    val hid = Files.createTempDirectory("probe_hidden")
+    Files.createDirectories(hid.resolve(".staging"))
+    Files.write(hid.resolve(".staging/a.parquet"), Array[Byte](1))
+    Files.createDirectories(hid.resolve("_temporary"))
+    Files.write(hid.resolve("_temporary/b.parquet"), Array[Byte](1))
+    assert(!EventStream.ingestDirHasFooters(spark, hid.toString))
+    // top-level parquet unchanged
+    val top = Files.createTempDirectory("probe_top")
+    Files.write(top.resolve("c.parquet"), Array[Byte](1))
+    assert(EventStream.ingestDirHasFooters(spark, top.toString))
+  }
+
   test("streaming Count-Min sketch equals the batch sketch (commutative counters)") {
     // counter addition is commutative — the property that makes the
     // CMS artifact merge-order independent also makes the SAME
