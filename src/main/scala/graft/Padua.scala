@@ -257,4 +257,17 @@ object Padua {
     * skipped (tolerant where the reference would KeyError). */
   def build_combined_label(sl: Map[String, String], idxs: Seq[String], sep: String = " "): String =
     idxs.flatMap(sl.get).map(_.split(";")(0)).mkString(sep)
+  /** `build_combined_label`'s `label_format` branch (utils.py:221-222):
+    * printf-style template over the shortstr'd entries (`%s` slots —
+    * the reference's `label_format % tuple(...)`). */
+  def build_combined_label(sl: Map[String, String], idxs: Seq[String], sep: String,
+      labelFormat: Option[String]): String = labelFormat match {
+    case Some(fmt) => fmt.format(idxs.flatMap(sl.get).map(_.split(";")(0)): _*)
+    case None      => build_combined_label(sl, idxs, sep)
+  }
+  /** `format_label`'s `fmt` branch (utils.py:190-204): template
+    * formatting over the parts instead of the sep-join — Column-level
+    * via `format_string` (codegen'd, no UDF). */
+  def format_label_fmt(fmt: String, parts: Column*): Column =
+    org.apache.spark.sql.functions.format_string(fmt, parts: _*)
 }

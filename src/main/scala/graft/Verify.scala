@@ -4,6 +4,16 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Exit-code policy for the output-type lint: under `--lint-strict`
+    * any non-portable output column is FATAL (exit 2) so a query added
+    * without specs can't reach the driver gate carrying a DECIMAL/
+    * array/struct column (round-9 incident class); without the flag
+    * the lint only warns (the driver's own comparison is the gate).
+    * Pure function so the policy is unit-testable without forking a
+    * JVM (PlanSpec). */
+  def lintExitCode(lintHits: Seq[String], strict: Boolean): Int =
+    if (strict && lintHits.nonEmpty) 2 else 0
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -29,12 +39,24 @@ object Verify {
     // SQL image (see Dedup.defaultRollingHash).
     System.setProperty("graft.gramhash", "md5")
     new java.io.File(outDir).mkdirs()
-    // optional extra args = query-name filter for local iteration (the
-    // driver passes exactly two args → full registry). NOTE a filtered
-    // run's oracle_sql.json lacks oracleGen entries for queries that
-    // did not run — only use the filtered form to refresh result dirs.
-    val only = args.drop(2).toSet
-    SparkEntry.queries
+    // optional extra args: `--lint-strict` promotes the output-type
+    // lint to a fatal gate; remaining args = query-name filter for
+    // local iteration (the driver passes exactly two args → full
+    // registry, warn-only). NOTE a filtered run's oracle_sql.json
+    // lacks oracleGen entries for queries that did not run — only use
+    // the filtered form to refresh result dirs.
+    val strict = args.drop(2).contains("--lint-strict")
+    val only = args.drop(2).filterNot(_.startsWith("--")).toSet
+    // hidden self-test hook: -Dgraft.lint.selftest=1 injects a
+    // deliberately DECIMAL-typed scratch query so the strict gate's
+    // end-to-end exit path stays demonstrable against a live run
+    val selftest: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      if (sys.props.contains("graft.lint.selftest"))
+        Map("_lint_selftest" ->
+          ((s, _) => s.sql("SELECT CAST(1.5 AS DECIMAL(10,2)) AS bad")))
+      else Map.empty
+    val lintHits = scala.collection.mutable.ArrayBuffer.empty[String]
+    (SparkEntry.queries ++ selftest)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
         try {
@@ -45,10 +67,12 @@ object Verify {
           // scream in the dump log too so a driver run can't silently
           // carry a non-portable column to the hasher.
           val bad = PlanChecks.nonPortableOutputColumns(df.schema)
-          if (bad.nonEmpty)
+          if (bad.nonEmpty) {
+            lintHits += s"$name: ${bad.mkString(", ")}"
             System.err.println(s"[verify] LINT $name emits non-portable output " +
               s"type(s): ${bad.mkString(", ")} — expect a driver hash mismatch " +
               "(see Moments.sumExactScale4 scaladoc)")
+          }
           df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -70,5 +94,11 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    val code = lintExitCode(lintHits.toSeq, strict)
+    if (code != 0) {
+      System.err.println(s"[verify] --lint-strict: ${lintHits.size} non-portable " +
+        s"output column(s): ${lintHits.mkString("; ")}")
+      sys.exit(code)
+    }
   }
 }

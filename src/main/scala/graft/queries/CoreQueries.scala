@@ -30,11 +30,15 @@ object CoreQueries extends QueryProvider {
         // exact and its double conversion correctly rounded far past
         // sf10. (sumExactScale4 replaced a DECIMAL(38,6) output here:
         // DECIMAL outputs hash-mismatch the driver gate even when
-        // bit-identical — Verify output-type lint.)
+        // bit-identical — Verify output-type lint.) The disc-price
+        // sum takes the WIDE split conversion: at sf100 the largest
+        // group's revenue ≈ 1.4e12 exceeds plain sumExactScale4's
+        // 9e11 conversion bound (MomentsSpec routing check); the
+        // floor-split image stays engine-exact to ~9e15.
         .agg(
           Moments.sumExactInt(col("l_quantity")).as("sum_qty"),
           Moments.sumExactMoney(col("l_extendedprice")).as("sum_base_price"),
-          Moments.sumExactScale4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          Moments.sumExactScale4Wide(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
           (Moments.sumExactInt(col("l_quantity")) / count(lit(1)).cast("double")).as("avg_qty"),
           count(lit(1)).as("count_order"))
     },
@@ -42,7 +46,7 @@ object CoreQueries extends QueryProvider {
       SELECT l_returnflag, l_linestatus,
         ${MS.sumExactInt("l_quantity")} AS sum_qty,
         ${MS.sumExactMoney("l_extendedprice")} AS sum_base_price,
-        ${MS.sumExactScale4("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+        ${MS.sumExactScale4Wide("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
         ${MS.sumExactInt("l_quantity")} / CAST(COUNT(1) AS DOUBLE) AS avg_qty,
         CAST(COUNT(1) AS BIGINT) AS count_order
       FROM lineitem

@@ -81,6 +81,28 @@ object Moments {
     * Verify output-type lint. */
   def sumExactScale4(c: Column): Column = sum(c.cast("decimal(27,4)")).cast("double")
 
+  /** [[sumExactScale4]] with the decimal→double conversion SPLIT into
+    * integer and fractional parts, pushing the engine-agreement bound
+    * from |sum| ≲ 9·10¹¹ out to ≈ 9·10¹⁵ (past sf1000 per-group fact
+    * sums; MomentsSpec walks the boundary).
+    *
+    * Why the naive cast caps at 9·10¹¹: converting m·10⁻⁴ when
+    * m > 2⁵³ double-rounds (double(m) first, ÷10⁴ second) and the
+    * engines' paths diverge by 1 ulp (measured: DuckDB's cast of
+    * 1352468013579.2467 gives …2468, the correctly rounded value is
+    * …2466). The split tree keeps every step exact-or-correctly-
+    * rounded in BOTH engines: floor(s) is an exact DECIMAL(·,0) in
+    * Spark and DuckDB (verified: DuckDB floor(DECIMAL(27,4)) →
+    * DECIMAL(27,0)); its double conversion is exact while
+    * |intpart| < 2⁵³ ≈ 9·10¹⁵; the fractional remainder is exact at
+    * 4 decimals in [0,1) so its conversion is correctly rounded
+    * (mantissa < 10⁴); the final double add is a single IEEE op.
+    * Structurally identical trees on both sides → bitwise parity. */
+  def sumExactScale4Wide(c: Column): Column = {
+    val s = sum(c.cast("decimal(27,4)"))
+    floor(s).cast("double") + (s - floor(s)).cast("double")
+  }
+
   /** Fine decimal image for unit-scale data (embeddings, z-scores):
     * |x| < 1e16 at 1e-12 resolution. dec(15,6) would quantize a ~0.5
     * embedding coordinate to 1e-6 — visible next to a 1e-6 golden
@@ -138,6 +160,10 @@ object Moments {
       s"CAST(SUM(CAST($c AS DECIMAL(27,0))) AS DOUBLE)"
     def sumExactScale4(c: String): String =
       s"CAST(SUM(CAST($c AS DECIMAL(27,4))) AS DOUBLE)"
+    def sumExactScale4Wide(c: String): String = {
+      val s = s"SUM(CAST($c AS DECIMAL(27,4)))"
+      s"(CAST(FLOOR($s) AS DOUBLE) + CAST($s - FLOOR($s) AS DOUBLE))"
+    }
     def sumSqExact(c: String): String = s"CAST(SUM(${decProd(c, c)}) AS DOUBLE)"
     def sumProdExact(x: String, y: String): String =
       s"CAST(SUM(${decProd(x, y)}) AS DOUBLE)"

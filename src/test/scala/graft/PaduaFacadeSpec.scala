@@ -85,6 +85,12 @@ class PaduaFacadeSpec extends SparkSpec {
     assert(Padua.get_index_list(Seq("a", "b", "c"), Seq("c", "zz", "a")) == Seq(2, 0))
     assert(Padua.build_combined_label(
       Map("p" -> "P07830;P63267", "q" -> "Q1"), Seq("p", "q"), "-") == "P07830-Q1")
+    // label_format branch (utils.py:221-222) + template format_label
+    assert(Padua.build_combined_label(
+      Map("p" -> "P07830;P63267", "q" -> "Q1"), Seq("p", "q"), "-",
+      Some("%s (%s)")) == "P07830 (Q1)")
+    assert(Seq(("KO", 1)).toDF("g", "r")
+      .select(Padua.format_label_fmt("%s_rep%s", $"g", $"r")).head().getString(0) == "KO_rep1")
     val uniq = Padua.get_unique_indices(df, Seq("Reverse"))
     assert(uniq("Reverse").toSet == Set("", "+"))
   }

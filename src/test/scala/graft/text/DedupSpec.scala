@@ -151,8 +151,21 @@ class DedupSpec extends SparkSpec {
     val rm = relLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(lm == rm)
     assert(localRounds == relRounds)
-    // the reliable mode actually wrote checkpoint files
-    assert(new java.io.File(dir).listFiles().nonEmpty)
+    // the reliable mode actually wrote PER-ROUND checkpoint files under
+    // the dir: each round truncates twice (step + jump), so at least
+    // one rdd-* checkpoint dir per round must have materialized — this
+    // is the state an executor loss would resume from
+    val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("rdd-"))
+      .count()
+    assert(rddDirs >= relRounds,
+      s"expected >= $relRounds checkpointed rounds under $dir, found $rddDirs")
+    // and the checkpointed data is complete (non-empty part files)
+    val partBytes = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => p.getFileName.toString.startsWith("part-"))
+      .mapToLong(p => java.nio.file.Files.size(p)).sum()
+    assert(partBytes > 0L, "checkpoint part files are empty")
   }
 
   test("wordShingles produces distinct n-grams") {
