@@ -55,8 +55,8 @@ object Impute {
     val keyStr = concat_ws("|",
       (lit(s"g$seed") +: keys.map(c => col(c).cast("string"))): _*)
     def unif(salt: String) =
-      (conv(substring(md5(concat(lit(salt + "|"), keyStr)), 1, 15), 16, 10)
-        .cast("long").cast("double") + 0.5) / TwoPow60
+      (graft.functions.TextHashExpressions.md5Top60(concat(lit(salt + "|"), keyStr))
+        .cast("double") + 0.5) / TwoPow60
     val z = round(
       sqrt(lit(-2.0) * log(unif("a"))) * cos(lit(2.0 * math.Pi) * unif("b")), 7)
     df.join(broadcast(stats), Seq(sampleCol), "left")

@@ -96,6 +96,80 @@ object Quantiles {
       .withColumn("_rn", col("_off") + col("_lrn"))
   }
 
+  /** Selection-only sibling of [[groupRanked]] for callers that read
+    * values at a FEW known ranks per group (median's two, the box
+    * plot's six): the classic distributed selection plan —
+    *   1. per-group (min, max, n) — one partial-aggregated pass;
+    *   2. per-(group, value-bucket) COUNTS — a second pass whose
+    *      exchange carries ≤ groups·numBuckets rows (map-side combine),
+    *      never the data;
+    *   3. per-bucket rank offsets + "which bucket holds rank r" —
+    *      arithmetic over the tiny counts frame;
+    *   4. rank ONLY the rows of the target buckets (≈ rankCount ·
+    *      n/numBuckets rows) — everything else is filtered at the
+    *      scan by a broadcast semi-join on (group, bucket).
+    * Where [[groupRanked]] shuffles and sorts the WHOLE input once
+    * (correct when every row needs its rank — exactGroupQuantiles'
+    * output joins, subtractColumnMedian's *ranked* variant), this
+    * reads the source three times but never exchanges more than the
+    * counts and the target buckets — at 100 TB that's three pruned
+    * column scans vs a full-fact-table shuffle, and at the gate SF it
+    * removes the multi-shuffle constants the round-9/10 verdicts
+    * flagged (q_median_center 2.7×, q_box_summary 11× DuckDB).
+    *
+    * Returns the target buckets' rows as (groups..., valueCol, _rn,
+    * _n, _mn, _mx): exactly [[groupRanked]]'s schema plus the group
+    * stats, restricted to buckets containing a requested rank — the
+    * rank-probing aggregates downstream are unchanged because value-
+    * at-rank is what they read, and every requested rank's row is
+    * here. `rankFns` build each target rank (a LONG column) from the
+    * group's `n`.
+    *
+    * Degenerate concentration (many rows sharing one value) collapses
+    * a target bucket toward the whole group — the same worst case the
+    * full-rank stitch has, since equal values always share a bucket;
+    * the uniform-range assumption behind numBuckets is the operator's
+    * documented contract either way. */
+  private def selectedGroupRanks(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      rankFns: Seq[Column => Column], numBuckets: Int): DataFrame = {
+    val gs = groupCols.map(col)
+    val data = df
+      .select((groupCols :+ valueCol).distinct.map(col): _*)
+      .filter(col(valueCol).isNotNull)
+    val stats = data.groupBy(gs: _*).agg(
+      min(col(valueCol)).cast("double").as("_mn"),
+      max(col(valueCol)).cast("double").as("_mx"),
+      count(lit(1)).as("_n"))
+    val span = when(col("_mx") > col("_mn"), col("_mx") - col("_mn")).otherwise(lit(1.0))
+    val bucket = floor(least(greatest(
+        (col(valueCol).cast("double") - col("_mn")) / span * numBuckets, lit(0.0)),
+      lit((numBuckets - 1).toDouble))).cast("int")
+    // pass 2: per-bucket counts — the only full-data aggregation, and
+    // its exchange is ≤ groups·numBuckets rows after partial agg
+    val counts = nullSafeBroadcastJoin(data, stats, groupCols)
+      .groupBy((gs :+ bucket.as("_rb")): _*).agg(count(lit(1)).as("_bn"))
+    val wGrp = Window.partitionBy(gs: _*).orderBy(col("_rb"))
+    val offsets = counts.withColumn("_off", coalesce(
+      sum(col("_bn")).over(wGrp.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // target ranks per group (tiny), matched to their holding bucket
+    val targets = stats.select((gs :+
+      explode(array(rankFns.map(f => f(col("_n"))): _*)).as("_tr")): _*)
+    val needed = nullSafeBroadcastJoin(targets, offsets, groupCols)
+      .filter(col("_tr") > col("_off") && col("_tr") <= col("_off") + col("_bn"))
+      .select((gs :+ col("_rb") :+ col("_off")): _*)
+      .distinct()
+    // pass 3: rank only the target buckets' rows
+    val bucketed = nullSafeBroadcastJoin(data, stats, groupCols)
+      .withColumn("_rb", bucket)
+    val selected = nullSafeBroadcastJoin(bucketed, needed, groupCols :+ "_rb")
+    val wBkt = Window.partitionBy((gs :+ col("_rb")): _*).orderBy(col(valueCol))
+    selected
+      .withColumn("_rn", col("_off") + row_number().over(wBkt))
+      .select((gs :+ col(valueCol) :+ col("_rn") :+ col("_n") :+
+        col("_mn") :+ col("_mx")): _*)
+  }
+
   /** Broadcast inner join that matches NULL keys to NULL keys
     * (EqualNullSafe is a valid hash-join key, so this stays a
     * BroadcastHashJoin). Right-side key columns are dropped. */
@@ -127,8 +201,13 @@ object Quantiles {
       valueCol: String,
       numBuckets: Int = 1024,
       outCol: String = "_median"): DataFrame = {
-    val ranked = groupRanked(df, Seq(groupCol), valueCol, Nil, numBuckets)
-    val half = (col("_n") + lit(1L)).cast("double") / lit(2.0)
+    // selection plan, not a full rank: only the two median ranks'
+    // buckets are ever shuffled (see selectedGroupRanks)
+    def halfOf(n: Column) = (n + lit(1L)).cast("double") / lit(2.0)
+    val ranked = selectedGroupRanks(df, Seq(groupCol), valueCol,
+      Seq(n => floor(halfOf(n)).cast("long"), n => ceil(halfOf(n)).cast("long")),
+      numBuckets)
+    val half = halfOf(col("_n"))
     val g = ranked.groupBy(col(groupCol)).agg(
       max(when(col("_rn") === floor(half), col(valueCol).cast("double"))).as("_l"),
       max(when(col("_rn") === ceil(half), col(valueCol).cast("double"))).as("_h"),
@@ -157,9 +236,18 @@ object Quantiles {
       groupCols: Seq[String],
       valueCol: String,
       numBuckets: Int = 1024): DataFrame = {
-    val ranked = groupRanked(df, groupCols, valueCol, Nil, numBuckets)
-    def pos(q: Double) = lit(1.0) + (col("_n").cast("double") - lit(1.0)) * lit(q)
+    // selection plan: only the six quartile ranks' buckets are ranked;
+    // lo/hi/n ride in from the stats pass (min(v) cast double ==
+    // cast-then-min — the double cast is monotone)
+    def posOf(n: Column, q: Double) = lit(1.0) + (n.cast("double") - lit(1.0)) * lit(q)
     val quartiles = Seq("q1" -> 0.25, "med" -> 0.5, "q3" -> 0.75)
+    val ranked = selectedGroupRanks(df, groupCols, valueCol,
+      quartiles.flatMap { case (_, q) =>
+        Seq[Column => Column](
+          n => floor(posOf(n, q)).cast("long"),
+          n => ceil(posOf(n, q)).cast("long"))
+      }, numBuckets)
+    def pos(q: Double) = posOf(col("_n"), q)
     val aggs = quartiles.flatMap { case (name, q) =>
       Seq(
         max(when(col("_rn") === floor(pos(q)), col(valueCol).cast("double")))
@@ -168,8 +256,8 @@ object Quantiles {
           .as(s"_h_$name"))
     } ++ Seq(
       max(col("_n")).as("n"),
-      min(col(valueCol).cast("double")).as("lo"),
-      max(col(valueCol).cast("double")).as("hi"))
+      max(col("_mn")).as("lo"),
+      max(col("_mx")).as("hi"))
     val g = ranked.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     def posOut(q: Double) =
       lit(1.0) + (col("n").cast("double") - lit(1.0)) * lit(q)

@@ -145,8 +145,8 @@ object TrainingData {
     * replays it as CAST(CONCAT('0x', SUBSTR(md5(..), 1, 15)) AS
     * BIGINT) % 1000000, so sampling queries oracle-check. */
   private[graft] def hashUniform(idCol: String, seed: Long) =
-    pmod(conv(substring(md5(concat_ws("|", lit(s"g$seed"), col(idCol).cast("string"))), 1, 15),
-        16, 10).cast("long"),
+    pmod(graft.functions.TextHashExpressions.md5Top60(
+        concat_ws("|", lit(s"g$seed"), col(idCol).cast("string"))),
       lit(1000000L)).cast("double") / 1000000.0
 
   /** Deterministic training-order shuffle — the stage between packing
@@ -165,8 +165,8 @@ object TrainingData {
       outCol: String = "shuffle_rank"): DataFrame =
     graft.ops.DistributedRank.rowNumber(
         df.withColumn("_sk",
-          conv(substring(md5(concat_ws("|", lit(s"s$seed"), col(idCol).cast("string"))),
-              1, 15), 16, 10).cast("long")),
+          graft.functions.TextHashExpressions.md5Top60(
+            concat_ws("|", lit(s"s$seed"), col(idCol).cast("string")))),
         "_sk", ascending = true, tieCols = Seq(idCol), outCol = outCol)
       .drop("_sk")
 
@@ -189,8 +189,8 @@ object TrainingData {
       idCol: String,
       budget: Long,
       seed: Long): DataFrame = {
-    val h = conv(substring(md5(concat_ws("|", lit(s"b$seed"), col(idCol).cast("string"))),
-      1, 15), 16, 10).cast("long")
+    val h = graft.functions.TextHashExpressions.md5Top60(
+      concat_ws("|", lit(s"b$seed"), col(idCol).cast("string")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol))
       .orderBy(col("_bh").asc, col(idCol).asc)
