@@ -143,6 +143,35 @@ class OpsSpec extends SparkSpec {
     assert(Quantiles.fiveNumberByGroup(allNull, Seq("g"), "v").count() == 0L)
   }
 
+  test("selection-plan edges: all-equal values, n=1/n=2 groups, NULL group key, numBuckets=1") {
+    import graft.ops.Quantiles
+    // all-equal values collapse every row into ONE bucket (the
+    // documented degenerate), a NULL group key must survive the
+    // null-safe broadcast joins, and numBuckets=1 forces the
+    // whole-group-in-one-bucket path for every group
+    val df = (
+      (1 to 100).map(_ => (Option("same"), 7.5)) ++       // all equal, even n
+      Seq((Option("one"), 3.0)) ++                        // n = 1
+      Seq((Option("two"), 1.0), (Option("two"), 2.0)) ++  // n = 2 → interpolate
+      Seq((Option.empty[String], 5.0), (None, 9.0), (None, 1.0))  // NULL key, n=3
+    ).toDF("g", "v")
+    for (buckets <- Seq(1, 4, 1024)) {
+      val med = Quantiles.medianByGroup(df, "g", "v", numBuckets = buckets)
+        .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+      assert(med(Some("same")) == 7.5 && med(Some("one")) == 3.0 &&
+        med(Some("two")) == 1.5 && med(None) == 5.0, s"buckets=$buckets: $med")
+      val five = Quantiles.fiveNumberByGroup(df, Seq("g"), "v", numBuckets = buckets)
+        .collect().map(r => Option(r.getString(0)) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+            r.getDouble(5), r.getDouble(6))).toMap
+      assert(five(Some("same")) == ((100L, 7.5, 7.5, 7.5, 7.5, 7.5)))
+      assert(five(Some("one")) == ((1L, 3.0, 3.0, 3.0, 3.0, 3.0)))
+      // n=2: pos(q)=1+q → q1 = 1 + (2-1)*0.25 → lo + (hi-lo)*0.25
+      assert(five(Some("two")) == ((2L, 1.0, 1.25, 1.5, 1.75, 2.0)))
+      assert(five(None)._1 == 3L && five(None)._2 == 1.0 && five(None)._6 == 9.0)
+    }
+  }
+
   test("medianByGroup pins the (lo+hi)/2 IEEE tree on ulp-boundary even groups") {
     import graft.ops.Quantiles
     // Spark's median aggregate computes lo+(hi-lo)*0.5, a DIFFERENT
