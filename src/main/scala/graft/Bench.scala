@@ -2,6 +2,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    val t0Run = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Host-state capture (round-10 judge item 5): artifacts must
@@ -17,6 +18,19 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Shuffles START at 256 partitions and AQE coalesces DOWN per
+      // runtime stats — at sf0.1 that lands back near the core count,
+      // at sf10 it keeps per-task sort/agg working sets ~8× smaller.
+      // Without it, every shuffle is born at shuffle.partitions=32 and
+      // the sf10 span/tfidf SMJ chains starve the 8g unified pool (32
+      // concurrent fat tasks over ~2.4g of evictable execution memory
+      // once the session caches pin their storageFraction share):
+      // round-11's first sf10 certification attempt died exactly there
+      // (UNABLE_TO_ACQUIRE_MEMORY in the span-pair build, then heap
+      // exhaustion in the rerun phase). This is also the cluster-real
+      // setting: AQE's own guidance is a high initial count coalesced
+      // by data size, not a hand-tuned per-SF constant.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session so per-query timings measure the query, not JVM
@@ -50,8 +64,15 @@ object Bench {
       "q_cms_counts", "q_median_center", "q_box_summary")
     val warmupSelected =
       if (args.isEmpty) warmup else warmup.filter(args.contains)
+    // Progress markers go to STDERR (the driver parses only the final
+    // stdout JSON line): a mid-run JVM death — the sf10 heap-OOM crash
+    // this round — then self-identifies the in-flight query in the log
+    // instead of leaving a stage number to reverse-map.
+    def mark(phase: String, name: String): Unit =
+      System.err.println(f"[bench +${(System.nanoTime() - t0Run) / 1e9}%.1fs] $phase $name")
     warmupSelected.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
+        mark("warmup", name)
         try consume(fn(spark, sfDir)) catch { case _: Throwable => }
       }
     }
@@ -75,9 +96,13 @@ object Bench {
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      mark("timed", name)
       val t0 = System.nanoTime()
-      try { consume(fn(spark, sfDir)) } catch { case _: Throwable => }
-      (System.nanoTime() - t0) / 1e9
+      val failed = try { consume(fn(spark, sfDir)); false } catch { case _: Throwable => true }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // a failed query's sample is time-to-abort, not plan cost — say so
+      if (failed) System.err.println(f"[bench] FAILED $name after $dt%.1fs")
+      dt
     }
     val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> timed(name, fn)
