@@ -30,7 +30,8 @@ object Bench {
       // exhaustion in the rerun phase). This is also the cluster-real
       // setting: AQE's own guidance is a high initial count coalesced
       // by data size, not a hand-tuned per-SF constant.
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "256"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session so per-query timings measure the query, not JVM
