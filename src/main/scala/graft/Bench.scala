@@ -163,16 +163,25 @@ object Bench {
       .mkString("{", ",", "}")
     val dataBound = math.max(0.0, total - floor * results.size)
     try {
+      // Per-SF artifact name: the gate SF keeps the driver-era
+      // BENCH_FULL.json; any other fixture writes BENCH_<BASENAME>.json
+      // (sf10 → BENCH_SF10.json). Before this, an sf10 run silently
+      // clobbered the banked clean sf0.1 artifact — the clean-guard
+      // below only ever protected same-SF overwrites.
+      val base =
+        if (sfDir == "/root/testdata/sf0.1") "BENCH_FULL"
+        else "BENCH_" + java.nio.file.Paths.get(sfDir).getFileName.toString
+          .toUpperCase(java.util.Locale.ROOT).replaceAll("[^A-Z0-9._-]", "_")
       // a clean committed artifact is never silently replaced by a
       // dirtier run at the same SF: the dirty rerun lands in
-      // BENCH_FULL.dirty.json for inspection instead
-      val target = java.nio.file.Paths.get("BENCH_FULL.json")
+      // <base>.dirty.json for inspection instead
+      val target = java.nio.file.Paths.get(s"$base.json")
       val existingIsCleanSameSf = java.nio.file.Files.exists(target) && {
         val first = java.nio.file.Files.readAllLines(target).get(0)
         first.contains("\"clean\":true") && first.contains(s""""sf":"$sfDir"""")
       }
       val p = if (existingIsCleanSameSf && !clean)
-        java.nio.file.Paths.get("BENCH_FULL.dirty.json") else target
+        java.nio.file.Paths.get(s"$base.dirty.json") else target
       java.nio.file.Files.write(p, java.util.Arrays.asList(
         s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$full,"contended":$contendedJson,"raw_total":${f(rawTotal)},$hostJson,"sf":"$sfDir"}""",
         s"""{"metric":"data_bound","value":${f(dataBound)},"unit":"sec","floor_per_query":${f(floor)},"n_queries":${results.size},"sf":"$sfDir"}"""))
