@@ -18,20 +18,27 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      // Shuffles START at 256 partitions and AQE coalesces DOWN per
+      // Shuffles START at 64 partitions and AQE coalesces DOWN per
       // runtime stats — at sf0.1 that lands back near the core count,
-      // at sf10 it keeps per-task sort/agg working sets ~8× smaller.
-      // Without it, every shuffle is born at shuffle.partitions=32 and
-      // the sf10 span/tfidf SMJ chains starve the 8g unified pool (32
-      // concurrent fat tasks over ~2.4g of evictable execution memory
-      // once the session caches pin their storageFraction share):
-      // round-11's first sf10 certification attempt died exactly there
+      // at sf10 it keeps per-task sort/agg working sets 2× smaller
+      // than the core count would. Without it, every shuffle is born
+      // at shuffle.partitions=32 and the sf10 span/tfidf SMJ chains
+      // starve the 8g unified pool (32 concurrent fat tasks over
+      // ~2.4g of evictable execution memory once the session caches
+      // pin their storageFraction share): round-11's first sf10
+      // certification attempt died exactly there
       // (UNABLE_TO_ACQUIRE_MEMORY in the span-pair build, then heap
-      // exhaustion in the rerun phase). This is also the cluster-real
-      // setting: AQE's own guidance is a high initial count coalesced
-      // by data size, not a hand-tuned per-SF constant.
+      // exhaustion in the rerun phase). Measured A/B/C at sf10: 256
+      // completes but pays ~96s across the shuffle-heavy tail (the
+      // wider writer passes the bypass-merge threshold and adds
+      // scheduling waves); 64 keeps ~4/5 of the 32-partition speed
+      // (tfidf 39.5s vs 35.3s vs 49.1s at 256) AND survived the exact
+      // crash scenario (span memo pinned + the seven heaviest queries
+      // solo). This is also the cluster-real setting: start wider
+      // than the core count and let AQE size it, not a hand-tuned
+      // per-SF constant.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "256"))
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "64"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session so per-query timings measure the query, not JVM
@@ -74,7 +81,13 @@ object Bench {
     warmupSelected.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         mark("warmup", name)
-        try consume(fn(spark, sfDir)) catch { case _: Throwable => }
+        // a swallowed warmup failure is how the sf10 crash cascaded:
+        // the span memo build OOMed silently here, so the first timed
+        // pass paid the full build and died — at least say it happened
+        try consume(fn(spark, sfDir)) catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] WARMUP FAILED $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
       }
     }
     // Per-query fixed floor (job scheduling + codegen compile + noop
