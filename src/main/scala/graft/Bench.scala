@@ -39,6 +39,15 @@ object Bench {
       // per-SF constant.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "64"))
+      // The registry's memo/serving families deliberately keep
+      // session-lifetime caches (span selection + doc-freq histogram,
+      // minhash triples, ANN layouts) — all MEMORY_AND_DISK, so
+      // eviction is a cheap spill, not a recompute. Protecting the
+      // default 50% of unified memory for those caches is what pushed
+      // the rerun phase over the heap at sf10 (every cache fully
+      // materialized + the heaviest queries re-executing): protect
+      // 30%, let execution claim the rest.
+      .config("spark.memory.storageFraction", "0.3")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session so per-query timings measure the query, not JVM
@@ -109,14 +118,17 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
+    // A failed execution returns NaN: time-to-abort is not plan cost,
+    // and letting it flow into min()/contention logic corrupted two
+    // sf10 artifacts this round (failed reruns booked 0.0s and the
+    // "min of post-contention trials" took them).
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       mark("timed", name)
       val t0 = System.nanoTime()
       val failed = try { consume(fn(spark, sfDir)); false } catch { case _: Throwable => true }
       val dt = (System.nanoTime() - t0) / 1e9
-      // a failed query's sample is time-to-abort, not plan cost — say so
-      if (failed) System.err.println(f"[bench] FAILED $name after $dt%.1fs")
-      dt
+      if (failed) { System.err.println(f"[bench] FAILED $name after $dt%.1fs"); Double.NaN }
+      else dt
     }
     val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> timed(name, fn)
@@ -137,28 +149,41 @@ object Bench {
     // artifact self-describing. Uncontended reruns keep the min of
     // two. An empty selection (typo'd name filter in a local run)
     // emits an empty-queries JSON instead of throwing.
+    val okFirst = firstPass.map(_._2).filterNot(_.isNaN)
     val medianT =
-      if (firstPass.isEmpty) 0.0
-      else firstPass.map(_._2).sorted.apply(firstPass.size / 2)
+      if (okFirst.isEmpty) 0.0
+      else okFirst.sorted.apply(okFirst.size / 2)
     val rerunThreshold = math.max(math.max(3.0 * medianT, 5.0 * floor), 1.0)
+    // a first-pass FAILURE also earns a retry: the abort may have been
+    // transient (the sf10 heap crash mode), and a later success is a
+    // valid sample where the NaN is not
     val reruns = firstPass.collect {
-      case (name, t) if t > rerunThreshold => name -> timed(name, selected(name))
+      case (name, t) if t.isNaN || t > rerunThreshold =>
+        name -> timed(name, selected(name))
     }.toMap
     val contended = firstPass.collect {
       case (n, t) if reruns.get(n).exists(r => t > 2.0 * r) => n
     }.sorted
     val thirdRuns = contended.map(n => n -> timed(n, selected(n))).toMap
+    def nmin(a: Double, b: Double): Double =
+      if (a.isNaN) b else if (b.isNaN) a else math.min(a, b)
     val results = firstPass.map { case (n, t) =>
       val estimate = thirdRuns.get(n) match {
-        case Some(t3) => math.min(reruns(n), t3) // first sample known-contended
-        case None     => math.min(t, reruns.getOrElse(n, t))
+        case Some(t3) => nmin(reruns(n), t3) // first sample known-contended
+        case None     => nmin(t, reruns.getOrElse(n, Double.NaN))
       }
       n -> estimate
     }
+    // a query with NO successful sample stays NaN: excluded from the
+    // per-query map and the totals, named in `failed`, and the run is
+    // not clean — a crashed rerun can no longer book 0.0s into `total`
+    val failedQueries = results.collect { case (n, t) if t.isNaN => n }.sorted
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val total = results.map(_._2).sum
-    val rawTotal = firstPass.map(_._2).sum
+    val okResults = results.filterNot(_._2.isNaN)
+    val total = okResults.map(_._2).sum
+    val rawTotal = firstPass.map(_._2).filterNot(_.isNaN).sum
     val contendedJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     // `clean` = the run's own evidence of an undisturbed host: zero
     // in-run contention retries AND a pre-run loadavg under the core
     // count (an oversubscribed host inflates every sample, which the
@@ -166,15 +191,16 @@ object Bench {
     // -1 where the JVM can't read it — treated as "no evidence
     // against".
     val loadEnd = osBean.getSystemLoadAverage
-    val clean = contended.isEmpty && (loadStart < 0 || loadStart <= cpus.toDouble)
-    val hostJson = s""""floor_per_query":${f(floor)},"loadavg_start":${f(loadStart)},"loadavg_end":${f(loadEnd)},"clean":$clean"""
+    val clean = contended.isEmpty && failedQueries.isEmpty &&
+      (loadStart < 0 || loadStart <= cpus.toDouble)
+    val hostJson = s""""failed":$failedJson,"floor_per_query":${f(floor)},"loadavg_start":${f(loadStart)},"loadavg_end":${f(loadEnd)},"clean":$clean"""
     // Full per-query map for humans/the repo; the stdout line keeps the
     // slowest 40 + an "_other" rollup so the whole JSON object fits well
     // inside the driver's 2000-char output tail (rounds 1-2 overflowed
     // it and the driver recorded parsed=null).
-    val full = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
+    val full = okResults.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val dataBound = math.max(0.0, total - floor * results.size)
+    val dataBound = math.max(0.0, total - floor * okResults.size)
     try {
       // Per-SF artifact name: the gate SF keeps the driver-era
       // BENCH_FULL.json; any other fixture writes BENCH_<BASENAME>.json
@@ -197,9 +223,9 @@ object Bench {
         java.nio.file.Paths.get(s"$base.dirty.json") else target
       java.nio.file.Files.write(p, java.util.Arrays.asList(
         s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$full,"contended":$contendedJson,"raw_total":${f(rawTotal)},$hostJson,"sf":"$sfDir"}""",
-        s"""{"metric":"data_bound","value":${f(dataBound)},"unit":"sec","floor_per_query":${f(floor)},"n_queries":${results.size},"sf":"$sfDir"}"""))
+        s"""{"metric":"data_bound","value":${f(dataBound)},"unit":"sec","floor_per_query":${f(floor)},"n_queries":${okResults.size},"sf":"$sfDir"}"""))
     } catch { case _: Throwable => }
-    val top = results.sortBy(-_._2).take(40).sortBy(_._1)
+    val top = okResults.sortBy(-_._2).take(40).sortBy(_._1)
     val other = total - top.map(_._2).sum
     val qs = (top.map { case (k, v) => s"\"" + k + "\":" + f(v) } :+
       (s"\"_other\":" + f(other))).mkString("{", ",", "}")

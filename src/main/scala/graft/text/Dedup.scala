@@ -427,13 +427,27 @@ object Dedup {
     * so the semi join broadcasts and the scan stays narrow. */
   def wordJaccard(
       df: DataFrame, pairs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val memberIds = pairs.select(col("id_a").as(idCol))
-      .unionByName(pairs.select(col("id_b").as(idCol)))
+    // one pass over pairs for the member set (explode, not a
+    // union-of-two-selects — the candidate join behind `pairs` is
+    // re-executed once per consumer, so every saved consumer is a
+    // saved band self-join)
+    val memberIds = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
       .distinct()
     val words = df.join(memberIds, Seq(idCol), "left_semi")
       .select(col(idCol),
         explode(array_distinct(split(col(textCol), " "))).as("_w"))
-    val sizes = words.groupBy(col(idCol)).agg(count(lit(1)).as("_sz"))
+    // |distinct words| is row-local — size(array_distinct(split)) —
+    // so the sizes branch never explodes or shuffles words at all
+    // (before: a third full recompute of `words` plus a corpus-wide
+    // groupBy exchange). The isNotNull filter reproduces the exploded
+    // form's semantics: a null text produced no rows, so the member
+    // doc fell out of the final inner join rather than surfacing a
+    // null size.
+    val sizes = df.join(memberIds, Seq(idCol), "left_semi")
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        size(array_distinct(split(col(textCol), " "))).cast("long").as("_sz"))
     val wA = words.select(col(idCol).as("id_a"), col("_w"))
     val wB = words.select(col(idCol).as("id_b"), col("_w"))
     val inter = pairs.join(wA, "id_a").join(wB, Seq("id_b", "_w"))
