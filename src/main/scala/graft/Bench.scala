@@ -193,7 +193,8 @@ object Bench {
     val loadEnd = osBean.getSystemLoadAverage
     val clean = contended.isEmpty && failedQueries.isEmpty &&
       (loadStart < 0 || loadStart <= cpus.toDouble)
-    val hostJson = s""""failed":$failedJson,"floor_per_query":${f(floor)},"loadavg_start":${f(loadStart)},"loadavg_end":${f(loadEnd)},"clean":$clean"""
+    val heapGb = Runtime.getRuntime.maxMemory / (1 << 30)
+    val hostJson = s""""failed":$failedJson,"floor_per_query":${f(floor)},"loadavg_start":${f(loadStart)},"loadavg_end":${f(loadEnd)},"heap_gb":$heapGb,"cpus":$cpus,"clean":$clean"""
     // Full per-query map for humans/the repo; the stdout line keeps the
     // slowest 40 + an "_other" rollup so the whole JSON object fits well
     // inside the driver's 2000-char output tail (rounds 1-2 overflowed
