@@ -78,7 +78,12 @@ object Bench {
       "q_ann_ivf_pruned", "q_ann_lsh_pruned",
       "q_simhash_neardup_pairs", "q_semantic_neardup_pairs",
       "q_curate_pipeline", "q_span_budget_pairs", "q_shared_span_pairs",
-      "q_cms_counts", "q_median_center", "q_box_summary")
+      "q_cms_counts", "q_median_center", "q_box_summary",
+      // q_jaccard_pairs' first touch builds the banded-triples persist
+      // its verify join reads (same cache-backed-family policy as the
+      // span/curate entries — the round-11 16g sf10 run earned its one
+      // contended flag exactly there)
+      "q_jaccard_pairs")
     val warmupSelected =
       if (args.isEmpty) warmup else warmup.filter(args.contains)
     // Progress markers go to STDERR (the driver parses only the final
