@@ -183,6 +183,13 @@ object Bench {
     // per-query map and the totals, named in `failed`, and the run is
     // not clean — a crashed rerun can no longer book 0.0s into `total`
     val failedQueries = results.collect { case (n, t) if t.isNaN => n }.sorted
+    // a first-pass abort whose retry succeeded is still host evidence:
+    // a mid-run JVM disturbance likely skewed neighboring samples, so
+    // it disqualifies `clean` even though the query has a valid sample
+    val resultByName = results.toMap
+    val transientFailures = firstPass.collect {
+      case (n, t) if t.isNaN && !resultByName(n).isNaN => n
+    }.sorted
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val okResults = results.filterNot(_._2.isNaN)
     val total = okResults.map(_._2).sum
@@ -197,9 +204,14 @@ object Bench {
     // against".
     val loadEnd = osBean.getSystemLoadAverage
     val clean = contended.isEmpty && failedQueries.isEmpty &&
+      transientFailures.isEmpty &&
       (loadStart < 0 || loadStart <= cpus.toDouble)
-    val heapGb = Runtime.getRuntime.maxMemory / (1 << 30)
-    val hostJson = s""""failed":$failedJson,"floor_per_query":${f(floor)},"loadavg_start":${f(loadStart)},"loadavg_end":${f(loadEnd)},"heap_gb":$heapGb,"cpus":$cpus,"clean":$clean"""
+    // rounded, not truncated: -Xmx8g reads ~7.8 GiB from maxMemory, so
+    // integer division recorded heap_gb:7 and identically-configured
+    // runs could disagree with the banked 8g/16g labels
+    val heapGb = math.round(Runtime.getRuntime.maxMemory / (1L << 30).toDouble)
+    val transientJson = transientFailures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val hostJson = s""""failed":$failedJson,"transient_failures":$transientJson,"floor_per_query":${f(floor)},"loadavg_start":${f(loadStart)},"loadavg_end":${f(loadEnd)},"heap_gb":$heapGb,"cpus":$cpus,"clean":$clean"""
     // Full per-query map for humans/the repo; the stdout line keeps the
     // slowest 40 + an "_other" rollup so the whole JSON object fits well
     // inside the driver's 2000-char output tail (rounds 1-2 overflowed
@@ -213,9 +225,17 @@ object Bench {
       // (sf10 → BENCH_SF10.json). Before this, an sf10 run silently
       // clobbered the banked clean sf0.1 artifact — the clean-guard
       // below only ever protected same-SF overwrites.
+      // normalize before comparing: a trailing slash or symlinked gate
+      // path must not bypass the clean-artifact overwrite guard by
+      // writing BENCH_SF0.1.json instead of BENCH_FULL.json
+      val sfPath = {
+        val p = java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize
+        try { if (java.nio.file.Files.exists(p)) p.toRealPath() else p }
+        catch { case _: Throwable => p }
+      }
       val base =
-        if (sfDir == "/root/testdata/sf0.1") "BENCH_FULL"
-        else "BENCH_" + java.nio.file.Paths.get(sfDir).getFileName.toString
+        if (sfPath.toString == "/root/testdata/sf0.1") "BENCH_FULL"
+        else "BENCH_" + sfPath.getFileName.toString
           .toUpperCase(java.util.Locale.ROOT).replaceAll("[^A-Z0-9._-]", "_")
       // a clean committed artifact is never silently replaced by a
       // dirtier run at the same SF: the dirty rerun lands in
@@ -236,6 +256,9 @@ object Bench {
     val qs = (top.map { case (k, v) => s"\"" + k + "\":" + f(v) } :+
       (s"\"_other\":" + f(other))).mkString("{", ",", "}")
     spark.stop()
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"contended":$contendedJson,$hostJson,"sf":"$sfDir"}""")
+    // `data_bound` rides the driver-parsed line so a contended window
+    // (round-11's BENCH_r11, loadavg 6.6 at start) can be floor-
+    // normalized instead of masquerading as a plan regression
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","data_bound":${f(dataBound)},"queries":$qs,"contended":$contendedJson,$hostJson,"sf":"$sfDir"}""")
   }
 }

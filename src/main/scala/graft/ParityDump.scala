@@ -65,6 +65,18 @@ object ParityDump {
     // stage 7: strip_index_labels — column-name surgery only
     dump(Filters.stripColumnLabels(raw, "Intensity ").limit(1), "after_strip")
 
+    // stage 8: get_index_list + build_combined_label (ref utils.py:179,
+    // 208-225) — per-row labels via both the sep and label_format
+    // paths, plus the column-position lookup as a constant column
+    val idxs = graft.functions.ScalarFuncs.indexList(
+      raw.columns.toSeq, Seq("Amino acid", "No such column", "Proteins"))
+    dump(raw.select(col("id"),
+      graft.functions.ScalarFuncs.combinedLabel(" ",
+        col("Proteins"), col("Amino acid")).as("label_sep"),
+      graft.functions.ScalarFuncs.combinedLabelFmt("%s [%s]",
+        col("Proteins"), col("Amino acid")).as("label_fmt"),
+      lit(idxs.mkString(";")).as("index_list")), "after_labels")
+
     // timed single-pass run of the whole chain (session already warm)
     // for the pandas-vs-engine throughput comparison (tools/parity.py
     // bench mode): count() forces the full pipeline without the CSV

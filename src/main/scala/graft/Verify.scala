@@ -73,7 +73,11 @@ object Verify {
               s"type(s): ${bad.mkString(", ")} — expect a driver hash mismatch " +
               "(see Moments.sumExactScale4 scaladoc)")
           }
-          df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+          // the lint self-test query exists only to exercise the schema
+          // lint above — writing its parquet would leave a stray result
+          // dir with no oracle entry among the driver compare inputs
+          if (name != "_lint_selftest")
+            df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }

@@ -38,6 +38,55 @@ object ScalarFuncs {
   /** Join label parts (ref utils.py:191-225 `format_label`). */
   def formatLabel(sep: String, parts: Column*): Column = concat_ws(sep, parts: _*)
 
+  /** Positions of `ms` members within `l`, in `ms` order, skipping
+    * absentees (ref utils.py:179-188 `get_index_list`). The reference
+    * coerces a scalar to a one-element list; callers pass `Seq(m)`. */
+  def indexList[A](l: Seq[A], ms: Seq[A]): Seq[Int] =
+    ms.filter(l.contains).map(l.indexOf(_))
+
+  /** Python `%`-style substitution limited to `%s` / `%%` — the only
+    * forms the reference feeds `label_format % tuple(shortstr...)`
+    * with (string args). Missing args raise, extras are ignored,
+    * matching Python only on the forms we accept. */
+  private def percentFormat(fmt: String, args: Seq[String]): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var a = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length && fmt.charAt(i + 1) == '%') {
+        sb += '%'; i += 2
+      } else if (c == '%' && i + 1 < fmt.length && fmt.charAt(i + 1) == 's') {
+        require(a < args.length, s"not enough arguments for format string: $fmt")
+        sb ++= args(a); a += 1; i += 2
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Combined plot label from indexed parts (ref utils.py:208-225
+    * `build_combined_label`): shortstr each selected part, then either
+    * join with `sep` or substitute into `labelFormat` (`%s` slots).
+    * Driver-side like the reference (plot labelling). */
+  def buildCombinedLabel[K](sl: Map[K, String], idxs: Seq[K], sep: String = " ",
+      labelFormat: Option[String] = None): String = {
+    val parts = idxs.map(n => sl(n).split(";", 2)(0))
+    labelFormat match {
+      case Some(fmt) => percentFormat(fmt, parts)
+      case None      => parts.mkString(sep)
+    }
+  }
+
+  /** Data-plane twin of `buildCombinedLabel`'s sep path: shortstr each
+    * part column, join with sep (codegen'd concat_ws). */
+  def combinedLabel(sep: String, parts: Column*): Column =
+    concat_ws(sep, parts.map(shortStr): _*)
+
+  /** Data-plane twin of the `label_format` path: `format_string` is
+    * printf-style, whose `%s` matches Python's `%s` on string args. */
+  def combinedLabelFmt(fmt: String, parts: Column*): Column =
+    format_string(fmt, parts.map(shortStr): _*)
+
   /** Distinct short protein IDs across a frame (ref utils.py:142-162
     * `get_protein_id_list`): explode the per-row ID arrays, distinct. */
   def proteinIdList(df: org.apache.spark.sql.DataFrame, column: String): org.apache.spark.sql.DataFrame =

@@ -185,4 +185,22 @@ class PipelineSpec extends SparkSpec {
     assert(ScalarFuncs.hierarchicalMatch(conf, Seq("a", "z"), 0) == 2)
     assert(ScalarFuncs.hierarchicalMatch(conf, Seq("q"), 0) == 0)
   }
+
+  test("indexList and buildCombinedLabel (ref utils.py:179,208)") {
+    // [l.index(s) for s in ms if s in l]: ms order, absentees skipped
+    assert(ScalarFuncs.indexList(Seq("a", "b", "c", "d"), Seq("c", "x", "a")) == Seq(2, 0))
+    assert(ScalarFuncs.indexList(Seq("a", "b"), Seq("z")) == Seq.empty)
+    val sl = Map(0 -> "P1;P2", 1 -> "STY")
+    assert(ScalarFuncs.buildCombinedLabel(sl, Seq(0, 1)) == "P1 STY")
+    assert(ScalarFuncs.buildCombinedLabel(sl, Seq(1, 0), sep = "/") == "STY/P1")
+    assert(ScalarFuncs.buildCombinedLabel(sl, Seq(0, 1),
+      labelFormat = Some("%s [%s] 100%%")) == "P1 [STY] 100%")
+    // data-plane twins agree with the driver-side forms
+    val df = Seq(("P1;P2", "STY")).toDF("p", "aa")
+    val r = df.select(
+      ScalarFuncs.combinedLabel(" ", col("p"), col("aa")).as("s"),
+      ScalarFuncs.combinedLabelFmt("%s [%s]", col("p"), col("aa")).as("f"))
+      .as[(String, String)].head()
+    assert(r == ("P1 STY", "P1 [STY]"))
+  }
 }

@@ -27,8 +27,20 @@ REF = "/root/reference/padua"
 def load(name):
     spec = importlib.util.spec_from_file_location(name, f"{REF}/{name}.py")
     mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
+    # utils.py imports scipy/requests at module top; stub whatever is
+    # missing (the helpers under parity test don't touch those deps)
+    import types
+    while True:
+        try:
+            spec.loader.exec_module(mod)
+            return mod
+        except ModuleNotFoundError as e:
+            missing = e.name
+            stub = types.ModuleType(missing)
+            sys.modules[missing] = stub
+            parent = missing.rsplit(".", 1)
+            if len(parent) == 2 and parent[0] in sys.modules:
+                setattr(sys.modules[parent[0]], parent[1], stub)
 
 
 def bench(fixture):
@@ -203,6 +215,29 @@ def check(fixture, outdir):
     if not ok7:
         failures.append("after_strip")
         print("   want:", want_cols, "got:", sorted(got7.columns.tolist()))
+
+    # stage 8: get_index_list + build_combined_label — the reference's
+    # own functions (utils.py loads with stubbed scipy/requests)
+    utils = load("utils")
+    got8 = read_spark_csv(f"{outdir}/after_labels").set_index("id")
+    want_idx = utils.get_index_list(
+        list(df.reset_index().columns), ["Amino acid", "No such column", "Proteins"])
+    bad8 = 0
+    got_idx = str(got8["index_list"].iloc[0])
+    if got_idx != ";".join(str(i) for i in want_idx):
+        bad8 += 1
+        print("   index_list want:", want_idx, "got:", got_idx)
+    for rid, row in got8.iterrows():
+        sl = {0: df.loc[rid, "Proteins"], 1: df.loc[rid, "Amino acid"]}
+        want_sep = utils.build_combined_label(sl, [0, 1])
+        want_fmt = utils.build_combined_label(sl, [0, 1], label_format="%s [%s]")
+        if row["label_sep"] != want_sep or row["label_fmt"] != want_fmt:
+            bad8 += 1
+            print("   label want:", (want_sep, want_fmt),
+                  "got:", (row["label_sep"], row["label_fmt"]))
+    print(("ok  " if bad8 == 0 else "FAIL") + f" after_labels ({bad8} diffs)")
+    if bad8:
+        failures.append("after_labels")
 
     print(f"\nparity: {'PASS' if not failures else 'FAIL ' + str(failures)}")
     return 1 if failures else 0
