@@ -245,7 +245,12 @@ object Bench {
         val first = java.nio.file.Files.readAllLines(target).get(0)
         first.contains("\"clean\":true") && first.contains(s""""sf":"$sfDir"""")
       }
-      val p = if (existingIsCleanSameSf && !clean)
+      // a FILTERED local run (query-name args) covers a subset of the
+      // registry — its totals are incomparable with committed artifacts
+      // and must never replace them (a clean 4-query run overwrote the
+      // banked full-registry BENCH_FULL.json this round)
+      val p = if (args.nonEmpty) java.nio.file.Paths.get(s"$base.partial.json")
+      else if (existingIsCleanSameSf && !clean)
         java.nio.file.Paths.get(s"$base.dirty.json") else target
       java.nio.file.Files.write(p, java.util.Arrays.asList(
         s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$full,"contended":$contendedJson,"raw_total":${f(rawTotal)},$hostJson,"sf":"$sfDir"}""",

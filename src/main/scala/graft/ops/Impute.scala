@@ -127,7 +127,7 @@ object Impute {
       col(idCol).cast("string").as("_id"),
       col(sampleCol).cast("string").as("_s"),
       col(valueCol).cast("double").as("_v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(Caches.memoLevel(spark))
     val samples = base.select(col("_s")).distinct()
       .collect().map(_.getString(0)).sorted
     val sIdx = samples.zipWithIndex.toMap

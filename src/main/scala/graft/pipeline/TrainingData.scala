@@ -83,7 +83,7 @@ object TrainingData {
     val ann0 = annotate(docs, idCol, textCol)
     val ann =
       if (cfg.persistStages)
-        ann0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ann0.persist(graft.ops.Caches.memoLevel(docs.sparkSession))
       else ann0
     val gated = ann.filter(
       col("quality") >= cfg.minQuality &&
@@ -106,7 +106,7 @@ object TrainingData {
       cfg.minHashes, cfg.shingleSize)
     val sigs =
       if (cfg.persistStages)
-        sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sigs0.persist(graft.ops.Caches.memoLevel(docs.sparkSession))
       else sigs0
     val bounded = Dedup.minHashCandidatePairsBounded(sigs, idCol,
       cfg.minHashes, cfg.bands, cfg.maxBucketRows, cfg.maxPairs)

@@ -300,7 +300,7 @@ object TextQueries extends QueryProvider {
       // blocks) — a registry query has no post-materialization hook to
       // unpersist from.
       val sims = Dedup.simHash(Tables.documents(s, d), "doc_id", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(graft.ops.Caches.memoLevel(s))
       val b = Dedup.simHashNearDupPairsBounded(sims, "doc_id", "simhash",
         maxHamming = 3, blocks = 4, maxBucketRows = Long.MaxValue,
         maxPairs = NearDupPairBudget)

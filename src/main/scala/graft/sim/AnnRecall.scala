@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** MEASURED recall@k of the ANN family against exact baselines — the
@@ -11,6 +11,18 @@ import org.apache.spark.sql.functions._
   * the exact L2 top-k (ADC is a squared-L2 estimator — scoring it
   * against cosine would conflate quantization loss with metric
   * mismatch on unnormalized vectors).
+  *
+  * Scale shape (round-12 rewrite): ALL query vectors evaluate in ONE
+  * plan per method. The query matrix is driver-side literals (an eval
+  * set is tiny next to the corpus); each corpus row explodes into its
+  * per-query (qid, score) entries — candidate-gated, so non-candidate
+  * scores are never computed — and a mergeable bounded top-k aggregate
+  * ([[graft.functions.SketchFunctions.topKByPriority]]: ≤k entries per
+  * map task, priority DESC / id ASC exactly matching the single-query
+  * orderBy(score, id)) replaces any per-query job. Six scans total,
+  * independent of the eval-set size — the previous shape ran ~6 jobs
+  * PER query vector, serialized on the driver (62 s at sf10 for 1
+  * query; hours at a 10k-query eval set).
   *
   * TextSimSpec asserts per-config floors at the default knobs;
   * `graft.RecallAudit` prints the matrix for any SF dir (recorded in
@@ -39,38 +51,111 @@ object AnnRecall {
   }
 
   /** Mean recall@k per method over `queryIds`, with the indexes fit
-    * ONCE and reused across queries (the serving shape). */
+    * ONCE and reused across queries (the serving shape) and every
+    * method scoring ALL queries in a single batched scan. */
   def measure(
       emb: DataFrame, idCol: String, vecCol: String, dim: Int,
       queryIds: Seq[Long], k: Int, cfg: AnnConfig): Map[String, Double] = {
-    val queries = emb.filter(col(idCol).isin(queryIds: _*))
+    // sorted for deterministic literal order in the per-row entry array
+    val queries: Seq[(Long, Array[Double])] = emb
+      .filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol), transform(col(vecCol), _.cast("double")).as("q"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .toSeq.sortBy(_._1)
     require(queries.nonEmpty, "no query vectors found")
     val (assigned0, cents) = Similarity.ivfIndex(emb, idCol, vecCol, cfg.nCells)
-    val assigned = assigned0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = assigned0.persist(graft.ops.Caches.memoLevel(emb.sparkSession))
     val pqModel = Pq.fit(emb, vecCol, dim, cfg.m, cfg.codebookK)
     val encoded = Pq.encode(emb, vecCol, pqModel)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(graft.ops.Caches.memoLevel(emb.sparkSession))
     val encodedIvf = Pq.encode(assigned, vecCol, pqModel)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def ids(df: DataFrame): Set[Long] =
-      df.select(col(idCol)).collect().map(_.getLong(0)).toSet
-    val perQuery = queries.toSeq.map { case (_, q) =>
-      val cosTruth = ids(Similarity.bruteForceTopK(emb, idCol, vecCol, q, k))
-      val l2Truth = ids(bruteForceL2TopK(emb, idCol, vecCol, q, k))
-      val probes = Similarity.probeCells(cents, q, cfg.nProbe)
-      Map(
-        "lsh" -> (ids(Similarity.lshTopK(emb, idCol, vecCol, q, k, dim,
-          cfg.numPlanes, cfg.numTables)) & cosTruth).size,
-        "ivf" -> (ids(Similarity.ivfTopK(assigned, cents, idCol, vecCol, q, k,
-          cfg.nProbe)) & cosTruth).size,
-        "pq" -> (ids(Pq.adcTopK(encoded, idCol, pqModel, q, k)) & l2Truth).size,
-        "ivfpq" -> (ids(Pq.ivfPqTopK(encodedIvf, idCol, pqModel, q, probes, k)) & l2Truth).size
-      ).view.mapValues(_.toDouble / k).toMap
+      .persist(graft.ops.Caches.memoLevel(emb.sparkSession))
+
+    // One job: explode each row into its candidate (qid, priority)
+    // entries (score gated behind the candidacy predicate via when, so
+    // pruned methods never compute pruned scores), bounded top-k per
+    // qid, collect the tiny (nq × k) id sets. `pri` must be DESC-is-
+    // better; ascending metrics pass the negated score.
+    def topIdsPerQuery(
+        base: DataFrame,
+        entry: (Long, Array[Double]) => (Column, Column)): Map[Long, Set[Long]] = {
+      val arr = array(queries.map { case (qid, q) =>
+        val (inc, pri) = entry(qid, q)
+        struct(lit(qid).as("qid"), inc.as("inc"), when(inc, pri).as("pri"))
+      }: _*)
+      base
+        .select(col(idCol).cast("long").as("_id"), explode(arr).as("e"))
+        .filter(col("e.inc"))
+        .groupBy(col("e.qid").as("qid"))
+        .agg(graft.functions.SketchFunctions.topKByPriority(
+          col("e.pri"), col("_id"), col("e.pri"), k).as("_top"))
+        .select(col("qid"), col("_top.id").as("ids"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
     }
+
+    val v = col(vecCol)
+    def qLit(q: Array[Double]): Column = array(q.toIndexedSeq.map(lit): _*)
+    def qNorm(q: Array[Double]): Double =
+      math.sqrt(q.foldLeft(0.0)((acc, x) => acc + x * x))
+    // identical expression trees to the single-query methods, with the
+    // per-row norm/self-dot projected once and shared across queries
+    def cosineOf(q: Array[Double]): Column =
+      try_divide(Similarity.dot(v, qLit(q)), col("_vnorm") * lit(qNorm(q)))
+    def l2Of(q: Array[Double]): Column =
+      col("_vv") - lit(2.0) * Similarity.dot(v, qLit(q)) +
+        lit(q.foldLeft(0.0)((a, x) => a + x * x))
+    def adcOf(q: Array[Double]): Column = {
+      val lut = pqModel.adcLut(q)
+      (0 until pqModel.m).map { j =>
+        val lutLit = array(lut(j).toIndexedSeq.map(lit): _*)
+        element_at(lutLit, col("pq_code").getItem(j) + 1)
+      }.reduce(_ + _)
+    }
+    val withNorm = emb.withColumn("_vnorm", Similarity.norm(v))
+    val withVv = emb.withColumn("_vv", Similarity.dot(v, v))
+
+    val cosTruth = topIdsPerQuery(withNorm,
+      (_, q) => (lit(true), cosineOf(q)))
+    val l2Truth = topIdsPerQuery(withVv,
+      (_, q) => (lit(true), -l2Of(q)))
+    val lsh = topIdsPerQuery(
+      // table buckets project ONCE per row and the per-query candidacy
+      // is numTables integer comparisons — the multi-query shape where
+      // the full packed bucket beats lshTopK's short-circuit form
+      (0 until cfg.numTables).foldLeft(withNorm) { (d, t) =>
+        d.withColumn(s"_b$t",
+          Similarity.signLshTableBucket(v, dim, cfg.numPlanes, t))
+      },
+      (_, q) => (
+        (0 until cfg.numTables).map(t =>
+          col(s"_b$t") === lit(Similarity.queryBucket(t, q, cfg.numPlanes)))
+          .reduce(_ || _),
+        cosineOf(q)))
+    val ivf = topIdsPerQuery(
+      assigned.withColumn("_vnorm", Similarity.norm(v)),
+      (_, q) => (
+        col("_cell").isin(
+          Similarity.probeCells(cents, q, cfg.nProbe).toIndexedSeq: _*),
+        cosineOf(q)))
+    val pq = topIdsPerQuery(encoded,
+      (_, q) => (lit(true), -adcOf(q)))
+    val ivfpq = topIdsPerQuery(encodedIvf,
+      (_, q) => (
+        col("_cell").isin(
+          Similarity.probeCells(cents, q, cfg.nProbe).toIndexedSeq: _*),
+        -adcOf(q)))
     assigned.unpersist(); encoded.unpersist(); encodedIvf.unpersist()
-    perQuery.flatten.groupMapReduce(_._1)(_._2)(_ + _)
-      .view.mapValues(_ / perQuery.size).toMap
+
+    def recall(approx: Map[Long, Set[Long]], truth: Map[Long, Set[Long]]): Double =
+      queries.map { case (qid, _) =>
+        (approx.getOrElse(qid, Set.empty) & truth.getOrElse(qid, Set.empty)).size
+      }.sum.toDouble / (k.toDouble * queries.size)
+
+    Map(
+      "lsh" -> recall(lsh, cosTruth),
+      "ivf" -> recall(ivf, cosTruth),
+      "pq" -> recall(pq, l2Truth),
+      "ivfpq" -> recall(ivfpq, l2Truth))
   }
 }

@@ -105,7 +105,7 @@ object Dedup {
     // (doc·band), MEMORY_AND_DISK, session-lifetime LRU — the same
     // policy as the curate pipeline's signature cache.
     val banded = bandedTriples(signatures, idCol, numHashes, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(graft.ops.Caches.memoLevel(signatures.sparkSession))
     val cap = math.min(maxBucketRows,
       PairBudget.sizeCap(bucketCounts(banded), "_bn", maxPairs))
     BoundedPairs(
@@ -249,7 +249,7 @@ object Dedup {
     // precedes the pair plan, and the cached triples also serve the
     // representatives pass
     val blocked = simHashBlocked(sims, idCol, simhashCol, blocks)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(graft.ops.Caches.memoLevel(sims.sparkSession))
     val sizes = blocked.groupBy(col("block_idx"), col("block_val"))
       .agg(count(lit(1)).as("_bn"))
     val cap = math.min(maxBucketRows, PairBudget.sizeCap(sizes, "_bn", maxPairs))
@@ -352,7 +352,7 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").as("id"))).distinct()
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(graft.ops.Caches.memoLevel(spark))
     // plan truncation each round: persist alone caches DATA but the
     // logical plan still nests the whole previous round — with the
     // pointer-jump self-join referencing `step` twice, plan size (and
@@ -554,7 +554,7 @@ object Dedup {
     // persist the narrow (id, gram) selection: the budget decision is
     // a separate driver job (histogram collect) before the pair plan
     val sel = selectedGrams(df, idCol, textCol, k, w, rollingHash)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(graft.ops.Caches.memoLevel(df.sparkSession))
     // ALSO persist the per-gram doc-freq histogram: it is the single
     // most expensive node in the family (a ~corpus-sized exchange of
     // gram keys — 83 s at sf10 vs 11 s for the selection scan itself)
@@ -567,7 +567,7 @@ object Dedup {
     // budget collect below materializes both caches once, inside the
     // one-time build the warmup policy already accounts for.
     val sizes = gramDocFreq(sel)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(graft.ops.Caches.memoLevel(df.sparkSession))
     val informative = sel.join(
       sizes.filter(col("_df") <= maxDocFreq).select(col("_gram")),
       Seq("_gram"), "left_semi")

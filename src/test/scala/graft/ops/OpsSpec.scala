@@ -230,4 +230,36 @@ class OpsSpec extends SparkSpec {
     // h: n=4 → ranks 1, 2, 4 → -Inf first, then 1.0, last 3.0
     assert(out("h") == ((Double.NegativeInfinity, 1.0, 3.0)))
   }
+
+  test("Caches.memoLevel: DISK_ONLY below the per-core heap floor, overridable") {
+    import graft.ops.Caches
+    import org.apache.spark.storage.StorageLevel
+    val gb = 1L << 30
+    // 8 GiB / 32 cores = 256 MB/core → below the 384 MB floor
+    assert(Caches.memoLevelFor(8 * gb, 32) == StorageLevel.DISK_ONLY)
+    // 16 GiB / 32 cores = 512 MB/core → provisioned
+    assert(Caches.memoLevelFor(16 * gb, 32) == StorageLevel.MEMORY_AND_DISK)
+    // 8 GiB / 8 cores = 1 GiB/core → provisioned
+    assert(Caches.memoLevelFor(8 * gb, 8) == StorageLevel.MEMORY_AND_DISK)
+    // boundary: exactly at the floor is NOT below it
+    assert(Caches.memoLevelFor(384L * (1L << 20) * 4, 4) == StorageLevel.MEMORY_AND_DISK)
+    // sysprop overrides force the level regardless of heap
+    val prev = sys.props.get("graft.cache.memo")
+    try {
+      sys.props("graft.cache.memo") = "disk"
+      assert(Caches.memoLevel(spark) == StorageLevel.DISK_ONLY)
+      sys.props("graft.cache.memo") = "memory"
+      assert(Caches.memoLevel(spark) == StorageLevel.MEMORY_AND_DISK)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.cache.memo") = v
+        case None    => sys.props.remove("graft.cache.memo"): Unit
+      }
+    }
+    // threshold sysprop moves the floor
+    try {
+      sys.props("graft.cache.minHeapPerCoreMb") = "1"
+      assert(Caches.memoLevelFor(8 * gb, 32) == StorageLevel.MEMORY_AND_DISK)
+    } finally { sys.props.remove("graft.cache.minHeapPerCoreMb"): Unit }
+  }
 }
