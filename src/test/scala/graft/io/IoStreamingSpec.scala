@@ -656,4 +656,42 @@ class IoStreamingSpec extends SparkSpec {
     assert(out.count() == 3) // floor(200/64)=3 frames
     assert(out.agg(max(col("frame_offset"))).head().getInt(0) == 128)
   }
+
+  test("CompactionScheduler: bootstrap, measured-period growth, W/P target, clamps") {
+    import graft.streaming.CompactionScheduler
+    val s = new CompactionScheduler(targetUtilization = 0.5,
+      minPeriodSec = 10.0, maxPeriodSec = 1000.0)
+    // bootstrap: no measurement → compact immediately, predict 0
+    assert(s.observations == 0 && s.shouldCompact(0.0, 1000L))
+    assert(s.predictWallSec(1000L) == 0.0)
+    // one observation: proportional model. 1M rows took 20s → period
+    // 20/0.5 = 40s; at 2M rows predicted 40s → period 80s
+    s.record(1000000L, 20.0)
+    assert(s.nextPeriodSec(1000000L) == 40.0)
+    assert(s.predictWallSec(2000000L) == 40.0)
+    assert(s.nextPeriodSec(2000000L) == 80.0)
+    assert(!s.shouldCompact(39.0, 1000000L) && s.shouldCompact(40.0, 1000000L))
+    // clamps: tiny corpus → minPeriod; huge corpus → maxPeriod
+    assert(s.nextPeriodSec(1L) == 10.0)
+    assert(s.nextPeriodSec(100000000000L) == 1000.0)
+    // two observations: affine model absorbs the fixed floor.
+    // (1M, 20s), (2M, 30s) → slope 1e-5 s/row, intercept 10s → at 4M
+    // predicted 50s, period 100s
+    s.record(2000000L, 30.0)
+    assert(math.abs(s.predictWallSec(4000000L) - 50.0) < 1e-9)
+    assert(math.abs(s.nextPeriodSec(4000000L) - 100.0) < 1e-9)
+    // sustainability: W/P never exceeds the target under the model
+    assert(s.predictWallSec(4000000L) / s.nextPeriodSec(4000000L) <= 0.5 + 1e-9)
+    // prediction is floored by measured walls: a noisy shrinking wall
+    // cannot talk the period below evidence. (3M, 15s) gives a negative
+    // slope (clamped flat); prediction at 3M+ still ≥ the 30s measured
+    // at 2M
+    s.record(3000000L, 15.0)
+    assert(s.predictWallSec(3000000L) >= 30.0)
+    assert(s.predictWallSec(10000000L) >= 30.0)
+    // failed/empty compactions are not evidence
+    val before = s.observations
+    s.record(0L, 5.0); s.record(100L, 0.0)
+    assert(s.observations == before)
+  }
 }
