@@ -37,8 +37,21 @@ object Bench {
       // solo). This is also the cluster-real setting: start wider
       // than the core count and let AQE size it, not a hand-tuned
       // per-SF constant.
+      // HEAP-AWARE width (round 12): on a constrained heap (under the
+      // same 384 MB/core floor Caches.memoLevel uses) shuffles start at
+      // 256 instead — the r11-measured-safe 8 GiB shape. The execution-
+      // side OOM mode at 8g/32thr/P=64 is N concurrent SMJ sort tasks
+      // whose pointer arrays outgrow what the unified pool can grant
+      // (DISK_ONLY memo caches alone did not remove it — round-12 run-1
+      // died in the span SMJ chain); quartering the per-task partition
+      // size is the lever that actually bounds the concurrent working
+      // set, at a measured ~8% cost on the shuffle-heavy tail that a
+      // provisioned heap does not pay.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "64"))
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
+          if (graft.ops.Caches.memoLevelFor(Runtime.getRuntime.maxMemory,
+              cpus.toInt) == org.apache.spark.storage.StorageLevel.DISK_ONLY)
+            "256" else "64"))
       // The registry's memo/serving families deliberately keep
       // session-lifetime caches (span selection + doc-freq histogram,
       // minhash triples, ANN layouts) — all MEMORY_AND_DISK, so
