@@ -192,13 +192,15 @@ def main() -> None:
             n = pq.read_metadata(dst_file).num_rows
             print(f"{table}: {n} rows (pyarrow, source ts type preserved)")
             continue
-        selects = []
-        for i in range(copies):
-            repl = ", ".join(f"{k} + {i * DOMAIN_OFF[k]} AS {k}" for k in keys)
-            selects.append(
-                f"SELECT * REPLACE ({repl}) FROM read_parquet('{src_file}')")
-        union = " UNION ALL ".join(selects)
-        con.execute(f"COPY ({union}) TO '{dst_file}' (FORMAT PARQUET)")
+        # one cross-join against the copy-index series instead of a
+        # copies-way UNION ALL (which trips DuckDB's expression-depth
+        # limit at copies=1000 for the sf100 decade fixture)
+        repl = ", ".join(
+            f"{k} + _copy.i * {DOMAIN_OFF[k]} AS {k}" for k in keys)
+        con.execute(
+            f"COPY (SELECT * REPLACE ({repl}) FROM read_parquet('{src_file}'), "
+            f"(SELECT UNNEST(generate_series(0, {copies - 1})) AS i) _copy) "
+            f"TO '{dst_file}' (FORMAT PARQUET)")
         n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{dst_file}')").fetchone()[0]
         print(f"{table}: {n} rows")
 
