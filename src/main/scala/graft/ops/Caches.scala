@@ -53,7 +53,8 @@ object Caches {
   /** The storage level every session-lifetime memo/serving cache in
     * the library uses. */
   def memoLevel(spark: SparkSession): StorageLevel =
-    sys.props.get("graft.cache.memo") match {
+    sys.props.get("graft.cache.memo")
+      .orElse(sys.env.get("SPARK_GRAFT_CACHE_MEMO")) match {
       case Some("disk")   => StorageLevel.DISK_ONLY
       case Some("memory") => StorageLevel.MEMORY_AND_DISK
       case _ =>

@@ -153,9 +153,20 @@ def main() -> None:
     import os
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    # stream the big COPYs: without these, the 1000-copy lineitem write
+    # buffers the whole result for insertion-order preservation
+    # (~100 GB resident before being killed). Row order within the
+    # fixture is meaningless — every consumer keys on the shifted ids.
+    con.execute("SET preserve_insertion_order=false")
+    con.execute("SET memory_limit='24GB'")
+    os.makedirs("/tmp/duck_spill", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duck_spill'")
     for table, keys in SHIFTS.items():
         src_file = f"{src}/{table}.parquet"
         dst_file = f"{dst}/{table}.parquet"
+        if os.path.exists(dst_file) and os.path.getsize(dst_file) > 0:
+            print(f"{table}: kept existing {dst_file}")
+            continue
         if not keys:  # fixed-domain dimension: copy through
             con.execute(
                 f"COPY (SELECT * FROM read_parquet('{src_file}')) TO '{dst_file}' (FORMAT PARQUET)")
