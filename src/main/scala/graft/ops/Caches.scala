@@ -50,6 +50,30 @@ object Caches {
     else StorageLevel.MEMORY_AND_DISK
   }
 
+  /** Per-executor (heapBytes, cores) share that decides the level.
+    *
+    * On a real cluster the caches live in EXECUTOR heaps, so the share
+    * must come from `spark.executor.memory` / `spark.executor.cores`
+    * when set — driver `Runtime.maxMemory` over cluster-wide
+    * `defaultParallelism` would wildly underestimate it and push every
+    * memo to DISK_ONLY regardless of provisioning. In local mode (no
+    * executor confs) the driver heap IS the executor heap and
+    * defaultParallelism the thread count, so the fallback is exact. */
+  private[ops] def executorShare(spark: SparkSession): (Long, Int) = {
+    val conf = spark.sparkContext.getConf
+    val heap = conf.getOption("spark.executor.memory")
+      .flatMap(s => scala.util.Try(
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)).toOption)
+    val cores = conf.getOption("spark.executor.cores")
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+    (heap, cores) match {
+      case (Some(h), Some(c)) => (h, c)
+      case (Some(h), None)    => (h, spark.sparkContext.defaultParallelism)
+      case _ =>
+        (Runtime.getRuntime.maxMemory, spark.sparkContext.defaultParallelism)
+    }
+  }
+
   /** The storage level every session-lifetime memo/serving cache in
     * the library uses. */
   def memoLevel(spark: SparkSession): StorageLevel =
@@ -58,7 +82,7 @@ object Caches {
       case Some("disk")   => StorageLevel.DISK_ONLY
       case Some("memory") => StorageLevel.MEMORY_AND_DISK
       case _ =>
-        memoLevelFor(Runtime.getRuntime.maxMemory,
-          spark.sparkContext.defaultParallelism)
+        val (heap, cores) = executorShare(spark)
+        memoLevelFor(heap, cores)
     }
 }

@@ -24,23 +24,28 @@ import pandas as pd
 REF = "/root/reference/padua"
 
 
+# the only module-top imports the reference has that aren't installed
+# here (utils.py). Stub exactly these, up front, so (a) exec_module runs
+# ONCE (no retry loop re-running module-level side effects), and (b) no
+# open-ended stub can shadow a real optional import elsewhere in the
+# process.
+STUB_MODULES = ("scipy", "scipy.interpolate", "requests")
+
+
 def load(name):
     spec = importlib.util.spec_from_file_location(name, f"{REF}/{name}.py")
     mod = importlib.util.module_from_spec(spec)
-    # utils.py imports scipy/requests at module top; stub whatever is
-    # missing (the helpers under parity test don't touch those deps)
     import types
-    while True:
-        try:
-            spec.loader.exec_module(mod)
-            return mod
-        except ModuleNotFoundError as e:
-            missing = e.name
-            stub = types.ModuleType(missing)
-            sys.modules[missing] = stub
-            parent = missing.rsplit(".", 1)
-            if len(parent) == 2 and parent[0] in sys.modules:
-                setattr(sys.modules[parent[0]], parent[1], stub)
+    for missing in STUB_MODULES:
+        if missing in sys.modules:
+            continue
+        stub = types.ModuleType(missing)
+        sys.modules[missing] = stub
+        parent = missing.rsplit(".", 1)
+        if len(parent) == 2 and parent[0] in sys.modules:
+            setattr(sys.modules[parent[0]], parent[1], stub)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def bench(fixture):

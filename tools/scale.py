@@ -147,6 +147,21 @@ def scale_embeddings_neardup(src_file: str, dst_file: str, copies: int) -> int:
     return pq.read_metadata(dst_file).num_rows
 
 
+def valid_parquet(path: str) -> bool:
+    """A killed COPY leaves a non-empty file with no footer (parquet
+    footers are written last) — existence/size checks would 'keep' the
+    corrupt file forever. Only a readable footer counts as done."""
+    import os
+    import pyarrow.parquet as pq
+    if not os.path.exists(path):
+        return False
+    try:
+        pq.read_metadata(path)
+        return True
+    except Exception:
+        return False
+
+
 def main() -> None:
     src, dst, copies = sys.argv[1], sys.argv[2], int(sys.argv[3])
     neardup = "--neardup" in sys.argv[4:]
@@ -164,19 +179,27 @@ def main() -> None:
     for table, keys in SHIFTS.items():
         src_file = f"{src}/{table}.parquet"
         dst_file = f"{dst}/{table}.parquet"
-        if os.path.exists(dst_file) and os.path.getsize(dst_file) > 0:
+        if valid_parquet(dst_file):
             print(f"{table}: kept existing {dst_file}")
             continue
+        # all writers target a temp name and rename on success, so a
+        # killed run never leaves a footerless file under the final name
+        tmp_file = f"{dst_file}.tmp"
+        if os.path.exists(tmp_file):
+            os.remove(tmp_file)
         if not keys:  # fixed-domain dimension: copy through
             con.execute(
-                f"COPY (SELECT * FROM read_parquet('{src_file}')) TO '{dst_file}' (FORMAT PARQUET)")
+                f"COPY (SELECT * FROM read_parquet('{src_file}')) TO '{tmp_file}' (FORMAT PARQUET)")
+            os.replace(tmp_file, dst_file)
             continue
         if neardup and table == "documents":
-            n = scale_documents_neardup(src_file, dst_file, copies)
+            n = scale_documents_neardup(src_file, tmp_file, copies)
+            os.replace(tmp_file, dst_file)
             print(f"{table}: {n} rows (neardup mutation)")
             continue
         if neardup and table == "embeddings":
-            n = scale_embeddings_neardup(src_file, dst_file, copies)
+            n = scale_embeddings_neardup(src_file, tmp_file, copies)
+            os.replace(tmp_file, dst_file)
             print(f"{table}: {n} rows (neardup jitter)")
             continue
         if table == "events":
@@ -199,19 +222,24 @@ def main() -> None:
                         tt = tt.set_column(tt.column_names.index(k), k,
                                            pc.add(tt.column(k), off))
                 chunks.append(tt)
-            pq.write_table(pa.concat_tables(chunks), dst_file)
+            pq.write_table(pa.concat_tables(chunks), tmp_file)
+            os.replace(tmp_file, dst_file)
             n = pq.read_metadata(dst_file).num_rows
             print(f"{table}: {n} rows (pyarrow, source ts type preserved)")
             continue
         # one cross-join against the copy-index series instead of a
         # copies-way UNION ALL (which trips DuckDB's expression-depth
-        # limit at copies=1000 for the sf100 decade fixture)
+        # limit at copies=1000 for the sf100 decade fixture). The
+        # qualified star keeps _copy.i out of the output schema (a bare
+        # SELECT * expands over BOTH relations and leaks the copy index
+        # as an extra BIGINT column into the fixture).
         repl = ", ".join(
-            f"{k} + _copy.i * {DOMAIN_OFF[k]} AS {k}" for k in keys)
+            f"src.{k} + _copy.i * {DOMAIN_OFF[k]} AS {k}" for k in keys)
         con.execute(
-            f"COPY (SELECT * REPLACE ({repl}) FROM read_parquet('{src_file}'), "
+            f"COPY (SELECT src.* REPLACE ({repl}) FROM read_parquet('{src_file}') src, "
             f"(SELECT UNNEST(generate_series(0, {copies - 1})) AS i) _copy) "
-            f"TO '{dst_file}' (FORMAT PARQUET)")
+            f"TO '{tmp_file}' (FORMAT PARQUET)")
+        os.replace(tmp_file, dst_file)
         n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{dst_file}')").fetchone()[0]
         print(f"{table}: {n} rows")
 
