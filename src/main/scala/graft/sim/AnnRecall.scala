@@ -12,17 +12,25 @@ import org.apache.spark.sql.functions._
   * against cosine would conflate quantization loss with metric
   * mismatch on unnormalized vectors).
   *
-  * Scale shape (round-12 rewrite): ALL query vectors evaluate in ONE
-  * plan per method. The query matrix is driver-side literals (an eval
-  * set is tiny next to the corpus); each corpus row explodes into its
-  * per-query (qid, score) entries — candidate-gated, so non-candidate
-  * scores are never computed — and a mergeable bounded top-k aggregate
+  * Scale shape (round-12 rewrite): ALL query vectors evaluate batched.
+  * The query matrix is driver-side literals (an eval set is tiny next
+  * to the corpus); each corpus row explodes into its per-query
+  * (qid, score) entries — candidate-gated, so non-candidate scores are
+  * never computed — and a mergeable bounded top-k aggregate
   * ([[graft.functions.SketchFunctions.topKByPriority]]: ≤k entries per
   * map task, priority DESC / id ASC exactly matching the single-query
-  * orderBy(score, id)) replaces any per-query job. Six scans total,
-  * independent of the eval-set size — the previous shape ran ~6 jobs
-  * PER query vector, serialized on the driver (62 s at sf10 for 1
-  * query; hours at a 10k-query eval set).
+  * orderBy(score, id)) replaces any per-query job. The previous shape
+  * ran ~6 jobs PER query vector, serialized on the driver (62 s at
+  * sf10 for 1 query; hours at a 10k-query eval set).
+  *
+  * The per-row entry array is CHUNKED at [[DefaultChunkSize]] queries
+  * per pass (round 13): one projection of 10k struct literals would
+  * blow Janino's 64KB-per-method codegen limit long before the driver
+  * or the cluster noticed, and the ungated truth scans would explode
+  * nq entries per corpus row. Chunks have disjoint qids, so the merged
+  * result is literally the union of per-chunk maps — bit-identical to
+  * the unchunked plan (spec-asserted). Cost: ceil(nq/chunk) scans per
+  * method instead of one; still zero driver-side per-query work.
   *
   * TextSimSpec asserts per-config floors at the default knobs;
   * `graft.RecallAudit` prints the matrix for any SF dir (recorded in
@@ -34,6 +42,17 @@ object AnnRecall {
       numPlanes: Int = 8, numTables: Int = 4,
       nCells: Int = 16, nProbe: Int = 4,
       m: Int = 8, codebookK: Int = 16)
+
+  /** Queries per batched pass. 256 structs × ~4 fields is ~1-2 KB of
+    * generated code per entry — comfortably inside Janino's 64 KB
+    * method ceiling with headroom for the score expressions.
+    * `-Dgraft.ann.recallChunk=N` overrides (tests force tiny chunks to
+    * assert chunking is invisible in the results). */
+  val DefaultChunkSize = 256
+
+  private def chunkSize: Int = sys.props.get("graft.ann.recallChunk")
+    .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0)
+    .getOrElse(DefaultChunkSize)
 
   /** Exact L2 top-k (the PQ-family baseline): ‖v‖² − 2·v·q + ‖q‖²
     * with the same fold discipline as assignCells. */
@@ -71,28 +90,30 @@ object AnnRecall {
     val encodedIvf = Pq.encode(assigned, vecCol, pqModel)
       .persist(graft.ops.Caches.memoLevel(emb.sparkSession))
 
-    // One job: explode each row into its candidate (qid, priority)
-    // entries (score gated behind the candidacy predicate via when, so
-    // pruned methods never compute pruned scores), bounded top-k per
-    // qid, collect the tiny (nq × k) id sets. `pri` must be DESC-is-
-    // better; ascending metrics pass the negated score.
+    // One job per ≤chunkSize queries: explode each row into its
+    // candidate (qid, priority) entries (score gated behind the
+    // candidacy predicate via when, so pruned methods never compute
+    // pruned scores), bounded top-k per qid, collect the tiny (nq × k)
+    // id sets. `pri` must be DESC-is-better; ascending metrics pass
+    // the negated score. Chunk qids are disjoint → merging is union.
     def topIdsPerQuery(
         base: DataFrame,
-        entry: (Long, Array[Double]) => (Column, Column)): Map[Long, Set[Long]] = {
-      val arr = array(queries.map { case (qid, q) =>
-        val (inc, pri) = entry(qid, q)
-        struct(lit(qid).as("qid"), inc.as("inc"), when(inc, pri).as("pri"))
-      }: _*)
-      base
-        .select(col(idCol).cast("long").as("_id"), explode(arr).as("e"))
-        .filter(col("e.inc"))
-        .groupBy(col("e.qid").as("qid"))
-        .agg(graft.functions.SketchFunctions.topKByPriority(
-          col("e.pri"), col("_id"), col("e.pri"), k).as("_top"))
-        .select(col("qid"), col("_top.id").as("ids"))
-        .collect()
-        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
-    }
+        entry: (Long, Array[Double]) => (Column, Column)): Map[Long, Set[Long]] =
+      queries.grouped(chunkSize).foldLeft(Map.empty[Long, Set[Long]]) { (acc, chunk) =>
+        val arr = array(chunk.map { case (qid, q) =>
+          val (inc, pri) = entry(qid, q)
+          struct(lit(qid).as("qid"), inc.as("inc"), when(inc, pri).as("pri"))
+        }: _*)
+        acc ++ base
+          .select(col(idCol).cast("long").as("_id"), explode(arr).as("e"))
+          .filter(col("e.inc"))
+          .groupBy(col("e.qid").as("qid"))
+          .agg(graft.functions.SketchFunctions.topKByPriority(
+            col("e.pri"), col("_id"), col("e.pri"), k).as("_top"))
+          .select(col("qid"), col("_top.id").as("ids"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      }
 
     val v = col(vecCol)
     def qLit(q: Array[Double]): Column = array(q.toIndexedSeq.map(lit): _*)

@@ -31,6 +31,27 @@ class AnnRecallSpec extends SparkSpec {
 
   private val queryIds = Seq(0L, 30L, 111L, 260L, 420L)
 
+  // 200 clusters of 25 (5000 vectors) — ten times the headline fixture
+  private lazy val clustered10x = {
+    val rows = for (j <- 0 until 200; i <- 0 until 25) yield {
+      val center = Array.tabulate(dim)(d => math.sin(j * 2.3 + d * 0.91) * 2.0)
+      val v = center.zipWithIndex.map { case (c, d) =>
+        (c + 0.05 * math.cos(i * 1.7 + d * 0.37 + j)).toFloat
+      }
+      (j * 25L + i, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def withChunk[A](n: Int)(body: => A): A = {
+    val prev = sys.props.get("graft.ann.recallChunk")
+    sys.props("graft.ann.recallChunk") = n.toString
+    try body finally prev match {
+      case Some(v) => sys.props("graft.ann.recallChunk") = v
+      case None    => sys.props -= "graft.ann.recallChunk"
+    }
+  }
+
   test("clustered regime: every ANN method recalls most of the exact top-k at defaults") {
     val r = AnnRecall.measure(clustered, "vec_id", "embedding", dim,
       queryIds, k = 20, AnnConfig())
@@ -54,23 +75,13 @@ class AnnRecallSpec extends SparkSpec {
   }
 
   test("clustered floors are corpus-size-independent: 10x the corpus, same defaults, same floors") {
-    // 200 clusters of 25 (5000 vectors) — ten times the headline
-    // fixture, UNCHANGED index config. A tight cluster still lands in
-    // one IVF cell / shares LSH buckets regardless of how many other
-    // clusters exist, so the defaults floors must not decay with
-    // corpus growth (the 100 TB claim in miniature). Only the
-    // quantizers' codebook error is corpus-sensitive, hence their
-    // lower floors stay as-is.
-    val big = {
-      val rows = for (j <- 0 until 200; i <- 0 until 25) yield {
-        val center = Array.tabulate(dim)(d => math.sin(j * 2.3 + d * 0.91) * 2.0)
-        val v = center.zipWithIndex.map { case (c, d) =>
-          (c + 0.05 * math.cos(i * 1.7 + d * 0.37 + j)).toFloat
-        }
-        (j * 25L + i, v)
-      }
-      rows.toDF("vec_id", "embedding")
-    }
+    // ten times the headline fixture, UNCHANGED index config. A tight
+    // cluster still lands in one IVF cell / shares LSH buckets
+    // regardless of how many other clusters exist, so the defaults
+    // floors must not decay with corpus growth (the 100 TB claim in
+    // miniature). Only the quantizers' codebook error is
+    // corpus-sensitive, hence their lower floors stay as-is.
+    val big = clustered10x
     // same query POSITIONS (cluster 0 head, mid-cluster members) plus
     // deep-corpus members only the 10x fixture has
     val qids = Seq(0L, 30L, 111L, 2600L, 4920L)
@@ -86,6 +97,32 @@ class AnnRecallSpec extends SparkSpec {
       qids, k = 20, AnnConfig(codebookK = 128))
     assert(rk("pq") >= 0.70, s"pq recall ${rk("pq")} at codebookK=128")
     assert(rk("ivfpq") >= 0.60, s"ivfpq recall ${rk("ivfpq")} at codebookK=128")
+  }
+
+  test("chunking is invisible: forced 2-query chunks reproduce the one-chunk recalls exactly") {
+    // 5 queries in one chunk vs three chunks of ≤2: the per-chunk qids
+    // are disjoint and each chunk runs the identical expression tree,
+    // so every method's recall must be bit-equal, not just close
+    val one = AnnRecall.measure(clustered, "vec_id", "embedding", dim,
+      queryIds, k = 20, AnnConfig())
+    val tiny = withChunk(2) {
+      AnnRecall.measure(clustered, "vec_id", "embedding", dim,
+        queryIds, k = 20, AnnConfig())
+    }
+    assert(tiny == one, s"chunked $tiny != unchunked $one")
+  }
+
+  test("a 1000-query eval set completes through the chunked path with clustered-regime recall") {
+    // 1000 struct literals in ONE projection would trip Janino's 64KB
+    // method limit (the round-12 caveat); the 256-query chunking keeps
+    // each generated method bounded while the recall semantics match
+    // the headline tests. One query per 5 ids spans all 200 clusters.
+    val qids = (0 until 1000).map(i => (i * 5).toLong)
+    val r = AnnRecall.measure(clustered10x, "vec_id", "embedding", dim,
+      qids, k = 10, AnnConfig())
+    assert(r.keySet == Set("lsh", "ivf", "pq", "ivfpq"))
+    assert(r("lsh") >= 0.90, s"lsh recall ${r("lsh")}")
+    assert(r("ivf") >= 0.90, s"ivf recall ${r("ivf")}")
   }
 
   test("uniform regime sanity: IVF beats the random-probing baseline") {
