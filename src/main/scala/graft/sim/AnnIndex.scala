@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The ANN SERVING layout: index structures (IVF cells, LSH buckets)
@@ -713,5 +713,132 @@ object AnnIndex {
         Similarity.cosine(col(vecCol), qCol).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
+  }
+
+  // ---- BATCHED multi-query serving (round 13): the recall harness's
+  //      one-plan shape applied to the serving layout. A request batch
+  //      of nq queries probes the UNION of its cells/buckets in one
+  //      partition-pruned scan; each scanned row explodes into its
+  //      candidate (qid, score) entries — candidacy gated per query, so
+  //      a row never pays a score for a query that didn't probe its
+  //      partition — and a mergeable bounded top-k per qid
+  //      (TopKPriorityAgg, priority DESC / id ASC == the single-query
+  //      orderBy) replaces nq separate jobs. Entry arrays chunk at
+  //      [[AnnRecall.DefaultChunkSize]] per pass (Janino method-size
+  //      bound); chunk qids are disjoint so the union of chunk outputs
+  //      is the batch answer. Scores are the single-query expression
+  //      trees verbatim — per-query results are row-identical to the
+  //      single-query serve (spec-asserted), except that a null score
+  //      (zero-norm vector) never enters a batch top-k while the
+  //      single-query LIMIT could admit one when candidates < k. ----
+
+  /** Shared explode → gated score → per-qid bounded top-k kernel.
+    * Output: one row per (qid, rank): (qid, id, score) with k rows per
+    * qid in rank order; `idCol` is cast to long (the agg's id slot). */
+  private def batchTopK(
+      base: DataFrame, idCol: String,
+      entries: Seq[(Int, Column, Column)], k: Int): DataFrame = {
+    val arr = array(entries.map { case (qid, inc, pri) =>
+      struct(lit(qid).as("qid"), inc.as("inc"), when(inc, pri).as("pri"))
+    }: _*)
+    base
+      .select(col(idCol).cast("long").as("_id"), explode(arr).as("e"))
+      .filter(col("e.inc"))
+      .groupBy(col("e.qid").as("qid"))
+      .agg(graft.functions.SketchFunctions.topKByPriority(
+        col("e.pri"), col("_id"), col("e.pri"), k).as("_top"))
+      .select(col("qid"), posexplode(col("_top")).as(Seq("_rank", "_e")))
+      .select(col("qid"), col("_e.id").as(idCol), col("_e.pri").as("cosine"),
+        col("_rank").as("rank"))
+  }
+
+  /** Batched [[ivfTopKIndexed]]: one partition-pruned scan of the
+    * UNION of the batch's probe cells answers every query. Returns
+    * (qid, idCol, cosine, rank) — per qid, the same k rows in the same
+    * order as the single-query path. */
+  def ivfTopKIndexedBatch(
+      indexed: DataFrame, centroids: Array[Array[Double]],
+      idCol: String, vecCol: String,
+      queries: Seq[Array[Double]], k: Int, nProbe: Int): DataFrame = {
+    require(queries.nonEmpty, "empty query batch")
+    val v = col(vecCol)
+    queries.zipWithIndex.grouped(AnnRecall.chunkSize).map { chunk =>
+      val probesByQ = chunk.map { case (q, qid) =>
+        (qid, q, Similarity.probeCells(centroids, q, nProbe)) }
+      val entries = probesByQ.map { case (qid, q, probes) =>
+        val qCol = array(q.toIndexedSeq.map(lit): _*)
+        val qNorm = math.sqrt(q.foldLeft(0.0)((acc, x) => acc + x * x))
+        (qid, col("_cell").isin(probes.toIndexedSeq: _*),
+          // ivfTopK's scoring tree verbatim — bit-identical ordering
+          try_divide(Similarity.dot(v, qCol), Similarity.norm(v) * lit(qNorm)))
+      }
+      // the per-query candidacy sits inside the exploded entry struct,
+      // invisible to partition pruning — this plain column predicate on
+      // the chunk's probe UNION is what reaches the scan as a
+      // PartitionFilter (and bounds the explode input)
+      val chunkCells = probesByQ.flatMap(_._3).distinct
+      batchTopK(
+        indexed.filter(col("_cell").isin(chunkCells: _*)), idCol, entries, k)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Batched [[lshTopKIndexed]]: the batch's (table, bucket) union in
+    * one pruned scan. A row matching a query in several tables yields
+    * identical (pri, id) entries — the top-k agg's TreeSet dedups them,
+    * mirroring the single-query dropDuplicates. */
+  def lshTopKIndexedBatch(
+      indexed: DataFrame, idCol: String, vecCol: String,
+      queries: Seq[Array[Double]], k: Int,
+      numPlanes: Int = 8, numTables: Int = 4): DataFrame = {
+    require(queries.nonEmpty, "empty query batch")
+    val v = col(vecCol)
+    queries.zipWithIndex.grouped(AnnRecall.chunkSize).map { chunk =>
+      val entries = chunk.map { case (q, qid) =>
+        val inc = (0 until numTables).map { t =>
+          col("_t") === lit(t) &&
+            col("_b") === lit(Similarity.queryBucket(t, q, numPlanes))
+        }.reduce(_ || _)
+        val qCol = array(q.toIndexedSeq.map(lit): _*)
+        (qid, inc, Similarity.cosine(v, qCol))
+      }
+      // chunk-union (table, bucket) predicate: a plain partition-column
+      // filter the scan can prune on (the per-query gate can't)
+      val chunkPred = chunk.flatMap { case (q, _) =>
+        (0 until numTables).map(t => (t, Similarity.queryBucket(t, q, numPlanes)))
+      }.distinct.map { case (t, b) =>
+        col("_t") === lit(t) && col("_b") === lit(b)
+      }.reduce(_ || _)
+      batchTopK(indexed.filter(chunkPred), idCol, entries, k)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Batched [[ivfTopKServe]]: resolve the manifest ONCE, open the
+    * union of every query's probed cell dirs, answer the whole batch
+    * from that one read. */
+  def ivfTopKServeBatch(
+      spark: SparkSession, path: String, centroids: Array[Array[Double]],
+      idCol: String, vecCol: String,
+      queries: Seq[Array[Double]], k: Int, nProbe: Int): DataFrame = {
+    val dirs = queries
+      .flatMap(q => Similarity.probeCells(centroids, q, nProbe))
+      .distinct.map(c => s"_cell=$c")
+    val base = readPartitions(spark, path, dirs)
+      .getOrElse(readIvfIndexed(spark, path).limit(0))
+    ivfTopKIndexedBatch(base, centroids, idCol, vecCol, queries, k, nProbe)
+  }
+
+  /** Batched [[lshTopKServe]]: one manifest resolve + one read of the
+    * batch's (table, bucket) dir union. */
+  def lshTopKServeBatch(
+      spark: SparkSession, path: String, idCol: String, vecCol: String,
+      queries: Seq[Array[Double]], k: Int,
+      numPlanes: Int = 8, numTables: Int = 4): DataFrame = {
+    val dirs = queries.flatMap { q =>
+      (0 until numTables).map(t =>
+        s"_t=$t/_b=${Similarity.queryBucket(t, q, numPlanes)}")
+    }.distinct
+    val base = readPartitions(spark, path, dirs)
+      .getOrElse(readLshIndexed(spark, path).limit(0))
+    lshTopKIndexedBatch(base, idCol, vecCol, queries, k, numPlanes, numTables)
   }
 }

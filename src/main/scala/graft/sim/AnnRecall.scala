@@ -50,7 +50,7 @@ object AnnRecall {
     * assert chunking is invisible in the results). */
   val DefaultChunkSize = 256
 
-  private def chunkSize: Int = sys.props.get("graft.ann.recallChunk")
+  private[sim] def chunkSize: Int = sys.props.get("graft.ann.recallChunk")
     .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0)
     .getOrElse(DefaultChunkSize)
 

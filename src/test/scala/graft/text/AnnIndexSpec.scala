@@ -491,4 +491,64 @@ class AnnIndexSpec extends SparkSpec {
     assert(out.length == 20, s"got ${out.length} rows")
     assert(out.map(_.getLong(0)).distinct.length == 20)
   }
+
+  test("batched serving: one scan answers the whole batch row-identically to per-query serves") {
+    val emb = vecs(300, 8)
+    val queries = Seq(0L, 17L, 123L, 250L).map { i =>
+      emb.filter($"vec_id" === i)
+        .select(transform($"embedding", _.cast("double")).as("q"))
+        .head().getSeq[Double](0).toArray
+    }
+    // IVF: batch vs single, per query, rows AND rank order
+    val (assigned, cents) = Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 8)
+    val ivfDir = java.nio.file.Files.createTempDirectory("annivfb").toString + "/idx"
+    AnnIndex.writeIvfIndexed(assigned, ivfDir)
+    val ivfBatch = AnnIndex.ivfTopKServeBatch(spark, ivfDir, cents,
+      "vec_id", "embedding", queries, k = 10, nProbe = 3)
+      .collect().groupBy(_.getInt(0))
+    queries.zipWithIndex.foreach { case (q, qid) =>
+      val single = AnnIndex.ivfTopKServe(spark, ivfDir, cents, "vec_id", "embedding",
+        q, k = 10, nProbe = 3).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val batch = ivfBatch(qid).sortBy(_.getInt(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(batch == single, s"ivf qid=$qid: $batch != $single")
+    }
+    // LSH likewise
+    val lshDir = java.nio.file.Files.createTempDirectory("annlshb").toString + "/idx"
+    AnnIndex.writeLshIndexed(emb, "vec_id", "embedding", lshDir,
+      dim = 8, numPlanes = 4, numTables = 2)
+    val lshBatch = AnnIndex.lshTopKServeBatch(spark, lshDir,
+      "vec_id", "embedding", queries, k = 10, numPlanes = 4, numTables = 2)
+      .collect().groupBy(_.getInt(0))
+    queries.zipWithIndex.foreach { case (q, qid) =>
+      val single = AnnIndex.lshTopKServe(spark, lshDir, "vec_id", "embedding",
+        q, k = 10, numPlanes = 4, numTables = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val batch = lshBatch.getOrElse(qid, Array.empty).sortBy(_.getInt(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(batch == single, s"lsh qid=$qid: $batch != $single")
+    }
+    // the non-serve batched form still prunes: the chunk-union probe
+    // predicate reaches the scan as a PartitionFilter
+    val prunedPlan = AnnIndex.ivfTopKIndexedBatch(
+      AnnIndex.readIvfIndexed(spark, ivfDir), cents,
+      "vec_id", "embedding", queries, k = 10, nProbe = 3)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert("PartitionFilters: \\[[^\\]]*_cell[^\\]]*IN".r.findFirstIn(prunedPlan).nonEmpty,
+      prunedPlan)
+    // tiny forced chunks reproduce the one-chunk batch exactly
+    val prev = sys.props.get("graft.ann.recallChunk")
+    sys.props("graft.ann.recallChunk") = "2"
+    try {
+      val chunked = AnnIndex.ivfTopKServeBatch(spark, ivfDir, cents,
+        "vec_id", "embedding", queries, k = 10, nProbe = 3)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val whole = ivfBatch.values.flatten
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(chunked == whole)
+    } finally prev match {
+      case Some(x) => sys.props("graft.ann.recallChunk") = x
+      case None    => sys.props -= "graft.ann.recallChunk"
+    }
+  }
 }
