@@ -22,14 +22,22 @@ object RecallAudit {
     val configs = Seq(
       "defaults" -> AnnConfig(),
       "recall-leaning" -> AnnConfig(numPlanes = 6, numTables = 6, nProbe = 8),
-      "speed-leaning" -> AnnConfig(numPlanes = 10, numTables = 2, nProbe = 2))
-    for ((label, cfg) <- configs) {
+      "speed-leaning" -> AnnConfig(numPlanes = 10, numTables = 2, nProbe = 2),
+      // the PQ production remedy (round-12 verdict item 2): the
+      // faiss-standard k=256 codebooks, fit on 64 samples/centroid —
+      // tiny k=16 codebooks are an oracle constraint, not a default
+      "production-pq" ->
+        AnnConfig(codebookK = 256, pqSampleN = 16384, pqIters = 10),
+      "production-pq-m16" ->
+        AnnConfig(m = 16, codebookK = 256, pqSampleN = 16384, pqIters = 10))
+    val selected = args.drop(1) // optional config-label filter
+    for ((label, cfg) <- configs if selected.isEmpty || selected.contains(label)) {
       val r = graft.sim.AnnRecall.measure(
         emb, "vec_id", "embedding", dim = 64, queryIds, k = 20, cfg)
       val js = r.toSeq.sortBy(_._1)
         .map { case (m, v) => s""""$m":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }
         .mkString(",")
-      println(s"""{"config":"$label","planes":${cfg.numPlanes},"tables":${cfg.numTables},"nProbe":${cfg.nProbe},"k":20,$js,"sf":"$sfDir"}""")
+      println(s"""{"config":"$label","planes":${cfg.numPlanes},"tables":${cfg.numTables},"nProbe":${cfg.nProbe},"m":${cfg.m},"codebookK":${cfg.codebookK},"k":20,$js,"sf":"$sfDir"}""")
     }
     spark.stop()
   }

@@ -38,10 +38,14 @@ import org.apache.spark.sql.functions._
   */
 object AnnRecall {
 
+  /** pqSampleN/pqIters size the codebook FIT (Pq.fit's bounded
+    * sample + Lloyd sweeps): production codebooks (k=256) need more
+    * training points per centroid than the oracle-tiny defaults. */
   final case class AnnConfig(
       numPlanes: Int = 8, numTables: Int = 4,
       nCells: Int = 16, nProbe: Int = 4,
-      m: Int = 8, codebookK: Int = 16)
+      m: Int = 8, codebookK: Int = 16,
+      pqSampleN: Int = 4096, pqIters: Int = 5)
 
   /** Queries per batched pass. 256 structs × ~4 fields is ~1-2 KB of
     * generated code per entry — comfortably inside Janino's 64 KB
@@ -84,10 +88,14 @@ object AnnRecall {
     require(queries.nonEmpty, "no query vectors found")
     val (assigned0, cents) = Similarity.ivfIndex(emb, idCol, vecCol, cfg.nCells)
     val assigned = assigned0.persist(graft.ops.Caches.memoLevel(emb.sparkSession))
-    val pqModel = Pq.fit(emb, vecCol, dim, cfg.m, cfg.codebookK)
-    val encoded = Pq.encode(emb, vecCol, pqModel)
+    val pqModel = Pq.fit(emb, vecCol, dim, cfg.m, cfg.codebookK,
+      maxIter = cfg.pqIters, sampleN = cfg.pqSampleN)
+    // native encode: bit-identical to Pq.encode (PqSpec), and the only
+    // viable shape at production codebooks — k=256 as per-centroid
+    // expression subtrees would not codegen
+    val encoded = Pq.encodeNative(emb, vecCol, pqModel)
       .persist(graft.ops.Caches.memoLevel(emb.sparkSession))
-    val encodedIvf = Pq.encode(assigned, vecCol, pqModel)
+    val encodedIvf = Pq.encodeNative(assigned, vecCol, pqModel)
       .persist(graft.ops.Caches.memoLevel(emb.sparkSession))
 
     // One job per ≤chunkSize queries: explode each row into its
@@ -126,13 +134,10 @@ object AnnRecall {
     def l2Of(q: Array[Double]): Column =
       col("_vv") - lit(2.0) * Similarity.dot(v, qLit(q)) +
         lit(q.foldLeft(0.0)((a, x) => a + x * x))
-    def adcOf(q: Array[Double]): Column = {
-      val lut = pqModel.adcLut(q)
-      (0 until pqModel.m).map { j =>
-        val lutLit = array(lut(j).toIndexedSeq.map(lit): _*)
-        element_at(lutLit, col("pq_code").getItem(j) + 1)
-      }.reduce(_ + _)
-    }
+    def adcOf(q: Array[Double]): Column =
+      // native LUT kernel — same fold as the element_at chain, one
+      // reference object per query instead of m·k literals per entry
+      graft.functions.PqExpressions.pqAdc(col("pq_code"), pqModel.adcLut(q))
     val withNorm = emb.withColumn("_vnorm", Similarity.norm(v))
     val withVv = emb.withColumn("_vv", Similarity.dot(v, v))
 

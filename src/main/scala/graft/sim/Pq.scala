@@ -178,4 +178,42 @@ object Pq {
       .orderBy(col(distCol).asc, col(idCol).asc)
       .limit(k)
   }
+
+  // ---- PRODUCTION path (round 13). The SQL-replayable forms above
+  //      keep the oracle contract at tiny codebooks (k=16); production
+  //      codebooks are the faiss-standard k=256 (and m up to d/4),
+  //      where per-centroid expression subtrees stop being a
+  //      reasonable plan. These twins carry codebooks/LUTs as flat
+  //      reference objects inside ONE codegen'd expression
+  //      (graft.functions.PqExpressions) with BIT-IDENTICAL arithmetic
+  //      — PqSpec asserts encode/ADC equality against the SQL forms
+  //      across codebook sizes, so either path feeds either scorer. ----
+
+  /** [[encode]] with the codegen'd kernel — the default for
+    * production codebook sizes. */
+  def encodeNative(
+      embeddings: DataFrame, vecCol: String, model: PqModel,
+      codeCol: String = "pq_code"): DataFrame =
+    embeddings.withColumn(codeCol,
+      graft.functions.PqExpressions.pqEncode(col(vecCol), model.codebooks))
+
+  /** [[adcTopK]] with the codegen'd LUT kernel. */
+  def adcTopKNative(
+      encoded: DataFrame, idCol: String, model: PqModel,
+      query: Array[Double], k: Int,
+      codeCol: String = "pq_code", distCol: String = "adc_dist"): DataFrame =
+    encoded.select(col(idCol),
+        graft.functions.PqExpressions.pqAdc(col(codeCol), model.adcLut(query)).as(distCol))
+      .orderBy(col(distCol).asc, col(idCol).asc)
+      .limit(k)
+
+  /** [[ivfPqTopK]] with the codegen'd LUT kernel. */
+  def ivfPqTopKNative(
+      encodedAssigned: DataFrame, idCol: String, model: PqModel,
+      query: Array[Double], probes: Array[Int], k: Int,
+      cellCol: String = "_cell", codeCol: String = "pq_code",
+      distCol: String = "adc_dist"): DataFrame =
+    adcTopKNative(
+      encodedAssigned.filter(col(cellCol).isin(probes.map(Int.box).toIndexedSeq: _*)),
+      idCol, model, query, k, codeCol, distCol)
 }

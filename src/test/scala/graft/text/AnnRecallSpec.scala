@@ -99,6 +99,19 @@ class AnnRecallSpec extends SparkSpec {
     assert(rk("ivfpq") >= 0.60, s"ivfpq recall ${rk("ivfpq")} at codebookK=128")
   }
 
+  test("production PQ knobs (k=256) hold the quantizer floors on the 10x corpus where k=16 decays") {
+    // the round-12 verdict's PQ-fidelity item: tiny codebooks are an
+    // ORACLE constraint, not a production default. At 200 cluster
+    // modes, k=16 measures ~0.47 pq recall; the production config
+    // (faiss-standard k=256, fit on 64 samples/centroid) must restore
+    // the 1x floors — the spec-scale twin of the sf10 audit row.
+    val qids = Seq(0L, 30L, 111L, 2600L, 4920L)
+    val r = AnnRecall.measure(clustered10x, "vec_id", "embedding", dim,
+      qids, k = 20, AnnConfig(codebookK = 256, pqSampleN = 5000, pqIters = 8))
+    assert(r("pq") >= 0.70, s"pq recall ${r("pq")} at production knobs")
+    assert(r("ivfpq") >= 0.60, s"ivfpq recall ${r("ivfpq")} at production knobs")
+  }
+
   test("chunking is invisible: forced 2-query chunks reproduce the one-chunk recalls exactly") {
     // 5 queries in one chunk vs three chunks of ≤2: the per-chunk qids
     // are disjoint and each chunk runs the identical expression tree,

@@ -175,6 +175,42 @@ class TextSimSpec extends SparkSpec {
     assert(cellOf.count { case (_, c) => probes.contains(c) } == top.size)
   }
 
+  test("native PQ kernels are bit-identical to the SQL-replayable forms, incl. k=256 codebooks") {
+    import graft.sim.Pq
+    val dim = 16
+    val df = (0L until 400L).map { i =>
+      (i, Array.tabulate(dim)(j => (math.sin(i * 1.9 + j * 0.7) * 2.0).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = Array.tabulate(dim)(j => math.cos(j * 0.31) * 1.5)
+    // tiny (oracle-class) codebooks: both paths must agree exactly
+    val tiny = Pq.fit(df, "embedding", dim, m = 4, k = 8, seed = 7L)
+    val sqlCodes = Pq.encode(df, "embedding", tiny)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    val natCodes = Pq.encodeNative(df, "embedding", tiny)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    assert(natCodes == sqlCodes)
+    val sqlAdc = Pq.adcTopK(Pq.encode(df, "embedding", tiny), "vec_id", tiny, q, k = 400)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val natAdc = Pq.adcTopKNative(Pq.encodeNative(df, "embedding", tiny), "vec_id", tiny, q, k = 400)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(natAdc == sqlAdc) // same rows, same order, same double bits
+    // production codebooks (k=256, the faiss default): the SQL form
+    // still evaluates at spec scale — the native kernel must match it
+    // bit-for-bit there too (at scale only the native form is viable)
+    val prod = Pq.fit(df, "embedding", dim, m = 4, k = 256, seed = 7L, sampleN = 400)
+    assert(prod.k == 256)
+    val sqlProd = Pq.encode(df, "embedding", prod)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    val natProd = Pq.encodeNative(df, "embedding", prod)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    assert(natProd == sqlProd)
+    val sqlProdAdc = Pq.adcTopK(Pq.encode(df, "embedding", prod), "vec_id", prod, q, k = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val natProdAdc = Pq.adcTopKNative(Pq.encodeNative(df, "embedding", prod), "vec_id", prod, q, k = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(natProdAdc == sqlProdAdc)
+  }
+
   test("bigram LM: hand-computed conditional MLE, OOV penalty, occurrence counting") {
     val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo")).toDF("doc_id", "text")
     // occurrences: doc1 [a b, b a, a b], doc2 [a b, b c] →
