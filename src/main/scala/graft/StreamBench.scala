@@ -75,71 +75,45 @@ object StreamBench {
       .option("path", sinkDir).option("checkpointLocation", ckptDir)
       .outputMode("append").start()
 
-    // Adaptive compaction trigger (graft.streaming.CompactionScheduler):
-    // after each arrival wave, compact iff the elapsed time since the
-    // last compaction reached the period the scheduler derives from its
+    // Adaptive compaction trigger: the PRODUCTION wiring
+    // (graft.streaming.CompactionDriver) — after each arrival wave,
+    // the driver compacts iff the elapsed time since the last
+    // compaction reached the period the scheduler derives from its
     // MEASURED walls (W/P pinned at the utilization target). The tiny
-    // minPeriod + bench target make the trigger fire mid-ingest here so
-    // the cycle demonstrates live; production uses the defaults.
-    val scheduler = new graft.streaming.CompactionScheduler(
-      targetUtilization = 0.5, minPeriodSec = 1.0, maxPeriodSec = 3600.0)
-    val compactions = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
-    var lastCompactNanos = System.nanoTime()
-    def ingestedDocs(): org.apache.spark.sql.DataFrame =
-      spark.read.parquet(sinkDir).select(col("doc_id"), col("text"))
-    // A first micro-batch can legally write ZERO data files (every doc
-    // gated out), in which case schema inference on the sink throws —
-    // probe the directory before reading.
-    def sinkRows(): Long = {
-      val files = Option(new java.io.File(sinkDir).listFiles()).getOrElse(Array.empty)
-      if (files.exists(_.getName.endsWith(".parquet"))) ingestedDocs().count() else 0L
-    }
-    var probeSec = 0.0 // count() probes are bench overhead, not ingest
-    def maybeCompact(): Unit = {
-      val elapsed = (System.nanoTime() - lastCompactNanos) / 1e9
-      val tp = System.nanoTime()
-      val rows = sinkRows()
-      probeSec += (System.nanoTime() - tp) / 1e9
-      if (rows > 0L && scheduler.shouldCompact(elapsed, rows)) {
-        val t = System.nanoTime()
-        graft.pipeline.TrainingData
-          .curateFull(ingestedDocs(), "doc_id", "text", cfg).kept.count(): Unit
-        val wall = (System.nanoTime() - t) / 1e9
-        scheduler.record(rows, wall)
-        compactions += ((rows, wall, scheduler.nextPeriodSec(rows)))
-        lastCompactNanos = System.nanoTime()
-      }
-    }
+    // minPeriod + bench target make the trigger fire mid-ingest here
+    // so the cycle demonstrates live; production uses the defaults.
+    val driver = new graft.streaming.CompactionDriver(
+      spark, sinkDir, "doc_id", "text", cfg,
+      new graft.streaming.CompactionScheduler(
+        targetUtilization = 0.5, minPeriodSec = 1.0, maxPeriodSec = 3600.0))
 
     val t0 = System.nanoTime()
     q.processAllAvailable()
-    maybeCompact()
-    (1 until nSlices).foreach { s => arrive(s); q.processAllAvailable(); maybeCompact() }
+    driver.maybeCompact()
+    (1 until nSlices).foreach { s => arrive(s); q.processAllAvailable(); driver.maybeCompact() }
     // ingest throughput is the STREAM's number: compaction walls and
-    // the scheduler's count() probes spent inside the slice loop are
-    // the batch job's / the bench's cost, not the stream's
+    // the driver's count() probes spent inside the slice loop are the
+    // batch job's / the bench's cost, not the stream's
+    val midIngest = driver.compactions
     val ingestSec = (System.nanoTime() - t0) / 1e9 -
-      compactions.map(_._2).sum - probeSec
+      midIngest.map(_._2).sum - driver.probeSec
     val stateRows = Option(q.lastProgress)
       .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
     q.stop()
 
-    val ingested = ingestedDocs()
-    val nIngested = ingested.count()
-    val t1 = System.nanoTime()
-    val kept = graft.pipeline.TrainingData
-      .curateFull(ingested, "doc_id", "text", cfg).kept.count()
-    val compactionSec = (System.nanoTime() - t1) / 1e9
-    scheduler.record(nIngested, compactionSec)
+    // final full compaction over everything ingested (unconditional)
+    driver.compactNow()
+    val (nIngested, compactionSec, _) = driver.compactions.last
+    val kept = driver.lastKept
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val compJson = compactions
+    val compJson = midIngest
       .map { case (r, w, p) => s"""{"rows":$r,"wall_sec":${f(w)},"next_period_sec":${f(p)}}""" }
       .mkString("[", ",", "]")
     println(s"""{"metric":"stream_cycle","docs":$total,"ingested":$nIngested,""" +
       s""""ingest_sec":${f(ingestSec)},"docs_per_sec":${f(total / ingestSec)},""" +
       s""""state_rows":$stateRows,"compaction_sec":${f(compactionSec)},""" +
       s""""mid_ingest_compactions":$compJson,""" +
-      s""""recommended_period_sec":${f(scheduler.nextPeriodSec(nIngested))},""" +
+      s""""recommended_period_sec":${f(driver.scheduler.nextPeriodSec(nIngested))},""" +
       s""""kept":$kept,"slices":$nSlices,"sf":"$sfDir"}""")
     spark.stop()
   }

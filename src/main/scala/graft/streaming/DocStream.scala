@@ -20,7 +20,10 @@ import graft.pipeline.TrainingData
   * streaming cannot express with bounded state. At scale it runs as a
   * periodic batch compaction over the streamed-in table (the standard
   * streaming-ingest + batch-dedup split; `TrainingData.curateFull` is
-  * that batch job).
+  * that batch job). [[CompactionDriver]] is the production trigger
+  * for that job: the ingest loop calls its `maybeCompact()` hook and
+  * the [[CompactionScheduler]] inside it adapts the cadence to the
+  * MEASURED compaction walls.
   */
 object DocStream {
 

@@ -597,6 +597,79 @@ class IoStreamingSpec extends SparkSpec {
       s"second-hop chain member must be dropped, got $removed")
   }
 
+  test("3-cycle restart under the adaptive CompactionDriver: every fired compaction ≡ one-shot over the prefix") {
+    // the manual 3-cycle test's guarantees, but with the batch
+    // compaction triggered by the PRODUCTION hook
+    // (graft.streaming.CompactionDriver.maybeCompact) instead of the
+    // test calling curateFull itself. The injected clock ticks 1 ms
+    // per read and jumps 2 h before each cycle's hook, so the
+    // scheduler's adaptive period (≤ maxPeriodSec) has always elapsed
+    // — all three compactions fire deterministically — while a
+    // no-time-elapsed call afterwards must NOT fire.
+    def base(i: Int) =
+      s"the quick brown fox u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f jumps over " +
+        "the lazy dog today and then it ran away into the green forest near the " +
+        "old river bank where tall trees lean over the cold clear water"
+    val c1 = (1 to 12).map(i => (i.toLong, base(i)))
+    val c2 = (1 to 4).map(i => (100L + i, base(i).replace(s"u${i}f", s"v${i}f"))) ++
+      Seq((107L, base(7))) ++ (13 to 14).map(i => (i.toLong, base(i)))
+    val c3 = Seq((201L, base(1).replace("u1f", "v1f").replace("u1e", "w1e"))) ++
+      (13 to 14).map(i => (110L + i, base(i).replace(s"u${i}f", s"v${i}f"))) ++
+      Seq((202L, base(2)), (203L, base(1).replace("u1f", "v1f")))
+    val cfg = graft.pipeline.TrainingData.CurationConfig(
+      minQuality = 0.05, langs = Set("en"), minTokens = 3)
+
+    val srcDir = Files.createTempDirectory("docs_cd_src").toString
+    val outDir = Files.createTempDirectory("docs_cd_out").toString + "/ingested"
+    val ckpt = Files.createTempDirectory("docs_cd_ck").toString
+    var fakeNanos = 0L
+    def tick(): Long = { fakeNanos += 1000000L; fakeNanos } // 1 ms per read
+    val driver = new graft.streaming.CompactionDriver(
+      spark, outDir, "doc_id", "text", cfg,
+      new graft.streaming.CompactionScheduler(
+        targetUtilization = 0.5, minPeriodSec = 1.0, maxPeriodSec = 3600.0),
+      () => tick())
+    var rawSoFar = Seq.empty[(Long, String)]
+    val exactCopyIds = Set(107L, 202L, 203L)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    for ((batch, k) <- Seq(c1, c2, c3).zipWithIndex) {
+      batch.toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+      rawSoFar ++= batch
+      val stream = spark.readStream
+        .schema(new org.apache.spark.sql.types.StructType()
+          .add("doc_id", "long").add("text", "string"))
+        .parquet(srcDir)
+        .withColumn("ingest_ts", current_timestamp())
+      val q = graft.streaming.DocStream
+        .curateStream(stream, "doc_id", "text", "ingest_ts", cfg)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+
+      fakeNanos += 2L * 3600L * 1000000000L // 2 h pass → period elapsed
+      val compacted = driver.maybeCompact()
+      assert(compacted.nonEmpty, s"cycle $k: driver must fire after the period elapsed")
+      val oneShot = graft.pipeline.TrainingData
+        .curateFull(rawSoFar.toDF("doc_id", "text"), "doc_id", "text", cfg)
+      assert(ids(compacted.get.kept) == ids(oneShot.kept),
+        s"cycle $k kept-id divergence under the driver")
+      assert(ids(compacted.get.nearDupRemoved) ==
+        ids(oneShot.nearDupRemoved) -- exactCopyIds,
+        s"cycle $k near-dup set divergence under the driver")
+    }
+    assert(driver.scheduler.observations == 3)
+    // corpus sizes recorded per compaction grow monotonically
+    assert(driver.compactions.map(_._1) == driver.compactions.map(_._1).sorted)
+    assert(driver.compactions.map(_._1).distinct.size == 3)
+    // milliseconds later (period not elapsed): the hook must not fire
+    assert(driver.maybeCompact().isEmpty,
+      "driver fired again with no elapsed period")
+  }
+
   test("repartitionBySize bounds partition byte-skew under a heavy-tail payload") {
     import org.apache.spark.sql.functions.spark_partition_id
     // 400 small rows (~100 B) + 8 jumbo rows (~50 KB): hash-by-id alone
