@@ -47,6 +47,13 @@ object Bench {
       // size is the lever that actually bounds the concurrent working
       // set, at a measured ~8% cost on the shuffle-heavy tail that a
       // provisioned heap does not pay.
+      // PER-FAMILY width (round 13, verdict item 5): only the SMJ-heavy
+      // span/pair families hit that OOM mode, but the blanket 256 taxed
+      // EVERY query 35-50% on the shuffle-heavy tail at 8 GiB. The
+      // session default here is the SAFE wide value for a constrained
+      // heap; the per-query conf.set below narrows untagged queries
+      // back to 64 (initialPartitionNum is a runtime SQL conf — each
+      // query plans under its own width).
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
           if (graft.ops.Caches.memoLevelFor(Runtime.getRuntime.maxMemory,
@@ -73,6 +80,27 @@ object Bench {
     // column and discards rows at the sink — honest per-query cost.
     def consume(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    // The SMJ-heavy families whose concurrent sort working sets cause
+    // the 8 GiB OOM mode — ONLY these keep the wide (256) initial
+    // shuffle width on constrained heaps; everything else plans at 64
+    // (measured 35-50% faster there at 8g/sf10, identical on
+    // provisioned heaps where both sides resolve to 64). The set is
+    // the round-11/12 crash + heavy-tail evidence: the span family
+    // (SMJ chains over gram pairs), the pair-join family (banded
+    // triples self-joins), and the TF shuffle pair tfidf/lm.
+    val wideFamilies = Set(
+      "q_shared_span_pairs", "q_span_budget_pairs", "q_span_budget_clusters",
+      "q_winnowing_fingerprints", "q_jaccard_pairs",
+      "q_neardup_budget_pairs", "q_neardup_budget_clusters",
+      "q_dedup_clusters", "q_tfidf_topk", "q_lm_score")
+    val constrainedHeap = graft.ops.Caches.memoLevelFor(
+      Runtime.getRuntime.maxMemory, cpus.toInt) ==
+      org.apache.spark.storage.StorageLevel.DISK_ONLY
+    val envWidth = sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS")
+    def setWidthFor(name: String): Unit = spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      envWidth.getOrElse(
+        if (constrainedHeap && wideFamilies(name)) "256" else "64"))
     // The serving queries also go through warmup: their first touch
     // builds the partitioned ANN index (a one-time layout cost, 18s-class
     // at sf0.1 — reported separately in BENCH_NOTES), so timing them cold
@@ -108,6 +136,7 @@ object Bench {
     warmupSelected.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         mark("warmup", name)
+        setWidthFor(name) // cache builds plan under the query's width
         // a swallowed warmup failure is how the sf10 crash cascaded:
         // the span memo build OOMed silently here, so the first timed
         // pass paid the full build and died — at least say it happened
@@ -142,6 +171,7 @@ object Bench {
     // "min of post-contention trials" took them).
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       mark("timed", name)
+      setWidthFor(name)
       val t0 = System.nanoTime()
       val failed = try { consume(fn(spark, sfDir)); false } catch { case _: Throwable => true }
       val dt = (System.nanoTime() - t0) / 1e9
