@@ -68,6 +68,14 @@ object Bench {
       // materialized + the heaviest queries re-executing): protect
       // 30%, let execution claim the rest.
       .config("spark.memory.storageFraction", "0.3")
+      // Completed queries' shuffle files are reclaimed by the
+      // ContextCleaner only after the driver GCs their dependencies;
+      // the default periodicGC.interval (30 min) outlives a whole run,
+      // so a 110-query session accumulated >20 GB of dead shuffle
+      // scratch and the sf100 span/cluster tail died on local-disk
+      // exhaustion. Shorten the period AND gc explicitly between
+      // queries (below, outside the timed windows).
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session so per-query timings measure the query, not JVM
@@ -172,6 +180,10 @@ object Bench {
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       mark("timed", name)
       setWidthFor(name)
+      // OUTSIDE the timed window: let the ContextCleaner reap the
+      // previous queries' dead shuffle files before this one spills
+      // (session caches are live references — untouched)
+      System.gc()
       val t0 = System.nanoTime()
       val failed = try { consume(fn(spark, sfDir)); false } catch { case _: Throwable => true }
       val dt = (System.nanoTime() - t0) / 1e9

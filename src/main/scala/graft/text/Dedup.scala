@@ -361,6 +361,14 @@ object Dedup {
     // Checkpointing truncates the plan to the materialized partitions,
     // so every round plans against a constant-size leaf.
     var labels = truncate(verts.withColumn("cluster", col("id")))
+    // the checkpointed frame whose blocks back `labels` — freed once
+    // the NEXT round's checkpoint is materialized. Without this the
+    // loop accumulates O(rounds) block-manager scratch: a local
+    // checkpoint's blocks live until driver GC + ContextCleaner reach
+    // the dropped reference, which on a big fixture is never soon
+    // enough (sf100: the clusters route exhausted the local disk while
+    // the pairs route alone fit).
+    var prevCkpt = labels
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -384,6 +392,11 @@ object Dedup {
           least(col("cluster"), coalesce(col("_lc"), col("cluster"))).as("cluster"),
           col("_prev")))
       val changed = next.filter(col("cluster") =!= col("_prev")).limit(1).count()
+      // `next` is materialized with no lineage into the superseded
+      // round — free its scratch now (never the frame being returned)
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(step)
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(prevCkpt)
+      prevCkpt = next
       labels = next.select(col("id"), col("cluster"))
       done = changed == 0L
       iter += 1
