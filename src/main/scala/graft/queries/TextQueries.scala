@@ -1000,6 +1000,72 @@ object TextQueries extends QueryProvider {
     },
     Some(lshOracleSql))
 
+  // ---- BATCHED multi-query ANN serving twin (round 13): one scan of
+  //      the batch's probe-cell union answers a 4-query batch
+  //      (AnnIndex.ivfTopKIndexedBatch); per-qid rows must equal the
+  //      single-query path. The oracle replays each query's probe +
+  //      cosine chain in SQL and UNION ALLs them — per-query literals
+  //      (probes, qNorm) recorded by the run, centroids injected like
+  //      every fitted model. qids are batch POSITIONS and the batch is
+  //      built from vec_ids 0..3 in order, so position == vec_id. ----
+  private val lastIvfBatch = new java.util.concurrent.atomic.AtomicReference[
+    (Array[Array[Double]], Seq[(Int, Array[Int], Double)])]()
+
+  private def ivfBatchOracleSql(
+      cents: Array[Array[Double]], qs: Seq[(Int, Array[Int], Double)]): String = {
+    def dotSql(a: String, b: String) =
+      s"list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), (a, b) -> a + b)"
+    val cellRows = cents.zipWithIndex.map { case (cArr, i) =>
+      val c2 = cArr.foldLeft(0.0)((a, x) => a + x * x)
+      s"($i, CAST([${cArr.mkString(", ")}] AS DOUBLE[]), CAST('$c2' AS DOUBLE))"
+    }.mkString(",\n        ")
+    val perQuery = qs.map { case (qid, probes, qNorm) =>
+      s"""SELECT $qid AS qid, vec_id, cosine,
+        CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) - 1 AS INT) AS rank
+      FROM (
+        SELECT a.vec_id, ${dotSql("a.v", "q.qv")} / (SQRT(a.vv) * CAST('$qNorm' AS DOUBLE)) AS cosine
+        FROM assigned a, (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = $qid) q
+        WHERE a.cell IN (${probes.mkString(", ")})
+        ORDER BY cosine DESC, vec_id
+        LIMIT 10) t"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ev AS (SELECT vec_id, v, ${dotSql("v", "v")} AS vv FROM e),
+      cells(cell, cv, c2) AS (VALUES $cellRows),
+      dist AS (SELECT ev.vec_id, ev.v, ev.vv, cells.cell,
+        ev.vv - 2.0 * ${dotSql("ev.v", "cells.cv")} + cells.c2 AS dd
+        FROM ev CROSS JOIN cells),
+      assigned AS (SELECT vec_id, v, vv, cell FROM (
+        SELECT vec_id, v, vv, cell,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn
+        FROM dist) t
+        WHERE rn = 1)
+      $perQuery"""
+  }
+
+  private val qAnnIvfBatch = Q(
+    "q_ann_ivf_batch_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qids = Seq(0L, 1L, 2L, 3L)
+      val byId = emb.filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("q"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      val queries = qids.map(byId)
+      val (assigned, cents) = Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 16)
+      lastIvfBatch.set((cents, queries.zipWithIndex.map { case (q, qid) =>
+        (qid, Similarity.probeCells(cents, q, nProbe = 4),
+          math.sqrt(q.foldLeft(0.0)((acc, x) => acc + x * x)))
+      }))
+      graft.sim.AnnIndex.ivfTopKIndexedBatch(
+        assigned, cents, "vec_id", "embedding", queries, k = 10, nProbe = 4)
+    },
+    None,
+    oracleGen = Some(() => Option(lastIvfBatch.get()).map { case (cents, qs) =>
+      ivfBatchOracleSql(cents, qs)
+    }))
+
   // ---- the full curation pipeline (annotate -> gate -> exact dedup ->
   //      minhash near-dup dedup) as one lazy plan. Oracled: every stage
   //      except the minhash near-dup removal is SQL (quality/lang/token
@@ -1422,6 +1488,6 @@ object TextQueries extends QueryProvider {
     qWinnow, qLshPairs, qCurate,
     qTokenTopK, qStratSample, qMixSources, qContamination, qRepetition, qCurationSignals,
     qPiiRedact, qLmScore, qAnnPq, qAnnIvfPq, qDedupClusters, qAnnIvfPruned, qAnnLshPruned,
-    qPack, qTfIdf, qChunk, qPackBins, qAnnRecall, qSemanticPairs, qShuffle,
+    qAnnIvfBatch, qPack, qTfIdf, qChunk, qPackBins, qAnnRecall, qSemanticPairs, qShuffle,
     qSharedSpans, qSpanBudgetPairs, qSpanBudgetClusters)
 }
