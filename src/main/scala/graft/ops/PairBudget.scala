@@ -165,7 +165,23 @@ object PairBudget {
       .agg(count(lit(1)).as("_bn"))
       .filter(col("_bn") > sizeCap)
       .select(key: _*)
-    val members = buckets.join(over, bucketCols, "left_semi")
+    representativesWith(buckets, bucketCols, idCol, over)
+  }
+
+  /** [[representatives]] with a PRECOMPUTED over-cap bucket-key set.
+    *
+    * A caller holding a persisted bucket-size histogram (the span
+    * family memoizes gram→df for the budget decision anyway) passes
+    * the filtered keys directly and skips re-deriving them — which in
+    * the generic form is a full corpus-scale groupBy over the
+    * membership stream, one of FOUR stream-scale shuffles that plan
+    * stacked into a single job (the sf100 smoke exhausted local disk
+    * exactly there while the pair route fit comfortably). The
+    * remaining shuffles touch only the over-cap slice. */
+  def representativesWith(buckets: DataFrame, bucketCols: Seq[String],
+      idCol: String, overKeys: DataFrame): DataFrame = {
+    val key = bucketCols.map(col)
+    val members = buckets.join(overKeys, bucketCols, "left_semi")
     val reps = members.groupBy(key: _*).agg(min(col(idCol)).as("rep_id"))
     members.join(reps, bucketCols)
       .groupBy(col(idCol))

@@ -589,7 +589,14 @@ object Dedup {
         sizes.filter(col("_df") <= maxDocFreq), "_df", maxPairs))
     graft.ops.BoundedPairs(
       spanPairJoin(informative, sizes, cap, minShared),
-      graft.ops.PairBudget.representatives(informative, Seq("_gram"), idCol, cap),
+      // the persisted histogram already knows the over-cap gram set
+      // (`informative` holds exactly the df ≤ maxDocFreq grams, so
+      // over-cap within it = cap < df ≤ maxDocFreq) — pass it instead
+      // of letting the generic form re-aggregate the corpus-scale
+      // membership stream (sf100 disk-exhaustion fix)
+      graft.ops.PairBudget.representativesWith(informative, Seq("_gram"), idCol,
+        sizes.filter(col("_df") <= maxDocFreq && col("_df") > cap)
+          .select(col("_gram"))),
       cap,
       () => { sizes.unpersist(); sel.unpersist(); () })
   }
