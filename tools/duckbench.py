@@ -3,7 +3,12 @@
 compare per-query against the Spark engine's BENCH_FULL.json — the
 single-node-engine head-to-head BENCH_NOTES tracks per round.
 
-Usage: python3 tools/duckbench.py <sfDir> <verifyOutDir> [BENCH_FULL.json]
+Usage: python3 tools/duckbench.py <sfDir> <verifyOutDir> [BENCH_FULL.json] [--timeout=SEC]
+
+--timeout interrupts a query after SEC seconds and records it as a
+">=SEC" lower bound — at sf10 a handful of oracle replays (the span
+family, jaccard) run 10x-100x past Spark and would otherwise dominate
+the wall of the whole head-to-head without changing its conclusion.
 
 The oracle SQL is the SAME computation the Spark queries run (that is
 the point of the t2 gate), so wall-clock per name is an apples-to-
@@ -21,7 +26,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def main(sf_dir, out_dir, bench_path=None):
+def main(sf_dir, out_dir, bench_path=None, timeout=None):
+    import threading
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -33,16 +39,35 @@ def main(sf_dir, out_dir, bench_path=None):
         with open(bench_path) as fh:
             spark = json.loads(fh.readline())["queries"]
     times = {}
+    timed_out = set()
     for name, sql in sorted(oracle.items()):
         t0 = time.time()
+        timer = None
+        if timeout:
+            timer = threading.Timer(timeout, con.interrupt)
+            timer.start()
         try:
             con.execute(sql).fetchall()
             times[name] = time.time() - t0
+        except duckdb.InterruptException:
+            times[name] = time.time() - t0
+            timed_out.add(name)
+            print(f"TIMEOUT {name}: >= {times[name]:.0f}s (lower bound)")
         except Exception as e:
             times[name] = None
-            print(f"ERR  {name}: {e}")
+            if timeout and time.time() - t0 >= timeout:
+                times[name] = time.time() - t0
+                timed_out.add(name)
+                print(f"TIMEOUT {name}: >= {times[name]:.0f}s (lower bound)")
+            else:
+                print(f"ERR  {name}: {e}")
+        finally:
+            if timer:
+                timer.cancel()
     total = sum(v for v in times.values() if v is not None)
-    print(f"duckdb_total={total:.1f}s over {len(times)} oracles")
+    plus = "+" if timed_out else ""
+    print(f"duckdb_total={total:.1f}s{plus} over {len(times)} oracles"
+          + (f" ({len(timed_out)} timed out — totals are lower bounds)" if timed_out else ""))
     if spark:
         st = sum(float(spark[n]) for n in times if n in spark)
         print(f"spark_total={st:.1f}s on the same names")
@@ -51,9 +76,12 @@ def main(sf_dir, out_dir, bench_path=None):
             if dv is None or n not in spark:
                 continue
             sv = float(spark[n])
-            print(f"{n:34s} {dv:7.2f} {sv:7.2f} {sv / dv if dv > 0 else 0:6.1f}x")
+            mark = ">=" if n in timed_out else "  "
+            print(f"{n:34s} {mark}{dv:5.2f} {sv:7.2f} {sv / dv if dv > 0 else 0:6.1f}x")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2],
-         sys.argv[3] if len(sys.argv) > 3 else None)
+    args = [a for a in sys.argv[1:] if not a.startswith("--timeout=")]
+    tmo = next((float(a.split("=", 1)[1]) for a in sys.argv[1:]
+                if a.startswith("--timeout=")), None)
+    main(args[0], args[1], args[2] if len(args) > 2 else None, timeout=tmo)
