@@ -24,12 +24,15 @@ object RecallAudit {
       "recall-leaning" -> AnnConfig(numPlanes = 6, numTables = 6, nProbe = 8),
       "speed-leaning" -> AnnConfig(numPlanes = 10, numTables = 2, nProbe = 2),
       // the PQ production remedy (round-12 verdict item 2): the
-      // faiss-standard k=256 codebooks, fit on 64 samples/centroid —
-      // tiny k=16 codebooks are an oracle constraint, not a default
+      // faiss-standard k=256 codebooks fit on 64 samples/centroid,
+      // PLUS the refine stage (exact re-rank over the ADC top-200
+      // pool — Pq.adcTopKRefined) that production quantized serving
+      // actually ships; tiny k=16 codebooks remain an oracle
+      // constraint, not a default
       "production-pq" ->
-        AnnConfig(codebookK = 256, pqSampleN = 16384, pqIters = 10),
+        AnnConfig(codebookK = 256, pqSampleN = 16384, pqIters = 10, refineK = 200),
       "production-pq-m16" ->
-        AnnConfig(m = 16, codebookK = 256, pqSampleN = 16384, pqIters = 10))
+        AnnConfig(m = 16, codebookK = 256, pqSampleN = 16384, pqIters = 10, refineK = 200))
     val selected = args.drop(1) // optional config-label filter
     for ((label, cfg) <- configs if selected.isEmpty || selected.contains(label)) {
       val r = graft.sim.AnnRecall.measure(

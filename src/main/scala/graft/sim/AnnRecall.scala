@@ -40,12 +40,17 @@ object AnnRecall {
 
   /** pqSampleN/pqIters size the codebook FIT (Pq.fit's bounded
     * sample + Lloyd sweeps): production codebooks (k=256) need more
-    * training points per centroid than the oracle-tiny defaults. */
+    * training points per centroid than the oracle-tiny defaults.
+    * refineK > 0 additionally measures the REFINED quantizer recalls
+    * (`pq_refined`/`ivfpq_refined`): recall@k of exact re-ranking over
+    * the ADC top-refineK pool — [[Pq.adcTopKRefined]]'s production
+    * shape, whose recall is exactly P(true top-k ⊆ ADC pool). */
   final case class AnnConfig(
       numPlanes: Int = 8, numTables: Int = 4,
       nCells: Int = 16, nProbe: Int = 4,
       m: Int = 8, codebookK: Int = 16,
-      pqSampleN: Int = 4096, pqIters: Int = 5)
+      pqSampleN: Int = 4096, pqIters: Int = 5,
+      refineK: Int = 0)
 
   /** Queries per batched pass. 256 structs × ~4 fields is ~1-2 KB of
     * generated code per entry — comfortably inside Janino's 64 KB
@@ -106,7 +111,8 @@ object AnnRecall {
     // the negated score. Chunk qids are disjoint → merging is union.
     def topIdsPerQuery(
         base: DataFrame,
-        entry: (Long, Array[Double]) => (Column, Column)): Map[Long, Set[Long]] =
+        entry: (Long, Array[Double]) => (Column, Column),
+        kk: Int = k): Map[Long, Set[Long]] =
       queries.grouped(chunkSize).foldLeft(Map.empty[Long, Set[Long]]) { (acc, chunk) =>
         val arr = array(chunk.map { case (qid, q) =>
           val (inc, pri) = entry(qid, q)
@@ -117,7 +123,7 @@ object AnnRecall {
           .filter(col("e.inc"))
           .groupBy(col("e.qid").as("qid"))
           .agg(graft.functions.SketchFunctions.topKByPriority(
-            col("e.pri"), col("_id"), col("e.pri"), k).as("_top"))
+            col("e.pri"), col("_id"), col("e.pri"), kk).as("_top"))
           .select(col("qid"), col("_top.id").as("ids"))
           .collect()
           .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
@@ -171,6 +177,19 @@ object AnnRecall {
         col("_cell").isin(
           Similarity.probeCells(cents, q, cfg.nProbe).toIndexedSeq: _*),
         -adcOf(q)))
+    // refined quantizer recall: exact re-rank over the ADC top-refineK
+    // pool retrieves exactly (pool ∩ true top-k), so the measurement
+    // is the pool scan at kk = refineK — no separate re-rank job
+    val (pqPool, ivfpqPool) =
+      if (cfg.refineK > 0)
+        (Some(topIdsPerQuery(encoded,
+          (_, q) => (lit(true), -adcOf(q)), cfg.refineK)),
+         Some(topIdsPerQuery(encodedIvf,
+          (_, q) => (
+            col("_cell").isin(
+              Similarity.probeCells(cents, q, cfg.nProbe).toIndexedSeq: _*),
+            -adcOf(q)), cfg.refineK)))
+      else (None, None)
     assigned.unpersist(); encoded.unpersist(); encodedIvf.unpersist()
 
     def recall(approx: Map[Long, Set[Long]], truth: Map[Long, Set[Long]]): Double =
@@ -182,6 +201,8 @@ object AnnRecall {
       "lsh" -> recall(lsh, cosTruth),
       "ivf" -> recall(ivf, cosTruth),
       "pq" -> recall(pq, l2Truth),
-      "ivfpq" -> recall(ivfpq, l2Truth))
+      "ivfpq" -> recall(ivfpq, l2Truth)) ++
+      pqPool.map(p => "pq_refined" -> recall(p, l2Truth)) ++
+      ivfpqPool.map(p => "ivfpq_refined" -> recall(p, l2Truth))
   }
 }

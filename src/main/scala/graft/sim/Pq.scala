@@ -216,4 +216,44 @@ object Pq {
     adcTopKNative(
       encodedAssigned.filter(col(cellCol).isin(probes.map(Int.box).toIndexedSeq: _*)),
       idCol, model, query, k, codeCol, distCol)
+
+  /** ADC + EXACT RE-RANK — the standard production shape for
+    * quantized indexes (faiss's refine stage, Jégou et al. §V.C):
+    * ADC selects a `poolK`-candidate pool from the m-byte codes, then
+    * exact squared-L2 over the RAW vectors re-ranks just the pool.
+    * Recall@k becomes P(true top-k ⊆ ADC top-poolK) — on corpora
+    * where raw ADC recall saturates (near-uniform embeddings are the
+    * quantizer's information-theoretic worst case), a 10·k pool
+    * recovers most of it. Cost at scale: the code scan (m bytes/vec)
+    * plus poolK raw-vector point-reads per query — the pool join
+    * broadcasts, the corpus never reshuffles.
+    *
+    * The exact leg reuses [[AnnRecall.bruteForceL2TopK]]'s expression
+    * trees (same fold discipline), restricted to the pool. */
+  def adcTopKRefined(
+      encoded: DataFrame, raw: DataFrame, idCol: String, vecCol: String,
+      model: PqModel, query: Array[Double], k: Int, poolK: Int,
+      codeCol: String = "pq_code"): DataFrame = {
+    require(poolK >= k, s"poolK=$poolK must be >= k=$k")
+    val pool = adcTopKNative(encoded, idCol, model, query, poolK, codeCol)
+      .select(col(idCol))
+    val qCol = array(query.toIndexedSeq.map(lit): _*)
+    val q2 = query.foldLeft(0.0)((a, x) => a + x * x)
+    val v = col(vecCol)
+    raw.join(broadcast(pool), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        (Similarity.dot(v, v) - lit(2.0) * Similarity.dot(v, qCol) + lit(q2))
+          .as("dist2"))
+      .orderBy(col("dist2"), col(idCol))
+      .limit(k)
+  }
+
+  /** [[adcTopKRefined]] over the IVF-probed cells (IVF-PQ + refine). */
+  def ivfPqTopKRefined(
+      encodedAssigned: DataFrame, raw: DataFrame, idCol: String, vecCol: String,
+      model: PqModel, query: Array[Double], probes: Array[Int], k: Int,
+      poolK: Int, cellCol: String = "_cell", codeCol: String = "pq_code"): DataFrame =
+    adcTopKRefined(
+      encodedAssigned.filter(col(cellCol).isin(probes.map(Int.box).toIndexedSeq: _*)),
+      raw, idCol, vecCol, model, query, k, poolK, codeCol)
 }

@@ -107,9 +107,15 @@ class AnnRecallSpec extends SparkSpec {
     // the 1x floors — the spec-scale twin of the sf10 audit row.
     val qids = Seq(0L, 30L, 111L, 2600L, 4920L)
     val r = AnnRecall.measure(clustered10x, "vec_id", "embedding", dim,
-      qids, k = 20, AnnConfig(codebookK = 256, pqSampleN = 5000, pqIters = 8))
+      qids, k = 20,
+      AnnConfig(codebookK = 256, pqSampleN = 5000, pqIters = 8, refineK = 100))
     assert(r("pq") >= 0.70, s"pq recall ${r("pq")} at production knobs")
     assert(r("ivfpq") >= 0.60, s"ivfpq recall ${r("ivfpq")} at production knobs")
+    // the refine stage (exact re-rank over the ADC top-100 pool) can
+    // only help, and on the clustered regime it should be near-exact
+    assert(r("pq_refined") >= r("pq"), s"${r("pq_refined")} < ${r("pq")}")
+    assert(r("ivfpq_refined") >= r("ivfpq"), s"${r("ivfpq_refined")} < ${r("ivfpq")}")
+    assert(r("pq_refined") >= 0.95, s"pq_refined ${r("pq_refined")}")
   }
 
   test("chunking is invisible: forced 2-query chunks reproduce the one-chunk recalls exactly") {

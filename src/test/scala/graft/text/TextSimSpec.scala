@@ -211,6 +211,32 @@ class TextSimSpec extends SparkSpec {
     assert(natProdAdc == sqlProdAdc)
   }
 
+  test("adcTopKRefined: pool covering the corpus degenerates to exact L2; small pools stay ADC-bounded") {
+    import graft.sim.{AnnRecall, Pq}
+    val dim = 16
+    val df = (0L until 300L).map { i =>
+      (i, Array.tabulate(dim)(j => (math.sin(i * 1.9 + j * 0.7) * 2.0).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = Array.tabulate(dim)(j => math.cos(j * 0.31) * 1.5)
+    val model = Pq.fit(df, "embedding", dim, m = 4, k = 16, seed = 7L)
+    val enc = Pq.encodeNative(df, "embedding", model)
+    // pool ≥ corpus: the refine stage re-ranks everything exactly →
+    // bit-identical to the brute-force L2 baseline
+    val refined = Pq.adcTopKRefined(enc, df, "vec_id", "embedding",
+      model, q, k = 15, poolK = 300)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = AnnRecall.bruteForceL2TopK(df, "vec_id", "embedding", q, k = 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(refined == exact)
+    // a small pool returns k rows drawn from the ADC top-poolK set
+    val pool = Pq.adcTopKNative(enc, "vec_id", model, q, k = 40)
+      .collect().map(_.getLong(0)).toSet
+    val small = Pq.adcTopKRefined(enc, df, "vec_id", "embedding",
+      model, q, k = 10, poolK = 40)
+      .collect().map(_.getLong(0))
+    assert(small.length == 10 && small.forall(pool))
+  }
+
   test("bigram LM: hand-computed conditional MLE, OOV penalty, occurrence counting") {
     val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo")).toDF("doc_id", "text")
     // occurrences: doc1 [a b, b a, a b], doc2 [a b, b c] →
