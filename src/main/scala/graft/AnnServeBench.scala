@@ -8,13 +8,21 @@ import org.apache.spark.sql.functions._
   * query): N single-query serves against one N-query batch over the
   * same partition-pruned layouts. Recorded per round in BENCH_NOTES.
   *
-  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.AnnServeBench [nQueries]
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.AnnServeBench [nQueries] [nCells]
+  *
+  * nCells matters for the IVF half: when the batch's probe UNION
+  * covers most of the cell space (nq·nProbe ≳ nCells), the batch scan
+  * reads nearly the whole index while each single probe reads only
+  * nProbe/nCells of it — batching stops amortizing. Production coarse
+  * quantizers run 2^10..2^14 cells, where an 8-query union stays
+  * sparse; pass a larger nCells to measure that regime.
   */
 object AnnServeBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val nq = args.headOption.map(_.toInt).getOrElse(8)
+    val nCells = args.drop(1).headOption.map(_.toInt).getOrElse(16)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -32,7 +40,7 @@ object AnnServeBench {
 
     val root = java.nio.file.Files.createTempDirectory("annservebench").toString
     val (assigned, cents) =
-      graft.sim.Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 16)
+      graft.sim.Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = nCells)
     graft.sim.AnnIndex.writeIvfIndexed(assigned, s"$root/ivf")
     graft.sim.AnnIndex.writeLshIndexed(emb, "vec_id", "embedding", s"$root/lsh",
       dim = 64, numPlanes = 8, numTables = 4)
@@ -63,7 +71,7 @@ object AnnServeBench {
       numPlanes = 8, numTables = 4).collect())
 
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    println(s"""{"metric":"ann_serve_batch","nq":$nq,""" +
+    println(s"""{"metric":"ann_serve_batch","nq":$nq,"ncells":$nCells,""" +
       s""""ivf_single_total_sec":${f(ivfSingles)},"ivf_batch_sec":${f(ivfBatch)},""" +
       s""""lsh_single_total_sec":${f(lshSingles)},"lsh_batch_sec":${f(lshBatch)},""" +
       s""""sf":"$sfDir"}""")
