@@ -861,6 +861,68 @@ object TextQueries extends QueryProvider {
       FROM codes ORDER BY adc_dist, vec_id LIMIT 20"""
     }))
 
+  // ---- PQ + REFINE (round 13): ADC selects a top-pool from the
+  //      codes, exact L2 over the RAW vectors re-ranks just the pool
+  //      (Pq.adcTopKRefined — the production quantized-serving shape).
+  //      Oracle = the PQ oracle's code/lut chain LIMIT pool, then the
+  //      brute-force L2 tree over the pool members. Encode runs the
+  //      NATIVE kernel (bit-identical to the SQL form, spec-proven) —
+  //      this query is also the oracle-level proof of that identity. ----
+  private val lastPqRefined = new java.util.concurrent.atomic.AtomicReference[
+    (graft.sim.Pq.PqModel, Array[Array[Double]], Double)]()
+
+  private val qAnnPqRefined = Q(
+    "q_ann_pq_refined_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(transform(col("embedding"), _.cast("double")).as("q"))
+        .head().getSeq[Double](0).toArray
+      val model = graft.sim.Pq.fit(emb, "embedding", dim = q.length, m = 8, k = 16)
+      val q2 = q.foldLeft(0.0)((a, x) => a + x * x)
+      lastPqRefined.set((model, model.adcLut(q), q2))
+      graft.sim.Pq.adcTopKRefined(
+        graft.sim.Pq.encodeNative(emb, "embedding", model), emb,
+        "vec_id", "embedding", model, q, k = 20, poolK = 100)
+    },
+    None,
+    oracleGen = Some(() => Option(lastPqRefined.get()).map { case (model, lut, q2) =>
+      val sd = model.subDim
+      def dotSql(a: String, b: String) =
+        s"list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), (a, b) -> a + b)"
+      val bookRows = (0 until model.m).flatMap { j =>
+        model.codebooks(j).zipWithIndex.map { case (cArr, c) =>
+          val c2 = cArr.foldLeft(0.0)((a, x) => a + x * x)
+          val cv = cArr.map(x => s"CAST('$x' AS DOUBLE)").mkString("[", ", ", "]")
+          s"($j, $c, $cv, CAST('$c2' AS DOUBLE))"
+        }
+      }.mkString(",\n        ")
+      val sub = s"e.v[(b.j * $sd + 1):(b.j * $sd + $sd)]"
+      val codeCols = (0 until model.m)
+        .map(j => s"MAX(CASE WHEN j = $j THEN c END) AS c$j").mkString(", ")
+      val adc = (0 until model.m)
+        .map(j => s"(${lut(j).map(x => s"CAST('$x' AS DOUBLE)").mkString("[", ", ", "]")})[c$j + 1]")
+        .mkString(" + ")
+      s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      books(j, c, cv, c2) AS (VALUES $bookRows),
+      dist AS (SELECT e.vec_id, b.j, b.c,
+        ${dotSql(sub, sub)} - 2.0 * ${dotSql(sub, "b.cv")} + b.c2 AS dd
+        FROM e CROSS JOIN books b),
+      code1 AS (SELECT vec_id, j, c FROM (
+        SELECT vec_id, j, c, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dd, c) AS rn
+        FROM dist) t WHERE rn = 1),
+      codes AS (SELECT vec_id, $codeCols FROM code1 GROUP BY vec_id),
+      pool AS (SELECT vec_id FROM (
+        SELECT vec_id, $adc AS adc_dist FROM codes
+        ORDER BY adc_dist, vec_id LIMIT 100) p),
+      q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT e.vec_id,
+        ${dotSql("e.v", "e.v")} - 2.0 * ${dotSql("e.v", "q.qv")} + CAST('$q2' AS DOUBLE) AS dist2
+      FROM e JOIN pool USING (vec_id), q
+      ORDER BY dist2, vec_id LIMIT 20"""
+    }))
+
   // ---- full IVF-PQ: probe filter (IVF oracle's assigned CTE) over
   //      ADC scoring (PQ oracle's code/lut chain) — both halves'
   //      literal-injection machinery composed. ----
@@ -1487,7 +1549,7 @@ object TextQueries extends QueryProvider {
     qAnnIvf, qMinhash, qSimhash, qSimhashPairs, qBudgetPairs, qBudgetClusters,
     qWinnow, qLshPairs, qCurate,
     qTokenTopK, qStratSample, qMixSources, qContamination, qRepetition, qCurationSignals,
-    qPiiRedact, qLmScore, qAnnPq, qAnnIvfPq, qDedupClusters, qAnnIvfPruned, qAnnLshPruned,
+    qPiiRedact, qLmScore, qAnnPq, qAnnPqRefined, qAnnIvfPq, qDedupClusters, qAnnIvfPruned, qAnnLshPruned,
     qAnnIvfBatch, qPack, qTfIdf, qChunk, qPackBins, qAnnRecall, qSemanticPairs, qShuffle,
     qSharedSpans, qSpanBudgetPairs, qSpanBudgetClusters)
 }
