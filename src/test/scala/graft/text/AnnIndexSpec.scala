@@ -551,4 +551,14 @@ class AnnIndexSpec extends SparkSpec {
       case None    => sys.props -= "graft.ann.recallChunk"
     }
   }
+
+  test("suggestCells: √n-pow2 corpus rule — 16 at the oracle gate, non-saturating at scale") {
+    assert(Similarity.suggestCells(0L) == 16)
+    assert(Similarity.suggestCells(500L) == 16)       // sf0.01 embeddings (gate)
+    assert(Similarity.suggestCells(2000L) == 32)      // sf0.1
+    assert(Similarity.suggestCells(20000L) == 128)    // sf1
+    assert(Similarity.suggestCells(200000L) == 512)   // sf10
+    assert(Similarity.suggestCells(2000000L) == 1024) // sf100 (clamp)
+    assert(Similarity.suggestCells(Long.MaxValue / 4) == 1024)
+  }
 }
