@@ -101,10 +101,16 @@ object StreamBench {
       .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
     q.stop()
 
-    // final full compaction over everything ingested (unconditional)
-    driver.compactNow()
-    val (nIngested, compactionSec, _) = driver.compactions.last
-    val kept = driver.lastKept
+    // final full compaction over everything ingested (unconditional).
+    // A fully-gated run can leave the sink with zero data files —
+    // compactNow() returns None and `compactions` stays empty, so the
+    // bookkeeping must not assume a .last exists
+    val (nIngested, compactionSec, kept) = driver.compactNow() match {
+      case Some(_) =>
+        val (r, w, _) = driver.compactions.last
+        (r, w, driver.lastKept)
+      case None => (0L, 0.0, 0L)
+    }
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val compJson = midIngest
       .map { case (r, w, p) => s"""{"rows":$r,"wall_sec":${f(w)},"next_period_sec":${f(p)}}""" }

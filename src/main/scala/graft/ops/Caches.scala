@@ -60,17 +60,37 @@ object Caches {
     * executor confs) the driver heap IS the executor heap and
     * defaultParallelism the thread count, so the fallback is exact. */
   private[ops] def executorShare(spark: SparkSession): (Long, Int) = {
-    val conf = spark.sparkContext.getConf
+    val sc = spark.sparkContext
+    val conf = sc.getConf
     val heap = conf.getOption("spark.executor.memory")
       .flatMap(s => scala.util.Try(
         org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)).toOption)
     val cores = conf.getOption("spark.executor.cores")
-      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0)
+    // Per-EXECUTOR core estimate when spark.executor.cores is unset:
+    // cluster-wide defaultParallelism divided by the live executor
+    // count (the status tracker lists the driver too — drop that row
+    // when real executors exist). Dividing the per-executor heap by
+    // cluster-wide TOTAL cores would shrink the share by the executor
+    // count and push memos to DISK_ONLY on exactly the provisioned
+    // clusters this share models. In local mode the driver is the one
+    // "executor", so the estimate degenerates to defaultParallelism —
+    // the thread count, which is exact.
+    def estCoresPerExecutor: Int = {
+      val execs = math.max(1, sc.statusTracker.getExecutorInfos.length - 1)
+      math.max(1, sc.defaultParallelism / execs)
+    }
+    // spark.executor.memory's cluster default when executors exist but
+    // the conf is unset (local mode has no separate executor heap —
+    // the driver's Runtime.maxMemory IS it).
+    def defaultHeap: Long =
+      if (sc.isLocal) Runtime.getRuntime.maxMemory
+      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes("1g")
     (heap, cores) match {
       case (Some(h), Some(c)) => (h, c)
-      case (Some(h), None)    => (h, spark.sparkContext.defaultParallelism)
-      case _ =>
-        (Runtime.getRuntime.maxMemory, spark.sparkContext.defaultParallelism)
+      case (Some(h), None)    => (h, estCoresPerExecutor)
+      case (None, Some(c))    => (defaultHeap, c)
+      case _                  => (defaultHeap, estCoresPerExecutor)
     }
   }
 

@@ -56,11 +56,19 @@ final class CompactionDriver(
   def probeSec: Double = probeNanos / 1e9
 
   /** The streamed-in table, None while the sink has no data files yet
-    * (schema inference on an empty dir throws). */
+    * (schema inference on an empty dir throws). Probed via the Hadoop
+    * FileSystem resolved from the session conf — NOT java.io.File,
+    * which silently returns null for every non-local sink (hdfs://,
+    * s3a://, file: URIs) and would make maybeCompact() never fire on
+    * exactly the deployments this driver is the production wiring
+    * for. */
   def sinkDocs(): Option[DataFrame] = {
-    val files = Option(new java.io.File(sinkDir).listFiles()).getOrElse(Array.empty)
-    if (files.exists(_.getName.endsWith(".parquet")))
-      Some(spark.read.parquet(sinkDir).select(col(idCol), col(textCol)))
+    val path = new org.apache.hadoop.fs.Path(sinkDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasData = fs.exists(path) &&
+      fs.listStatus(path).exists(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (hasData) Some(spark.read.parquet(sinkDir).select(col(idCol), col(textCol)))
     else None
   }
 

@@ -43,8 +43,17 @@ def main(sf_dir, out_dir, bench_path=None, timeout=None):
     for name, sql in sorted(oracle.items()):
         t0 = time.time()
         timer = None
+        # the timer can fire in the window between fetchall() returning
+        # and cancel() running — without the flag guard that late
+        # interrupt() lands on the NEXT query and spuriously records it
+        # as a timeout. The flag is cleared BEFORE cancel() so a
+        # late-firing callback becomes a no-op.
+        running = {"q": name}
         if timeout:
-            timer = threading.Timer(timeout, con.interrupt)
+            def _interrupt(qname=name):
+                if running.get("q") == qname:
+                    con.interrupt()
+            timer = threading.Timer(timeout, _interrupt)
             timer.start()
         try:
             con.execute(sql).fetchall()
@@ -62,6 +71,7 @@ def main(sf_dir, out_dir, bench_path=None, timeout=None):
             else:
                 print(f"ERR  {name}: {e}")
         finally:
+            running["q"] = None
             if timer:
                 timer.cancel()
     total = sum(v for v in times.values() if v is not None)
