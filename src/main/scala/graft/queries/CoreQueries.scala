@@ -382,8 +382,35 @@ object CoreQueries extends QueryProvider {
           / ${MS.sumExact("value")} AS enrichment
       FROM events GROUP BY event_type"""))
 
+  // ---- §2.5 enrichment_from_msp (ref analysis.py:263-287): the
+  //      evidence twin PLUS the MSP-specific zero→missing rule — a 0
+  //      intensity means "not quantified" and must leave BOTH sums,
+  //      not dilute the denominator. Same exact-decimal conditional
+  //      aggregation (INVARIANTS.md §1) as q_enrichment. ----
+  private val qEnrichmentMsp = Q(
+    "q_enrichment_msp",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val isMod = coalesce(col("props").contains("b"), lit(false))
+      val v = when(col("value") =!= 0, col("value")) // 0 == not quantified
+      ev.groupBy(col("event_type"))
+        .agg(
+          Moments.sumExact(when(isMod, v)).as("modified"),
+          Moments.sumExact(v).as("total"))
+        .withColumn("enrichment", Moments.div(col("modified"), col("total")))
+    },
+    Some(s"""
+      SELECT event_type, modified, total, modified / total AS enrichment
+      FROM (
+        SELECT event_type,
+          CAST(SUM(CASE WHEN COALESCE(props LIKE '%b%', FALSE)
+                        THEN ${MS.dec("CASE WHEN value <> 0 THEN value END")} END) AS DOUBLE) AS modified,
+          CAST(SUM(${MS.dec("CASE WHEN value <> 0 THEN value END")}) AS DOUBLE) AS total
+        FROM events GROUP BY event_type) t"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, qRemoveMatching, qRemoveContaining, qThreshold, qSearch, qMinValid,
     qDesignJoin, qUnpivot, qPivot, qMedianCenter, qValueCounts, qDistinctCounts,
-    qTopK, qNearest, qVenn, qVenn3, qSplitIds, qZscore, qLog2, qEnrichment)
+    qTopK, qNearest, qVenn, qVenn3, qSplitIds, qZscore, qLog2, qEnrichment,
+    qEnrichmentMsp)
 }

@@ -175,7 +175,108 @@ object MiscQueries extends QueryProvider {
       "lineitem", "l_returnflag", "l_quantity", Seq(0.5, 0.95, 0.99),
       Seq("l_orderkey", "l_linenumber"))))
 
+  // ---- write_phosphopath_ratio's ratio frame (ref io.py:129-185):
+  //      per-feature control-mean / comparison-mean, one frame per
+  //      (comparison group, timepoint), IDs suffixed by the ordinal
+  //      timepoint. The long proteomics frame is synthesized from
+  //      lineitem deterministically on BOTH sides; the two conditional
+  //      means are exact-decimal re-expressions of the operator's
+  //      avg(when(...)) (INVARIANTS.md §1: library avg is not
+  //      bitwise-portable). Group sums stay ≤ ~1e6 even at sf100
+  //      (30k feature groups), inside dec(15,6)'s 1e9 bound. ----
+  private val qPhosphoRatio = Q(
+    "q_phosphopath_ratio",
+    (s, d) => {
+      import graft.stats.Moments
+      val li = Tables.lineitem(s, d).select(
+        (col("l_partkey") % 500).cast("string").as("protein"),
+        (col("l_suppkey") % 20).as("rsite"),
+        (col("l_linenumber") % 3 + 1).as("multiplicity"),
+        when(col("l_returnflag") === "A", "ctrl")
+          .when(col("l_returnflag") === "N", "g1").otherwise("g2").as("grp"),
+        (col("l_orderkey") % 2 + 1).as("timepoint"),
+        col("l_quantity").as("v"))
+      val frames = Seq(("g1", 1, "1"), ("g2", 2, "2")).map { case (grp, tp, ord) =>
+        li.filter(col("grp") === "ctrl" || (col("grp") === grp && col("timepoint") === tp))
+          .groupBy(col("protein"), col("rsite"), col("multiplicity"))
+          .agg(
+            Moments.sumExact(when(col("grp") === "ctrl", col("v"))).as("_sa"),
+            count(when(col("grp") === "ctrl", col("v"))).as("_na"),
+            Moments.sumExact(when(col("grp") === grp, col("v"))).as("_sc"),
+            count(when(col("grp") === grp, col("v"))).as("_nc"))
+          .select(
+            concat_ws("-", col("protein"), col("rsite").cast("string"),
+              col("multiplicity").cast("string"), lit(ord)).as("ID"),
+            Moments.div(
+              Moments.meanOf(col("_sa"), col("_na")),
+              Moments.meanOf(col("_sc"), col("_nc"))).as("Ratio"))
+      }
+      frames.reduce(_ unionByName _)
+    },
+    Some {
+      def frame(grp: String, tp: Int, ord: String) = s"""
+        SELECT CONCAT_WS('-', protein, CAST(rsite AS VARCHAR),
+                 CAST(multiplicity AS VARCHAR), '$ord') AS "ID",
+          (${MS.sumExact(s"CASE WHEN grp = 'ctrl' THEN v END")}
+             / CAST(COUNT(CASE WHEN grp = 'ctrl' THEN v END) AS DOUBLE))
+          / (${MS.sumExact(s"CASE WHEN grp = '$grp' THEN v END")}
+             / CAST(COUNT(CASE WHEN grp = '$grp' THEN v END) AS DOUBLE)) AS "Ratio"
+        FROM longf WHERE grp = 'ctrl' OR (grp = '$grp' AND timepoint = $tp)
+        GROUP BY protein, rsite, multiplicity"""
+      s"""
+      WITH longf AS (
+        SELECT CAST(l_partkey % 500 AS VARCHAR) AS protein,
+               l_suppkey % 20 AS rsite,
+               l_linenumber % 3 + 1 AS multiplicity,
+               CASE WHEN l_returnflag = 'A' THEN 'ctrl'
+                    WHEN l_returnflag = 'N' THEN 'g1' ELSE 'g2' END AS grp,
+               l_orderkey % 2 + 1 AS timepoint,
+               l_quantity AS v
+        FROM lineitem)
+      ${frame("g1", 1, "1")}
+      UNION ALL
+      ${frame("g2", 2, "2")}"""
+    })
+
+  // ---- plot_point_cov / plot_cov_ellipse data (ref visualize.py:
+  //      60-113): exact decimal cross-moments → sample covariance →
+  //      closed-form 2×2 eigen → (center, width, height, angle). The
+  //      single transcendental (atan2 degrees) is rounded at 9 digits
+  //      on both sides (INVARIANTS.md §1); sums ride decFine(28,12)
+  //      (|Σ| ≤ ~3e10 at sf100, bound 1e16). ----
+  private val qCovEllipse = Q(
+    "q_cov_ellipse",
+    (s, d) => graft.stats.Summaries.covarianceEllipseDf(
+        Tables.lineitem(s, d), "l_quantity", "l_discount", nstd = 2.0)
+      .withColumn("angle_deg", round(col("angle_deg"), 9)),
+    Some(s"""
+      WITH m AS (
+        SELECT ${MS.sumExactFine("l_quantity")} AS sx, ${MS.sumExactFine("l_discount")} AS sy,
+               ${MS.sumSqExact("l_quantity")} AS sxx, ${MS.sumSqExact("l_discount")} AS syy,
+               ${MS.sumProdExact("l_quantity", "l_discount")} AS sxy,
+               COUNT(l_quantity) AS n
+        FROM lineitem),
+      c AS (
+        SELECT ${MS.meanOf("sx", "n")} AS cx, ${MS.meanOf("sy", "n")} AS cy,
+               ${MS.covOf("sx", "sx", "sxx", "n")} AS cxx,
+               ${MS.covOf("sx", "sy", "sxy", "n")} AS cxy,
+               ${MS.covOf("sy", "sy", "syy", "n")} AS cyy
+        FROM m),
+      e AS (
+        SELECT cx, cy, cxx, cxy, cyy,
+               cxx + cyy AS tr, cxx * cyy - cxy * cxy AS det
+        FROM c),
+      e2 AS (SELECT *, SQRT(GREATEST(tr * tr / 4.0 - det, 0.0)) AS disc FROM e),
+      e3 AS (SELECT *, tr / 2.0 + disc AS l1, tr / 2.0 - disc AS l2 FROM e2)
+      SELECT cx, cy,
+        4.0 * SQRT(GREATEST(l1, 0.0)) AS width,
+        4.0 * SQRT(GREATEST(l2, 0.0)) AS height,
+        ROUND(CASE WHEN cxy = 0 THEN CASE WHEN cxx >= cyy THEN 0.0 ELSE 90.0 END
+                   ELSE degrees(atan2(l1 - cxx, cxy)) END, 9) AS angle_deg
+      FROM e3"""))
+
   def all: Seq[Q] = Seq(
     qHistogram, qHistogramCompare, qQcCounts, qRank, qNtile, qTopKPerGroup,
-    qLabelExtract, qCombine, qGoEnrichment, qIdMapping, qGroupQuantiles)
+    qLabelExtract, qCombine, qGoEnrichment, qIdMapping, qGroupQuantiles,
+    qPhosphoRatio, qCovEllipse)
 }

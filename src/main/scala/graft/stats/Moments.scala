@@ -138,6 +138,13 @@ object Moments {
     div(s2 - div(s1 * s1, nd), nd - lit(1.0))
   }
 
+  /** Sample covariance from exact cross-moments:
+    * (sxy - sx*sy/n)/(n-1) — the cross-term twin of [[varOf]]. */
+  def covOf(sx: Column, sy: Column, sxy: Column, n: Column): Column = {
+    val nd = n.cast("double")
+    div(sxy - div(sx * sy, nd), nd - lit(1.0))
+  }
+
   /** Pearson r from exact cross-moments:
     * (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)). */
   def corrOf(n: Column, sx: Column, sy: Column, sxx: Column, syy: Column, sxy: Column): Column = {
@@ -170,6 +177,8 @@ object Moments {
     def meanOf(s1: String, n: String): String = s"$s1 / CAST($n AS DOUBLE)"
     def varOf(s1: String, s2: String, n: String): String =
       s"($s2 - $s1 * $s1 / CAST($n AS DOUBLE)) / (CAST($n AS DOUBLE) - 1.0)"
+    def covOf(sx: String, sy: String, sxy: String, n: String): String =
+      s"($sxy - $sx * $sy / CAST($n AS DOUBLE)) / (CAST($n AS DOUBLE) - 1.0)"
     def corrOf(n: String, sx: String, sy: String, sxx: String, syy: String, sxy: String): String = {
       val nd = s"CAST($n AS DOUBLE)"
       s"($nd * $sxy - $sx * $sy) / (SQRT($nd * $sxx - $sx * $sx) * SQRT($nd * $syy - $sy * $sy))"

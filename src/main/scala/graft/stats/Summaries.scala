@@ -216,23 +216,43 @@ object Summaries {
     * one distributed aggregation; the 2×2 eigen is closed-form. */
   final case class Ellipse(cx: Double, cy: Double, width: Double, height: Double, angleDeg: Double)
 
+  /** Distributed single-row form of [[covarianceEllipse]]: ONE exact
+    * decimal-moments aggregation (graft.stats.Moments — INVARIANTS.md
+    * §1; portable when x·y is exact at the decProd scale), then the
+    * closed-form 2×2 symmetric eigen as a Column tree. Output columns
+    * (cx, cy, width, height, angle_deg); the atan2 angle is the one
+    * transcendental — oracled callers round it on both sides. */
+  def covarianceEllipseDf(
+      df: DataFrame, xCol: String, yCol: String, nstd: Double = 2.0): DataFrame = {
+    import graft.stats.Moments
+    val (x, y) = (col(xCol), col(yCol))
+    df.agg(
+        // decFine(28,12) linear sums: |Σ| bound 1e16 (a 600M-row sf100
+        // quantity sum is ~3e10); squares/products ride decProd(28,10)
+        Moments.sumExactFine(x).as("_sx"), Moments.sumExactFine(y).as("_sy"),
+        Moments.sumSqExact(x).as("_sxx"), Moments.sumSqExact(y).as("_syy"),
+        Moments.sumProdExact(x, y).as("_sxy"),
+        count(x).as("_n"))
+      .withColumn("cx", Moments.meanOf(col("_sx"), col("_n")))
+      .withColumn("cy", Moments.meanOf(col("_sy"), col("_n")))
+      .withColumn("_cxx", Moments.covOf(col("_sx"), col("_sx"), col("_sxx"), col("_n")))
+      .withColumn("_cxy", Moments.covOf(col("_sx"), col("_sy"), col("_sxy"), col("_n")))
+      .withColumn("_cyy", Moments.covOf(col("_sy"), col("_sy"), col("_syy"), col("_n")))
+      .withColumn("_tr", col("_cxx") + col("_cyy"))
+      .withColumn("_det", col("_cxx") * col("_cyy") - col("_cxy") * col("_cxy"))
+      .withColumn("_disc", sqrt(greatest(col("_tr") * col("_tr") / lit(4.0) - col("_det"), lit(0.0))))
+      .withColumn("_l1", col("_tr") / lit(2.0) + col("_disc"))
+      .withColumn("_l2", col("_tr") / lit(2.0) - col("_disc"))
+      .withColumn("width", lit(2.0 * nstd) * sqrt(greatest(col("_l1"), lit(0.0))))
+      .withColumn("height", lit(2.0 * nstd) * sqrt(greatest(col("_l2"), lit(0.0))))
+      .withColumn("angle_deg",
+        when(col("_cxy") === 0.0, when(col("_cxx") >= col("_cyy"), 0.0).otherwise(90.0))
+          .otherwise(degrees(atan2(col("_l1") - col("_cxx"), col("_cxy")))))
+      .select("cx", "cy", "width", "height", "angle_deg")
+  }
+
   def covarianceEllipse(df: DataFrame, xCol: String, yCol: String, nstd: Double = 2.0): Ellipse = {
-    val r = df.agg(
-      avg(col(xCol)).as("mx"), avg(col(yCol)).as("my"),
-      covar_samp(col(xCol), col(xCol)).as("cxx"),
-      covar_samp(col(xCol), col(yCol)).as("cxy"),
-      covar_samp(col(yCol), col(yCol)).as("cyy")).head()
-    val (mx, my) = (r.getDouble(0), r.getDouble(1))
-    val (cxx, cxy, cyy) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
-    // closed-form 2×2 symmetric eigen
-    val tr = cxx + cyy
-    val det = cxx * cyy - cxy * cxy
-    val disc = math.sqrt(math.max(tr * tr / 4 - det, 0.0))
-    val l1 = tr / 2 + disc
-    val l2 = tr / 2 - disc
-    val angle =
-      if (cxy == 0.0) { if (cxx >= cyy) 0.0 else 90.0 }
-      else math.toDegrees(math.atan2(l1 - cxx, cxy))
-    Ellipse(mx, my, 2 * nstd * math.sqrt(math.max(l1, 0)), 2 * nstd * math.sqrt(math.max(l2, 0)), angle)
+    val r = covarianceEllipseDf(df, xCol, yCol, nstd).head()
+    Ellipse(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
   }
 }
