@@ -11,13 +11,15 @@ object Bench {
     // could prove. loadavg before warmup ≈ pre-existing host load.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadStart = osBean.getSystemLoadAverage
-    val spark = SparkSession.builder()
+    // The session profile (nanosAsLong, AQE, heap-aware widths,
+    // storageFraction, periodicGC) comes from graft.Sessions.production
+    // — ONE source of truth shared with library users; Bench layers
+    // only the harness-local master/UI/env-override on top. The
+    // round-by-round evidence for each conf lives in Sessions' scaladoc
+    // and the annotations kept below.
+    val spark = Sessions.production(SparkSession.builder(), cpus.toInt)
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
       // Shuffles START at 64 partitions and AQE coalesces DOWN per
       // runtime stats — at sf0.1 that lands back near the core count,
       // at sf10 it keeps per-task sort/agg working sets 2× smaller
@@ -50,32 +52,15 @@ object Bench {
       // PER-FAMILY width (round 13, verdict item 5): only the SMJ-heavy
       // span/pair families hit that OOM mode, but the blanket 256 taxed
       // EVERY query 35-50% on the shuffle-heavy tail at 8 GiB. The
-      // session default here is the SAFE wide value for a constrained
-      // heap; the per-query conf.set below narrows untagged queries
-      // back to 64 (initialPartitionNum is a runtime SQL conf — each
-      // query plans under its own width).
+      // Sessions.production default is the SAFE wide value for a
+      // constrained heap; the per-query conf.set below narrows untagged
+      // queries back to 64 (initialPartitionNum is a runtime SQL conf —
+      // each query plans under its own width). Env override is
+      // harness-only, layered over the profile.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
-          if (graft.ops.Caches.memoLevelFor(Runtime.getRuntime.maxMemory,
-              cpus.toInt) == org.apache.spark.storage.StorageLevel.DISK_ONLY)
-            "256" else "64"))
-      // The registry's memo/serving families deliberately keep
-      // session-lifetime caches (span selection + doc-freq histogram,
-      // minhash triples, ANN layouts) — all MEMORY_AND_DISK, so
-      // eviction is a cheap spill, not a recompute. Protecting the
-      // default 50% of unified memory for those caches is what pushed
-      // the rerun phase over the heap at sf10 (every cache fully
-      // materialized + the heaviest queries re-executing): protect
-      // 30%, let execution claim the rest.
-      .config("spark.memory.storageFraction", "0.3")
-      // Completed queries' shuffle files are reclaimed by the
-      // ContextCleaner only after the driver GCs their dependencies;
-      // the default periodicGC.interval (30 min) outlives a whole run,
-      // so a 110-query session accumulated >20 GB of dead shuffle
-      // scratch and the sf100 span/cluster tail died on local-disk
-      // exhaustion. Shorten the period AND gc explicitly between
-      // queries (below, outside the timed windows).
-      .config("spark.cleaner.periodicGC.interval", "2min")
+          Sessions.defaultInitialPartitions(
+            Runtime.getRuntime.maxMemory, cpus.toInt)))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session so per-query timings measure the query, not JVM
@@ -88,27 +73,13 @@ object Bench {
     // column and discards rows at the sink — honest per-query cost.
     def consume(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    // The SMJ-heavy families whose concurrent sort working sets cause
-    // the 8 GiB OOM mode — ONLY these keep the wide (256) initial
-    // shuffle width on constrained heaps; everything else plans at 64
-    // (measured 35-50% faster there at 8g/sf10, identical on
-    // provisioned heaps where both sides resolve to 64). The set is
-    // the round-11/12 crash + heavy-tail evidence: the span family
-    // (SMJ chains over gram pairs), the pair-join family (banded
-    // triples self-joins), and the TF shuffle pair tfidf/lm.
-    val wideFamilies = Set(
-      "q_shared_span_pairs", "q_span_budget_pairs", "q_span_budget_clusters",
-      "q_winnowing_fingerprints", "q_jaccard_pairs",
-      "q_neardup_budget_pairs", "q_neardup_budget_clusters",
-      "q_dedup_clusters", "q_tfidf_topk", "q_lm_score")
-    val constrainedHeap = graft.ops.Caches.memoLevelFor(
-      Runtime.getRuntime.maxMemory, cpus.toInt) ==
-      org.apache.spark.storage.StorageLevel.DISK_ONLY
+    // Per-query width rule lives in Sessions (WideFamilies +
+    // initialPartitionsFor) — evidence in its scaladoc.
     val envWidth = sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS")
     def setWidthFor(name: String): Unit = spark.conf.set(
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-      envWidth.getOrElse(
-        if (constrainedHeap && wideFamilies(name)) "256" else "64"))
+      envWidth.getOrElse(Sessions.initialPartitionsFor(
+        name, Runtime.getRuntime.maxMemory, cpus.toInt)))
     // The serving queries also go through warmup: their first touch
     // builds the partitioned ANN index (a one-time layout cost, 18s-class
     // at sf0.1 — reported separately in BENCH_NOTES), so timing them cold

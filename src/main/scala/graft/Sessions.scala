@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The production session profile — the heap-aware tuning the
+  * benchmark harness certified at sf10/sf100, packaged so LIBRARY
+  * users get the same session shape instead of it living only in
+  * `graft.Bench`'s builder (round-13 verdict item 8).
+  *
+  * What the profile encodes (evidence in Bench.scala's round-11..13
+  * annotations and BENCH_NOTES):
+  *  - `nanosAsLong`: driver testdata has shipped TIMESTAMP(NANOS)
+  *    parquet (INVARIANTS.md §4) — every session must read it.
+  *  - AQE on + shuffles BORN WIDE (64, or 256 on constrained heaps)
+  *    and coalesced down by runtime stats: bounds concurrent SMJ sort
+  *    working sets; the 8 GiB OOM modes died exactly here.
+  *  - `storageFraction 0.3`: the library's session-lifetime memo
+  *    caches (span histograms, minhash triples, ANN layouts) are
+  *    MEMORY_AND_DISK — protecting the default 50% of unified memory
+  *    for them starved execution on constrained heaps.
+  *  - `periodicGC 2min`: completed queries' shuffle files are only
+  *    reclaimed after a driver GC; the 30 min default outlives whole
+  *    runs and accumulated >20 GB of dead shuffle scratch at sf100.
+  *
+  * "Constrained heap" = under [[graft.ops.Caches.MinHeapPerCoreMb]]
+  * per core — the same floor that degrades memo caches to DISK_ONLY.
+  */
+object Sessions {
+
+  /** The SMJ-heavy families whose concurrent sort working sets cause
+    * the constrained-heap OOM mode — ONLY these keep the wide (256)
+    * initial shuffle width there; everything else plans at 64
+    * (measured 35-50% faster at 8g/sf10, identical on provisioned
+    * heaps where both resolve to 64). Membership is the
+    * round-11/12 crash + heavy-tail evidence: the span family (SMJ
+    * chains over gram pairs), the pair-join family (banded triples
+    * self-joins), and the TF shuffle pair tfidf/lm. */
+  val WideFamilies: Set[String] = Set(
+    "q_shared_span_pairs", "q_span_budget_pairs", "q_span_budget_clusters",
+    "q_winnowing_fingerprints", "q_jaccard_pairs",
+    "q_neardup_budget_pairs", "q_neardup_budget_clusters",
+    "q_dedup_clusters", "q_tfidf_topk", "q_lm_score")
+
+  /** Same floor [[graft.ops.Caches.memoLevelFor]] uses: under
+    * ~384 MB/core the session is "constrained" — memos go DISK_ONLY
+    * and shuffles start wide. */
+  def constrainedHeap(maxHeapBytes: Long, cores: Int): Boolean =
+    ops.Caches.memoLevelFor(maxHeapBytes, cores) ==
+      org.apache.spark.storage.StorageLevel.DISK_ONLY
+
+  /** Session-default initial shuffle width (AQE coalesces DOWN from
+    * here): the SAFE wide value on a constrained heap, 64 otherwise. */
+  def defaultInitialPartitions(maxHeapBytes: Long, cores: Int): String =
+    if (constrainedHeap(maxHeapBytes, cores)) "256" else "64"
+
+  /** Per-query width: only [[WideFamilies]] members keep 256 on a
+    * constrained heap; untagged queries narrow back to 64
+    * (`initialPartitionNum` is a runtime SQL conf — set it before
+    * each query so each plans under its own width). */
+  def initialPartitionsFor(queryName: String, maxHeapBytes: Long, cores: Int): String =
+    if (constrainedHeap(maxHeapBytes, cores) && WideFamilies(queryName)) "256"
+    else "64"
+
+  /** The full conf set, exposed so harnesses and specs can assert
+    * against the same source of truth the builder applies. */
+  def productionConfs(
+      cores: Int,
+      maxHeapBytes: Long = Runtime.getRuntime.maxMemory): Seq[(String, String)] = Seq(
+    "spark.sql.shuffle.partitions" -> cores.toString,
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum" ->
+      defaultInitialPartitions(maxHeapBytes, cores),
+    "spark.memory.storageFraction" -> "0.3",
+    "spark.cleaner.periodicGC.interval" -> "2min")
+
+  /** Apply the production profile to a builder. Master, UI, and any
+    * deployment-specific confs stay the caller's: cluster users set
+    * their own master/resources and then layer this profile on top.
+    * `cores` should be the PER-EXECUTOR core count (local mode: the
+    * local[N] thread count). */
+  def production(
+      builder: SparkSession.Builder,
+      cores: Int,
+      maxHeapBytes: Long = Runtime.getRuntime.maxMemory): SparkSession.Builder =
+    productionConfs(cores, maxHeapBytes).foldLeft(builder) {
+      case (b, (k, v)) => b.config(k, v)
+    }
+}
