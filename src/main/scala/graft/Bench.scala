@@ -17,9 +17,16 @@ object Bench {
     // only the harness-local master/UI/env-override on top. The
     // round-by-round evidence for each conf lives in Sessions' scaladoc
     // and the annotations kept below.
-    val spark = Sessions.production(SparkSession.builder(), cpus.toInt)
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER: topology override (e.g.
+    // local-cluster[2,16,8192] for the executor-JVM smoke); executors
+    // there need the app classpath propagated explicitly.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = Sessions.production(SparkSession.builder(), cpus.toInt)
+      .master(master)
       .config("spark.ui.enabled", "false")
+    val spark = (if (master.startsWith("local-cluster"))
+      builder0.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+    else builder0)
       // Shuffles START at 64 partitions and AQE coalesces DOWN per
       // runtime stats — at sf0.1 that lands back near the core count,
       // at sf10 it keeps per-task sort/agg working sets 2× smaller
