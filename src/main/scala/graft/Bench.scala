@@ -158,10 +158,19 @@ object Bench {
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       mark("timed", name)
       setWidthFor(name)
-      // OUTSIDE the timed window: let the ContextCleaner reap the
-      // previous queries' dead shuffle files before this one spills
-      // (session caches are live references — untouched)
-      System.gc()
+      // SPARK_GRAFT_PREQUERY_GC=1: GC before each query so the
+      // ContextCleaner reaps the previous queries' dead shuffle files
+      // before this one spills — the sf100 disk-exhaustion recipe
+      // (BENCH_NOTES round-13 postmortem), where scratch reclamation
+      // outweighs timing purity. DEFAULT OFF: System.gc() returns
+      // before the cleaner's async block-removal RPCs run, so that
+      // work lands INSIDE the next timed window — the round-14
+      // same-window A/B measured a uniform +15-28% on every ~1s-class
+      // query at the gate SF from exactly this (r12 binary vs r13
+      // binary vs r13-minus-gc, 3 interleaved samples each). The
+      // session profile's periodicGC=2min covers cross-query
+      // reclamation at gate/sf10 scale.
+      if (sys.env.get("SPARK_GRAFT_PREQUERY_GC").contains("1")) System.gc()
       val t0 = System.nanoTime()
       val failed = try { consume(fn(spark, sfDir)); false } catch { case _: Throwable => true }
       val dt = (System.nanoTime() - t0) / 1e9

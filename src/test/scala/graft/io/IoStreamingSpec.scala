@@ -213,6 +213,48 @@ class IoStreamingSpec extends SparkSpec {
     got.foreach { case (id, s) => assert(batch(id) == s, s"event $id") }
   }
 
+  test("stateful operators run under the RocksDB state store provider with identical results") {
+    // the at-scale provider (state off-heap/on-disk instead of the
+    // HDFS-backed on-heap maps): the provider must load, the stateful
+    // operators must produce the SAME rows as the default provider,
+    // and the progress must prove RocksDB actually held the state
+    // (provider-specific custom metrics present). EventStreamBench
+    // measures the cost/memory side at sf scale.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = EventStream.readEvents(spark, eventsDir)
+      val q = EventStream.runToMemory(
+        EventStream.sessionize(spark, events), "sessions_rocks", outputMode = "append")
+      val metrics = q.recentProgress.toSeq
+        .flatMap(_.stateOperators).flatMap(_.customMetrics.keySet().toArray)
+      q.stop()
+      assert(metrics.exists(_.toString.startsWith("rocksdb")),
+        s"no rocksdb custom metrics in progress: ${metrics.distinct}")
+      val rocks = spark.table("sessions_rocks")
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      // provider choice must not change the operator's output: compare
+      // against the batch window sessionization (same reference as the
+      // default-provider test above)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
+        .withColumn("_gap",
+          when(col("ts") - lag(col("ts"), 1).over(w) > 1800000000000L, 1).otherwise(0))
+        .withColumn("session_id", sum(col("_gap")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("event_id"), col("session_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      assert(rocks.nonEmpty && rocks == batch,
+        s"rocksdb run diverged: ${rocks.size} vs ${batch.size} assignments")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     val events = EventStream.readEvents(spark, eventsDir)
       // synthesize duplicates: halve the key space
