@@ -118,6 +118,22 @@ class AnnRecallSpec extends SparkSpec {
     assert(r("pq_refined") >= 0.95, s"pq_refined ${r("pq_refined")}")
   }
 
+  test("production operating point (nProbe=8): ivfpq_refined holds the sweep-chosen floor") {
+    // the round-14 sf10 nProbe sweep (BENCH_NOTES) picked nProbe=8 as
+    // the production knob: ivfpq_refined recall@20 0.881 at ~parity
+    // serve cost vs nProbe=4's 0.700 (the IVF cell ceiling, not the
+    // quantizer, was the binding constraint at nProbe=4). Pin the
+    // spec-scale twin: doubling the probe width must lift the refined
+    // quantizer past the 0.85 bar on the 10x clustered corpus too.
+    val qids = Seq(0L, 30L, 111L, 2600L, 4920L)
+    val r = AnnRecall.measure(clustered10x, "vec_id", "embedding", dim,
+      qids, k = 20,
+      AnnConfig(nProbe = 8, codebookK = 256, pqSampleN = 5000, pqIters = 8,
+        refineK = 100))
+    assert(r("ivf") >= 0.90, s"ivf ceiling ${r("ivf")} at nProbe=8")
+    assert(r("ivfpq_refined") >= 0.85, s"ivfpq_refined ${r("ivfpq_refined")} at nProbe=8")
+  }
+
   test("chunking is invisible: forced 2-query chunks reproduce the one-chunk recalls exactly") {
     // 5 queries in one chunk vs three chunks of ≤2: the per-chunk qids
     // are disjoint and each chunk runs the identical expression tree,
