@@ -110,7 +110,14 @@ object Bench {
       // its verify join reads (same cache-backed-family policy as the
       // span/curate entries — the round-11 16g sf10 run earned its one
       // contended flag exactly there)
-      "q_jaccard_pairs")
+      "q_jaccard_pairs",
+      // the batched IVF serve builds its own corpus-scaled index
+      // layout (c<suggestCells>s — NOT the c16 the pruned twin warms):
+      // a one-time build that otherwise lands in its first timed pass
+      // and books a spurious contended flag (round-14 sf10: the cold
+      // c512s build dwarfed the 1.0s serve and tripped the >2x-rerun
+      // detector)
+      "q_ann_ivf_batch_topk")
     val warmupSelected =
       if (args.isEmpty) warmup else warmup.filter(args.contains)
     // Progress markers go to STDERR (the driver parses only the final
