@@ -1145,7 +1145,13 @@ object TextQueries extends QueryProvider {
       val nCells = Similarity.suggestCells(emb.count())
       val (path, cents) = ensureIvfServing(d, s"c${nCells}s") {
         val c = Similarity.fitCoarseCells(emb, "embedding", nCells)
-        (Similarity.assignCells(emb, "embedding", c), c)
+        // widen BEFORE assigning: the argmin's cost is nCells × dim per
+        // row and the fixture is one parquet file (~4 row-group splits)
+        // — without this the one-time build runs on 4 of 32 cores
+        // (round-14 sf100: 15 min; assignment is row-local, so the
+        // extra shuffle of the raw vectors is invisible to results)
+        val wide = emb.repartition(s.sparkContext.defaultParallelism)
+        (Similarity.assignCells(wide, "embedding", c), c)
       }
       lastIvfBatch.set((cents, queries.zipWithIndex.map { case (q, qid) =>
         (qid, Similarity.probeCells(cents, q, nProbe = 4),

@@ -208,6 +208,22 @@ object Similarity {
     * ‖c‖² folds driver-side once per centroid. */
   def assignCells(
       embeddings: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]], cellCol: String = "_cell"): DataFrame =
+    // Above the literal-form codegen budget (struct-per-centroid blows
+    // Janino's 64KB method limit at production cell counts — the sf100
+    // c1024s index build ran INTERPRETED for ~15 min, round-14
+    // BENCH_NOTES), dispatch to the native kernel. Bit-identical
+    // (SimilaritySpec asserts equality across the threshold): the
+    // argmin over ‖v‖² − 2·v·c + ‖c‖² with left-to-right folds and
+    // lowest-index ties IS PqEncodeExpr at m=1, k=nCells, subDim=dim.
+    if (centroids.length * centroids.head.length > NativeAssignFlops)
+      assignCellsNative(embeddings, vecCol, centroids, cellCol)
+    else assignCellsLiteral(embeddings, vecCol, centroids, cellCol)
+
+  /** Literal-per-centroid form — the SQL-mirrorable shape oracle sites
+    * replay; fine under ~64 cells × 64 dims of generated code. */
+  private[graft] def assignCellsLiteral(
+      embeddings: DataFrame, vecCol: String,
       centroids: Array[Array[Double]], cellCol: String = "_cell"): DataFrame = {
     val v = col(vecCol)
     val entries = centroids.zipWithIndex.map { case (cArr, i) =>
@@ -219,6 +235,19 @@ object Similarity {
       .withColumn(cellCol, array_min(array(entries.toIndexedSeq: _*)).getField("c"))
       .drop("_vv")
   }
+
+  /** Literal-form cost ceiling (cells × dims) before dispatching to
+    * the reference-object kernel. */
+  private[graft] val NativeAssignFlops = 4096
+
+  /** One codegen'd argmin over a flat centroid matrix: PqEncodeExpr
+    * with a single subspace spanning the whole vector. */
+  private[graft] def assignCellsNative(
+      embeddings: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]], cellCol: String = "_cell"): DataFrame =
+    embeddings.withColumn(cellCol,
+      element_at(
+        graft.functions.PqExpressions.pqEncode(col(vecCol), Array(centroids)), 1))
 
   /** The `nProbe` cells whose centroids are nearest the query —
     * driver-side (centroids are tiny). Public so a query site can

@@ -211,6 +211,37 @@ class TextSimSpec extends SparkSpec {
     assert(natProdAdc == sqlProdAdc)
   }
 
+  test("assignCells native kernel is bit-identical to the literal form across the dispatch threshold") {
+    import graft.sim.Similarity
+    val dim = 16
+    val df = (0L until 500L).map { i =>
+      (i, Array.tabulate(dim)(j => (math.sin(i * 2.3 + j * 0.57) * 3.0).toFloat))
+    }.toDF("vec_id", "embedding")
+    // production-count centroids (300 cells x 16 dims > NativeAssignFlops
+    // -> the public assignCells dispatches native); derive them from the
+    // data so ties and near-ties occur naturally
+    val cents = Array.tabulate(300)(c =>
+      Array.tabulate(dim)(j => math.sin(c * 1.1 + j * 0.57) * 3.0))
+    assert(cents.length * dim > Similarity.NativeAssignFlops)
+    def cells(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("vec_id"), col("_cell")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val lit300 = cells(Similarity.assignCellsLiteral(df, "embedding", cents))
+    val nat300 = cells(Similarity.assignCellsNative(df, "embedding", cents))
+    val pub300 = cells(Similarity.assignCells(df, "embedding", cents))
+    assert(nat300 == lit300, "native argmin diverged from the literal struct array_min")
+    assert(pub300 == nat300, "public assignCells did not dispatch to the native kernel's result")
+    // under the threshold the public form stays the SQL-mirrorable
+    // literal plan — and an EXACT-tie corpus (every vector equidistant
+    // to duplicated centroids) must break ties to the lowest cell id
+    // identically on both paths
+    val dup = Array(cents(3), cents(3), cents(7))
+    val litDup = cells(Similarity.assignCellsLiteral(df, "embedding", dup))
+    val natDup = cells(Similarity.assignCellsNative(df, "embedding", dup))
+    assert(litDup == natDup)
+    assert(!litDup.values.exists(_ == 1), "tie between duplicate centroids must go to the lowest id")
+  }
+
   test("adcTopKRefined: pool covering the corpus degenerates to exact L2; small pools stay ADC-bounded") {
     import graft.sim.{AnnRecall, Pq}
     val dim = 16
