@@ -90,6 +90,29 @@ object TextHash {
     new GenericArrayData(arr)
   }
 
+  /** Bloom-filter membership probe: test all `prefixes.length` bit
+    * positions (position_i = md5Top60(prefix_i ++ itemBytes) mod
+    * nBits — the SAME hash family as [[cmsBuckets]]: a Bloom filter
+    * IS a depth-row CMS with 1-bit saturating counters) against a
+    * packed little-endian word array, early-exiting on the first
+    * clear bit. The common case at scale — a fact row whose key is
+    * NOT in the dimension — pays ~1 digest, not `depth`. */
+  def bloomContains(
+      item: org.apache.spark.unsafe.types.UTF8String,
+      prefixes: Array[Array[Byte]], nBits: Long, words: Array[Long]): Boolean = {
+    val md = md5Local.get()
+    val out = new Array[Byte](16)
+    val b = item.getBytes
+    var i = 0
+    while (i < prefixes.length) {
+      md.update(prefixes(i))
+      val p = top60(md, b, 0, b.length, out) % nBits
+      if ((words(p.toInt >>> 6) & (1L << (p & 63L).toInt)) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
   /** (a·h + b) mod 2⁶¹−1 via a 128-bit product (multiplyHigh):
     * a·h = hi·2⁶⁴ + lo with 2⁶⁴ ≡ 8 and 2⁶¹ ≡ 1 (mod p). Inputs are
     * < 2⁶¹ so the signed high word equals the unsigned one. */
@@ -713,7 +736,43 @@ case class CmsBucketsExpr(child: Expression, depth: Int, width: Int, seed: Long)
   override def prettyName: String = "cms_buckets"
 }
 
+/** Codegen'd Bloom membership probe against a driver-built packed bit
+  * array (referenced object, NOT a plan literal — a 2²⁰-bit filter is
+  * 16 KiB of words that would otherwise bloat every serialized plan
+  * fragment). Bit positions share [[CmsBucketsExpr]]'s hash family
+  * ("cms<seed>|<i>|" prefixes), so the builder can derive positions
+  * with the cmsBuckets column and the two stay definitionally locked.
+  * Early-exits on the first clear bit (TextHash.bloomContains). */
+case class BloomContainsExpr(
+    child: Expression, nHashes: Int, nBits: Int, seed: Long, words: Array[Long])
+    extends UnaryExpression with Serializable {
+  require(nBits >= 64 && nBits % 64 == 0 && words.length == nBits / 64,
+    s"bloom needs nBits a positive multiple of 64 matching words (got $nBits, ${words.length} words)")
+  override def dataType: DataType = BooleanType
+  @transient private lazy val prefixes: Array[Array[Byte]] =
+    Array.tabulate(nHashes)(i =>
+      s"cms$seed|$i|".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  override def nullSafeEval(in: Any): Any =
+    TextHash.bloomContains(
+      in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      prefixes, nBits.toLong, words)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("bloomPrefixes", prefixes, "byte[][]")
+    val wRef = ctx.addReferenceObj("bloomWords", words, "long[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextHash.bloomContains($a, $pRef, ${nBits}L, $wRef);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "bloom_contains"
+}
+
 object TextHashExpressions {
+  /** Bloom membership probe column (codegen'd; see
+    * [[BloomContainsExpr]]). */
+  def bloomContains(
+      item: Column, nHashes: Int, nBits: Int, seed: Long, words: Array[Long]): Column =
+    Bridge.column(BloomContainsExpr(Bridge.expression(item), nHashes, nBits, seed, words))
+
   /** Minhash signature vector over a shingle array column. */
   def minHashArray(shingles: Column, numHashes: Int): Column =
     Bridge.column(MinHashArray(Bridge.expression(shingles), numHashes))

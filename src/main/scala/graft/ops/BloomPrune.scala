@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHashExpressions
+
+/** Explicit Bloom-filter semi-join pruning — the 100 TB pattern for a
+  * selective dimension that is too big to broadcast: build a compact
+  * bit array from the dimension keys once, filter the fact side AT THE
+  * SCAN (before any shuffle), then run the exact join to remove the
+  * Bloom's false positives. The final result is IDENTICAL to the plain
+  * join (false positives are the only error mode and the exact join
+  * removes them; false negatives are impossible), so the operator is
+  * oracled against the un-pruned SQL — while the shuffle ships only
+  * `match_rate + fp_rate` of the fact table instead of all of it.
+  *
+  * Relationship to Spark's own runtime filter
+  * (`spark.sql.optimizer.runtime.bloomFilter.enabled`,
+  * InjectRuntimeFilter): Catalyst injects a BloomFilterAggregate
+  * subquery only under size/selectivity heuristics it can estimate,
+  * and its sketch is engine-private. This operator is the explicit,
+  * deterministic twin — the md5-top60 family (INVARIANTS.md §1) makes
+  * the pruned plan a pure function of the dimension key SET, and the
+  * pipeline author decides where it pays (e.g. a curated-id anti set,
+  * a contaminated-document list) instead of hoping the optimizer sees
+  * it. Both can coexist: this filter composes as a plain predicate.
+  *
+  * Scale contracts:
+  *  - build is one distinct-positions aggregation over the dimension
+  *    (map-side partials ship ≤ nBits longs per task) and a bounded
+  *    driver collect of ≤ nBits set positions packed to nBits/64
+  *    longs (2²⁰ bits = 16 KiB; the ≤ 2²⁷-bit cap below keeps the
+  *    worst case at 16 MiB — the same order as a broadcast hash
+  *    relation for the dim, but shipped once per executor inside the
+  *    plan's referenced objects, not per task);
+  *  - probe is one codegen'd expression per fact row with early exit
+  *    (a non-member pays ~1 md5, not nHashes) that pushes PAST the
+  *    parquet scan into the first stage — zero shuffle;
+  *  - sizing: for target false-positive rate ε at n keys, use
+  *    nBits ≈ 1.44·n·log2(1/ε) and nHashes ≈ 0.693·nBits/n (the
+  *    classic optimum); [[Filter.fpRate]] reports the realized rate.
+  */
+object BloomPrune {
+
+  /** Hard cap on the packed filter size (2²⁷ bits = 16 MiB of words):
+    * past this a broadcast join of the keys themselves is the better
+    * plan and the driver copy stops being "bounded". */
+  val MaxBits: Int = 1 << 27
+
+  /** A built filter: the packed bit words plus the knobs that define
+    * the hash family. Serializable — ships to executors inside the
+    * probe expression's referenced objects. */
+  final case class Filter(nHashes: Int, nBits: Int, seed: Long, words: Array[Long])
+      extends Serializable {
+    /** Number of set bits (drives the realized false-positive rate). */
+    def bitsSet: Long = words.foldLeft(0L)((a, w) => a + java.lang.Long.bitCount(w))
+    /** Realized false-positive probability for a uniform non-member:
+      * (bitsSet/nBits)^nHashes. */
+    def fpRate: Double = math.pow(bitsSet.toDouble / nBits, nHashes)
+    /** Membership probe column (codegen'd, early-exit). Null keys
+      * yield null (filtered out by a WHERE, matching join semantics). */
+    def contains(key: Column): Column =
+      TextHashExpressions.bloomContains(key.cast("string"), nHashes, nBits, seed, words)
+  }
+
+  /** Build a [[Filter]] from a dimension key column: ONE aggregation
+    * (explode the nHashes positions, distinct — partial aggregation
+    * bounds every map task's output at nBits) and a bounded driver
+    * collect of the ≤ nBits distinct positions. */
+  def build(
+      dim: DataFrame,
+      keyCol: String,
+      nBits: Int,
+      nHashes: Int = 3,
+      seed: Long = 0L): Filter = {
+    require(nBits >= 64 && nBits % 64 == 0 && nBits <= MaxBits,
+      s"nBits must be a multiple of 64 in [64, $MaxBits], got $nBits")
+    require(nHashes >= 1 && nHashes <= 16, s"nHashes must be in [1,16], got $nHashes")
+    val pos = dim
+      .filter(col(keyCol).isNotNull)
+      .select(explode(TextHashExpressions.cmsBuckets(
+        col(keyCol).cast("string"), nHashes, nBits, seed)).as("p"))
+      .distinct()
+      .collect()
+    val words = new Array[Long](nBits / 64)
+    pos.foreach { r =>
+      val p = r.getLong(0).toInt
+      words(p >>> 6) |= (1L << (p & 63))
+    }
+    Filter(nHashes, nBits, seed, words)
+  }
+
+  /** Exact semi join with a Bloom pre-filter on the fact side:
+    * `fact LEFT SEMI JOIN dim ON fact.factKey = dim.dimKey`, with the
+    * Bloom predicate pruning fact rows before the join's shuffle.
+    * Result ≡ the plain semi join (the join removes false positives).
+    * The dim plan is evaluated twice (once to build, once to join) —
+    * cache it upstream if it is itself expensive. */
+  def semiJoin(
+      fact: DataFrame,
+      factKey: String,
+      dim: DataFrame,
+      dimKey: String,
+      nBits: Int,
+      nHashes: Int = 3,
+      seed: Long = 0L): DataFrame = {
+    val f = build(dim.select(col(dimKey)), dimKey, nBits, nHashes, seed)
+    fact
+      .filter(col(factKey).isNotNull && f.contains(col(factKey)))
+      .join(dim, fact(factKey) === dim(dimKey), "left_semi")
+  }
+}

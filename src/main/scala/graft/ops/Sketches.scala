@@ -169,6 +169,92 @@ object Sketches {
         col(valueCol).cast("double").as("value")): _*)
   }
 
+  /** HyperLogLog (Flajolet et al. 2007) on the portable md5-top60
+    * hash — the O(m)-state distinct counter for when even KMV's k
+    * longs per group are too many (m = 2^b registers of one byte of
+    * information each; standard error ≈ 1.04/sqrt(m)).
+    *
+    * Register split of the 60-bit hash: bucket = top b bits,
+    * w = low (60−b) bits, rho(w) = leading-zero count of w within
+    * (60−b) bits + 1 = (61−b) − bitlength(w) (w = 0 → 61−b). The
+    * registers are a two-level relational aggregation — groupBy
+    * bucket → max(rho) — so map-side partial aggregation ships at
+    * most m rows per task, the same state bound as the classic
+    * register-array implementation, and the sketch stays a pure
+    * function of the input SET (any partitioning, any engine).
+    *
+    * Determinism (INVARIANTS.md §1): the harmonic sum Σ 2^−M_j is
+    * order-dependent in floating point, so it is computed as the
+    * EXACT integer Σ 2^(maxRho−M_j) (BIGINT: ≤ m·2^(61−b) ≤ 2^61 for
+    * b ≥ 8) and divided once in double; rho itself is string-exact
+    * via bin() (no log2). The only transcendental is the small-range
+    * linear-counting branch m·ln(m/V), rounded once at 9 digits on
+    * both sides. alpha_m is a driver constant injected identically
+    * into both expression trees. */
+  def hllDistinctByKey(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      b: Int = 8,
+      tag: String = "hll"): DataFrame = {
+    val regs = hllRegisters(df, keys, valueCol, b, tag)
+    val agg = regs.groupBy(keys.map(col): _*)
+      .agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${61 - b} - _M)")).as("_sp"),
+        count(lit(1)).as("_n"))
+    agg.select((keys.map(col) :+ hllEstimate(b).as("distinct_est")): _*)
+  }
+
+  /** Global [[hllDistinctByKey]]: one row, `distinct_est`. */
+  def hllDistinct(df: DataFrame, valueCol: String, b: Int = 8, tag: String = "hll"): DataFrame =
+    hllRegisters(df, Nil, valueCol, b, tag)
+      .agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${61 - b} - _M)")).as("_sp"),
+        count(lit(1)).as("_n"))
+      .select(hllEstimate(b).as("distinct_est"))
+
+  /** (keys..., _bkt, _M): max-rho register per present bucket. */
+  private def hllRegisters(
+      df: DataFrame, keys: Seq[String], valueCol: String, b: Int, tag: String): DataFrame = {
+    require(b >= 4 && b <= 16, s"hll needs 4 <= b <= 16, got $b")
+    val low = 60 - b
+    val h = h60(concat_ws("|", lit(tag), col(valueCol).cast("string")))
+    df.filter(col(valueCol).isNotNull)
+      .select((keys.map(col) :+
+        shiftright(h, low).as("_bkt") :+
+        h.bitwiseAND(lit((1L << low) - 1)).as("_w")): _*)
+      .select((keys.map(col) :+ col("_bkt") :+
+        when(col("_w") === 0, lit(low + 1))
+          .otherwise(lit(low + 1) - length(bin(col("_w"))))
+          .cast("int").as("_rho")): _*)
+      .groupBy((keys.map(col) :+ col("_bkt")): _*)
+      .agg(max(col("_rho")).as("_M"))
+  }
+
+  /** alpha_m · m² · 2^(61−b) / sumInt with absent-bucket terms folded
+    * in as integers, plus the standard small-range linear-counting
+    * correction (the one transcendental, rounded at 9 digits). */
+  private def hllEstimate(b: Int): Column = {
+    val m = 1 << b
+    val alpha = hllAlpha(m)
+    val p2 = math.pow(2.0, 61 - b) // exact power of two
+    val sumInt = col("_sp") + (lit(m.toLong) - col("_n")) * lit(1L << (61 - b))
+    val e = lit(alpha) * lit(m.toDouble * m) * lit(p2) / sumInt.cast("double")
+    val v = lit(m.toLong) - col("_n")
+    when(e <= lit(2.5 * m) && v > 0,
+      round(lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double")), 9))
+      .otherwise(e)
+  }
+
+  /** The standard HLL bias constant (m ≥ 128 branch is the closed
+    * form; small m uses Flajolet's tabulated values). */
+  def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
   /** Count-Min sketch (Cormode & Muthukrishnan 2005) as a RELATIONAL
     * artifact: `depth` hash rows × `width` counters, built with one
     * groupBy over (row, bucket) — partial aggregation compresses each

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.TemporalJoin
+import graft.ops.{BloomPrune, TemporalJoin}
 import graft.stats.Moments
 import graft.stats.Moments.{Sql => MS}
 
@@ -112,5 +112,38 @@ object JoinQueries extends QueryProvider {
         CAST(COUNT(1) AS BIGINT) AS n
       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""))
 
-  def all: Seq[Q] = Seq(qAsOf, qRangeJoin, qRollup, qCube)
+  // ---- Bloom-pruned semi join (ops.BloomPrune): fact rows filtered
+  //      AT THE SCAN by a driver-built md5-family bit array, then the
+  //      exact left_semi removes the Bloom's false positives — result
+  //      ≡ the plain semi join, which is exactly what the oracle
+  //      replays (the Bloom changes shuffle volume, never output;
+  //      BloomPruneSpec asserts the pruning itself). nBits scales
+  //      with the dim count so the realized fp rate stays ~constant
+  //      at every SF without touching the oracle. ----
+  private val qBloomPrune = Q(
+    "q_bloom_prune_join",
+    (s, d) => {
+      val dim = Tables.part(s, d).filter(col("p_size") <= 10)
+      val nKeys = math.max(64L, dim.count())
+      val nBits = math.min(BloomPrune.MaxBits.toLong,
+        java.lang.Long.highestOneBit(nKeys * 16) * 2).toInt
+      BloomPrune.semiJoin(
+        Tables.lineitem(s, d), "l_partkey", dim, "p_partkey", nBits)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          Moments.sumExactInt(col("l_quantity")).as("sum_qty"),
+          Moments.sumExactMoney(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+    Some(s"""
+      SELECT l_returnflag,
+        ${MS.sumExactInt("l_quantity")} AS sum_qty,
+        ${MS.sumExactMoney("l_extendedprice")} AS revenue,
+        CAST(COUNT(1) AS BIGINT) AS n
+      FROM lineitem
+      WHERE l_partkey IS NOT NULL
+        AND l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 10)
+      GROUP BY 1"""))
+
+  def all: Seq[Q] = Seq(qAsOf, qRangeJoin, qRollup, qCube, qBloomPrune)
 }

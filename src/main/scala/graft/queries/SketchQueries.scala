@@ -209,7 +209,71 @@ object SketchQueries extends QueryProvider {
       GROUP BY 1"""
     })
 
+  // ---- HyperLogLog distinct estimate per group (b=8, m=256
+  //      registers): bucket = top 8 hash bits, rho from the low-52-bit
+  //      length (string-exact via bin(), no log2), registers as a
+  //      two-level groupBy. The harmonic sum is the EXACT integer
+  //      Σ 2^(53−M) (invariant 1 — FP summation order would not
+  //      replay); the only transcendental is the linear-counting
+  //      branch's ln, rounded once at 9 digits on both sides. Two
+  //      metrics so BOTH estimator branches are oracle-covered:
+  //      partkey (~2000 distinct per flag → raw HLL branch) and
+  //      suppkey (~100 → small-range linear counting). ----
+  private val hllB = 8
+  private val qHll = Q(
+    "q_hll_distinct",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      def one(valCol: String, label: String) =
+        Sketches.hllDistinctByKey(li, Seq("l_returnflag"), valCol, hllB)
+          .select(col("l_returnflag"), lit(label).as("metric"), col("distinct_est"))
+      one("l_partkey", "partkey").unionByName(one("l_suppkey", "suppkey"))
+    },
+    Some {
+      val m = 1 << hllB              // 256
+      val low = 60 - hllB            // 52
+      val maxRho = low + 1           // 53
+      val mask = (1L << low) - 1
+      val alpha = Sketches.hllAlpha(m)
+      val p2 = math.pow(2.0, maxRho)
+      def chain(valCol: String, sfx: String) = s"""
+      h_$sfx AS (
+        SELECT l_returnflag,
+          ${h60Sql(s"CONCAT('hll|', CAST($valCol AS VARCHAR))")} AS h
+        FROM lineitem WHERE $valCol IS NOT NULL),
+      r_$sfx AS (
+        SELECT l_returnflag, h >> $low AS bkt, h & $mask AS w FROM h_$sfx),
+      rho_$sfx AS (
+        SELECT l_returnflag, bkt,
+          CASE WHEN w = 0 THEN $maxRho ELSE $maxRho - LENGTH(bin(w)) END AS rho
+        FROM r_$sfx),
+      regs_$sfx AS (
+        SELECT l_returnflag, bkt, MAX(rho) AS M FROM rho_$sfx GROUP BY 1, 2),
+      agg_$sfx AS (
+        SELECT l_returnflag,
+          CAST(SUM(1::BIGINT << ($maxRho - M)) AS BIGINT) AS sp,
+          COUNT(*) AS n
+        FROM regs_$sfx GROUP BY 1)"""
+      def est(label: String, sfx: String) = s"""
+      SELECT l_returnflag, '$label' AS metric,
+        CASE WHEN CAST('$alpha' AS DOUBLE) * CAST('${m.toDouble * m}' AS DOUBLE) * CAST('$p2' AS DOUBLE)
+                    / CAST(sp + ($m - n) * ${1L << maxRho} AS DOUBLE)
+                  <= CAST('${2.5 * m}' AS DOUBLE) AND ($m - n) > 0
+             THEN ROUND(CAST('${m.toDouble}' AS DOUBLE) *
+                    LN(CAST('${m.toDouble}' AS DOUBLE) / CAST($m - n AS DOUBLE)), 9)
+             ELSE CAST('$alpha' AS DOUBLE) * CAST('${m.toDouble * m}' AS DOUBLE) * CAST('$p2' AS DOUBLE)
+                    / CAST(sp + ($m - n) * ${1L << maxRho} AS DOUBLE)
+        END AS distinct_est
+      FROM agg_$sfx"""
+      s"""
+      WITH ${chain("l_partkey", "pk")},
+      ${chain("l_suppkey", "sk")}
+      ${est("partkey", "pk")}
+      UNION ALL
+      ${est("suppkey", "sk")}"""
+    })
+
   override def all: Seq[Q] = Seq(
     qKmv, qSampleQuantiles, qPrioritySample, qQuantilesByKey, qSourceBudget,
-    qPrioritySampleByKey, qCmsCounts)
+    qPrioritySampleByKey, qCmsCounts, qHll)
 }

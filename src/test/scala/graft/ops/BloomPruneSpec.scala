@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BloomPruneSpec extends SparkSpec {
+  import spark.implicits._
+
+  // fact keyed 1..10000 cycling; dim holds keys 1..100 only
+  private lazy val fact = spark.range(1, 50001)
+    .select(col("id").as("row_id"), (col("id") % 10000 + 1).as("k"),
+      (col("id") % 7).cast("double").as("w"))
+  private lazy val dim = spark.range(1, 101).select(col("id").as("dk"))
+
+  test("bloom filter has zero false negatives and a low fp rate") {
+    val f = BloomPrune.build(dim, "dk", nBits = 4096, nHashes = 3, seed = 7L)
+    // every dim key must pass
+    val misses = dim.filter(!f.contains(col("dk"))).count()
+    assert(misses == 0L, s"$misses false negatives")
+    // realized fp rate on known non-members tracks the analytic rate
+    val nonMembers = spark.range(20001, 30001).select(col("id").as("k"))
+    val fp = nonMembers.filter(f.contains(col("k"))).count()
+    assert(f.fpRate < 0.01, s"analytic fp ${f.fpRate}")
+    assert(fp <= 10000 * (f.fpRate * 5 + 0.001), s"$fp false positives at ${f.fpRate}")
+  }
+
+  test("semiJoin result is identical to the plain left_semi join") {
+    val pruned = BloomPrune.semiJoin(fact, "k", dim, "dk", nBits = 1024)
+      .orderBy(col("row_id")).collect()
+    val plain = fact.join(dim, fact("k") === dim("dk"), "left_semi")
+      .orderBy(col("row_id")).collect()
+    assert(pruned.sameElements(plain))
+    assert(pruned.nonEmpty)
+  }
+
+  test("the bloom predicate prunes before the join (fact side shrinks)") {
+    val f = BloomPrune.build(dim, "dk", nBits = 4096, nHashes = 3)
+    val pass = fact.filter(f.contains(col("k"))).count()
+    val members = fact.join(dim, fact("k") === dim("dk"), "left_semi").count()
+    // all members pass, plus at most a small fp margin of the 49500
+    // non-member rows — the shuffle-volume claim in the scaladoc
+    assert(pass >= members)
+    assert(pass <= members + (50000 * (f.fpRate * 5 + 0.001)).toLong,
+      s"pass=$pass members=$members fp=${f.fpRate}")
+  }
+
+  test("null and absent keys never pass; undersized filter still exact") {
+    val withNulls = Seq((1L, Option(5L)), (2L, None), (3L, Option(999999L)))
+      .toDF("row_id", "k")
+    val out = BloomPrune.semiJoin(withNulls, "k", dim, "dk", nBits = 64, nHashes = 2)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    // nBits=64 for 100 keys: heavily saturated bloom (fp ~ 1) — the
+    // exact join still removes every false positive
+    val sat = BloomPrune.build(dim, "dk", nBits = 64, nHashes = 2)
+    assert(sat.fpRate > 0.5) // saturated indeed
+    val pruned = BloomPrune.semiJoin(fact, "k", dim, "dk", nBits = 64, nHashes = 2)
+    val plain = fact.join(dim, fact("k") === dim("dk"), "left_semi")
+    assert(pruned.count() == plain.count())
+  }
+
+  test("build rejects invalid shapes") {
+    intercept[IllegalArgumentException] {
+      BloomPrune.build(dim, "dk", nBits = 100) // not a multiple of 64
+    }
+    intercept[IllegalArgumentException] {
+      BloomPrune.build(dim, "dk", nBits = 1024, nHashes = 0)
+    }
+  }
+}

@@ -204,6 +204,41 @@ class SketchSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("HLL distinct estimate lands within 4 standard errors of truth") {
+    // b=8 -> m=256 registers, se ~ 1.04/16 = 6.5%
+    val est = Sketches.hllDistinctByKey(grouped, Seq("grp"), "v", b = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(est("0") / 250.0 - 1.0) < 4 * 1.04 / 16.0, s"got ${est("0")}")
+    assert(math.abs(est("1") / 500.0 - 1.0) < 4 * 1.04 / 16.0, s"got ${est("1")}")
+  }
+
+  test("HLL small-range branch (linear counting) is near-exact") {
+    // 40 distinct over m=256 registers: E <= 2.5m -> m*ln(m/V) branch,
+    // which is near-exact when n << m (collision-corrected occupancy)
+    val small = spark.range(1, 2001).select(col("id"), (col("id") % 40).as("v"))
+    val e = Sketches.hllDistinct(small, "v", b = 8).head().getDouble(0)
+    assert(math.abs(e - 40.0) < 4.0, s"linear-counting estimate $e")
+  }
+
+  test("HLL sketch is partitioning-invariant (bitwise)") {
+    val a = Sketches.hllDistinct(grouped, "v", b = 8).head().getDouble(0)
+    val b = Sketches.hllDistinct(grouped.repartition(13, col("id")), "v", b = 8)
+      .head().getDouble(0)
+    val c = Sketches.hllDistinct(grouped.coalesce(1), "v", b = 8).head().getDouble(0)
+    assert(a == b && b == c)
+  }
+
+  test("HLL register split matches the definition on a known hash") {
+    // one value: its single register must be bucket=h>>52,
+    // rho=53-bitlen(low 52 bits); estimate then rides the
+    // linear-counting branch with V=255 -> m*ln(m/255)
+    val one = Seq(("x", 42L)).toDF("grp", "v")
+    val e = Sketches.hllDistinct(one, "v", b = 8).head().getDouble(0)
+    val expected = BigDecimal(256.0 * math.log(256.0 / 255.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(e == expected, s"$e vs $expected")
+  }
+
   private implicit class JavaTreeSetOps(ts: java.util.TreeSet[java.lang.Long]) {
     def asScala: Iterator[Long] = {
       val it = ts.iterator()
