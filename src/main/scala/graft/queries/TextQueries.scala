@@ -207,19 +207,24 @@ object TextQueries extends QueryProvider {
   /** The 32-slot minhash chain as SQL CTEs ending in
     * m(doc_id, mh_0..mh_31) — shared by q_minhash_signatures and the
     * LSH-candidate jaccard oracle. */
-  private def minhashCtes: String = {
+  private def minhashCtes: String = minhashCtesFor("", "TRUE")
+
+  /** [[minhashCtes]] over a document SUBSET (CTE names suffixed so two
+    * chains — e.g. the incremental-dedup corpus and batch splits — can
+    * coexist in one oracle). */
+  private def minhashCtesFor(sfx: String, pred: String): String = {
     val p = graft.functions.TextHash.P61
     val minCols = graft.functions.TextHash.slotCoefs(32).zipWithIndex
       .map { case ((a, b), i) =>
         s"CAST(MIN((CAST($a AS HUGEINT) * h + $b) % $p) AS BIGINT) AS mh_$i"
       }.mkString(",\n            ")
-    s"""w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
-      g0 AS (SELECT doc_id, ws, UNNEST(generate_series(1, len(ws) - 2)) AS i FROM w),
-      g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s FROM g0),
-      hh AS (SELECT doc_id, ${h60Sql("s")} AS h FROM g),
-      m AS (SELECT doc_id,
+    s"""w$sfx AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents WHERE $pred),
+      g0$sfx AS (SELECT doc_id, ws, UNNEST(generate_series(1, len(ws) - 2)) AS i FROM w$sfx),
+      g$sfx AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s FROM g0$sfx),
+      hh$sfx AS (SELECT doc_id, ${h60Sql("s")} AS h FROM g$sfx),
+      m$sfx AS (SELECT doc_id,
             $minCols
-          FROM hh GROUP BY doc_id)"""
+          FROM hh$sfx GROUP BY doc_id)"""
   }
 
   private val qMinhash = Q(
@@ -1581,6 +1586,61 @@ object TextQueries extends QueryProvider {
       SELECT doc_id, term, tf, tfidf, CAST(rn AS BIGINT) AS rn
       FROM r WHERE rn <= 5"""))
 
+  // ---- incremental dedup: the corpus (even doc_ids) persisted as a
+  //      MinHash-LSH signature index (text.DedupIndex — built once,
+  //      ensureIndex-cached like the ANN serving layouts), probed by
+  //      the "ingest batch" (odd doc_ids) for cross near-dup pairs.
+  //      The corpus never shuffles: one bands/ scan joined against the
+  //      broadcast batch triples, one sigs/ scan against the broadcast
+  //      candidates. The oracle replays both sides' minhash chains
+  //      (shared CTE generator), band-tuple equality, the corpus-side
+  //      bucket cap, and the slot-agreement estimate. ----
+  private val qDedupIncremental = Q(
+    "q_dedup_incremental",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val path = indexPath(d, "dedup", "k32b8")
+      ensureIndex(d, path) {
+        graft.text.DedupIndex.write(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
+        // the index writes land in sigs/ and bands/ subdirs; surface
+        // the completion marker where ensureIndex looks for it (only
+        // after BOTH subtable writes committed)
+        new java.io.File(path, "_SUCCESS").createNewFile()
+      }
+      graft.text.DedupIndex.probePairs(
+        s, path, docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    },
+    Some {
+      val bandCase = (0 until 8).map(b =>
+        s"WHEN $b THEN [${(4 * b until 4 * b + 4).map(i => s"mh_$i").mkString(", ")}]")
+        .mkString(" ")
+      def banded(sfx: String) = s"""
+      mm$sfx AS (SELECT * FROM m$sfx WHERE mh_0 IS NOT NULL),
+      bnd$sfx AS (SELECT doc_id, b AS band_idx,
+          CASE b $bandCase END AS bv
+        FROM mm$sfx, (SELECT UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS b) t)"""
+      val agree = (0 until 32)
+        .map(i => s"CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""
+      WITH ${minhashCtesFor("c", "doc_id % 2 = 0")},
+      ${minhashCtesFor("b", "doc_id % 2 = 1")},
+      ${banded("c")},
+      ${banded("b")},
+      bszc AS (SELECT band_idx, bv, COUNT(*) AS bn FROM bndc GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT c.doc_id AS corpus_id, bb.doc_id AS batch_id
+        FROM bndc c
+        JOIN bndb bb ON bb.band_idx = c.band_idx AND bb.bv = c.bv
+        JOIN bszc z ON z.band_idx = c.band_idx AND z.bv = c.bv
+        WHERE z.bn <= 100000)
+      SELECT cand.corpus_id, cand.batch_id,
+        CAST($agree AS DOUBLE) / 32 AS est_jaccard
+      FROM cand
+      JOIN mmc a ON a.doc_id = cand.corpus_id
+      JOIN mmb b ON b.doc_id = cand.batch_id"""
+    })
+
   def all: Seq[Q] = Seq(
     qDedupExact, qFingerprint, qTokens, qQuality, qLangId, qJaccard, qAnn, qAnnLsh,
     qAnnIvf, qMinhash, qSimhash, qSimhashPairs, qBudgetPairs, qBudgetClusters,
@@ -1588,5 +1648,5 @@ object TextQueries extends QueryProvider {
     qTokenTopK, qStratSample, qMixSources, qContamination, qRepetition, qCurationSignals,
     qPiiRedact, qLmScore, qAnnPq, qAnnPqRefined, qAnnIvfPq, qDedupClusters, qAnnIvfPruned, qAnnLshPruned,
     qAnnIvfBatch, qPack, qTfIdf, qChunk, qPackBins, qAnnRecall, qSemanticPairs, qShuffle,
-    qSharedSpans, qSpanBudgetPairs, qSpanBudgetClusters)
+    qSharedSpans, qSpanBudgetPairs, qSpanBudgetClusters, qDedupIncremental)
 }

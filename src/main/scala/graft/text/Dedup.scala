@@ -165,7 +165,7 @@ object Dedup {
     banded.join(oversized, Seq("band_idx", "band_hash"), "left_semi")
   }
 
-  private def bandedTriples(
+  private[graft] def bandedTriples(
       signatures: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     val bandCols = (0 until bands).map { b =>

@@ -1,0 +1,159 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental near-dup deduplication: a PERSISTED MinHash-LSH
+  * signature index over the corpus, probed by each new ingest batch —
+  * the daily-crawl pattern, where re-running [[Dedup]]'s batch
+  * self-join over corpus ∪ batch would re-shingle and re-shuffle the
+  * full 100 TB corpus for every arriving shard.
+  *
+  * Index layout under `path` (plain parquet — readable by any engine):
+  *  - `bands/`  (doc_id, band_idx, band_hash): the LSH membership
+  *    triples, ~20 B × bands per document;
+  *  - `sigs/`   (doc_id, mh_0..mh_{k-1}): the signatures, for the
+  *    jaccard estimate on candidates.
+  * Both are pure row-local functions of each document (signatures are
+  * deterministic — INVARIANTS.md §1), so [[append]] is just additional
+  * parquet files: append-then-probe ≡ rebuild-then-probe exactly
+  * (DedupIndexSpec asserts it), with no compaction or merge step.
+  *
+  * Probe scale contract (the asymmetry is the point — `batch` is the
+  * small side, the corpus is unbounded):
+  *  - the corpus NEVER shuffles: the candidate join broadcasts the
+  *    batch's banded triples against one scan of `bands/`, and the
+  *    signature joins broadcast the candidates against one scan of
+  *    `sigs/` (same shape as [[Dedup.contaminationScores]]'s broadcast
+  *    probe);
+  *  - skew: a batch band-hash that hits an oversized corpus bucket
+  *    (boilerplate clusters — the LSH mega-bucket mode) is dropped by
+  *    the `maxBucketRows` cap BEFORE the join fans out, from one
+  *    aggregate-only histogram pass over `bands/`; the dropped buckets
+  *    are the standard [[Dedup.minHashOversizedBuckets]] playbook
+  *    (their members are near-identical — route to exact dedup on the
+  *    band hash).
+  */
+object DedupIndex {
+
+  /** Write (or overwrite) the index for `docs`. Documents with no
+    * shingles (< shingleSize words) have null signatures and are not
+    * indexed — they cannot be near-dup candidates. */
+  def write(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      numHashes: Int = 32,
+      bands: Int = 8): Unit =
+    writeMode(docs, idCol, textCol, path, numHashes, bands, "overwrite")
+
+  /** Incrementally add a new shard to an existing index (row-local
+    * computation, parquet file append — no read-modify-write of the
+    * existing index). Caller contract: ids must be new; appending an
+    * id twice yields self-candidate pairs on later probes. */
+  def append(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      numHashes: Int = 32,
+      bands: Int = 8): Unit =
+    writeMode(docs, idCol, textCol, path, numHashes, bands, "append")
+
+  private def writeMode(
+      docs: DataFrame, idCol: String, textCol: String, path: String,
+      numHashes: Int, bands: Int, mode: String): Unit = {
+    val sigs = Dedup.minHashSignatures(docs, idCol, textCol, numHashes)
+      .filter(col("mh_0").isNotNull)
+      // one signature computation feeds both tables (the two writes
+      // are separate jobs; without the pin the shingle+minhash pass —
+      // the expensive part — would run twice)
+      .persist(graft.ops.Caches.memoLevel(docs.sparkSession))
+    try {
+      sigs.write.mode(mode).parquet(s"$path/sigs")
+      Dedup.bandedTriples(sigs, idCol, numHashes, bands)
+        .write.mode(mode).parquet(s"$path/bands")
+    } finally { sigs.unpersist(); () }
+  }
+
+  /** Cross near-dup candidates (corpus_id, batch_id, est_jaccard) of a
+    * new batch against the indexed corpus. `est_jaccard` is the
+    * fraction of agreeing minhash slots ([[Dedup.minHashJaccard]]);
+    * filter it against the caller's threshold. Within-batch pairs are
+    * NOT included — run the batch through the standard
+    * [[Dedup.minHashCandidatePairsBounded]] self-join for those. */
+  def probePairs(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      maxBucketRows: Long = 100000L): DataFrame = {
+    val batchSigs = Dedup.minHashSignatures(batch, idCol, textCol, numHashes)
+      .filter(col("mh_0").isNotNull)
+    val batchBanded = Dedup.bandedTriples(batchSigs, idCol, numHashes, bands)
+      .withColumnRenamed(idCol, "batch_id")
+    val corpusBands = spark.read.parquet(s"$path/bands")
+
+    // hot-bucket cap: one aggregate-only histogram over the index
+    // (map-side partials — one row per bucket per task, never the
+    // membership rows), restricted to the probed buckets, drives a
+    // left_semi prune of the batch triples. Everything broadcast here
+    // is batch-sized.
+    val probed = corpusBands
+      .join(broadcast(batchBanded.select(col("band_idx"), col("band_hash")).distinct()),
+        Seq("band_idx", "band_hash"), "left_semi")
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("_bn"))
+    val okBuckets = probed.filter(col("_bn") <= maxBucketRows)
+      .select(col("band_idx"), col("band_hash"))
+    val batchOk = batchBanded
+      .join(broadcast(okBuckets), Seq("band_idx", "band_hash"), "left_semi")
+
+    // candidate join: ONE scan of bands/, batch side broadcast — the
+    // corpus membership rows never shuffle
+    val cand = corpusBands
+      .join(broadcast(batchOk), Seq("band_idx", "band_hash"))
+      .select(col(idCol).as("corpus_id"), col("batch_id"))
+      .distinct()
+
+    // jaccard estimate: corpus sigs scanned once, candidates broadcast
+    val sigsRaw = spark.read.parquet(s"$path/sigs")
+    val corpusSigs = sigsRaw.toDF(sigsRaw.columns.map(c =>
+      if (c == idCol) "corpus_id" else s"a_$c").toIndexedSeq: _*)
+    val bSigs = batchSigs.toDF(batchSigs.columns.map(c =>
+      if (c == idCol) "batch_id" else s"b_$c").toIndexedSeq: _*)
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"a_mh_$i") === col(s"b_mh_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    corpusSigs
+      .join(broadcast(cand), Seq("corpus_id"))
+      .join(broadcast(bSigs), Seq("batch_id"))
+      .select(col("corpus_id"), col("batch_id"),
+        (agree.cast("double") / numHashes).as("est_jaccard"))
+  }
+
+  /** The ingest decision: batch documents with NO corpus near-dup at
+    * `threshold` (the rows to keep). Null-signature batch docs (< 3
+    * words) have no candidates and are kept. */
+  def newDocs(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      maxBucketRows: Long = 100000L): DataFrame = {
+    val dups = probePairs(
+      spark, path, batch, idCol, textCol, numHashes, bands, maxBucketRows)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("batch_id").as(idCol))
+      .distinct()
+    batch.join(broadcast(dups), Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,109 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+  private val nearDup = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+  private val other = "completely different content about spark query engines and shuffles everywhere"
+  private val third = "yet another unrelated document describing catalyst rules and physical plans"
+
+  private def corpus = Seq(
+    (1L, base), (3L, other), (5L, third), (7L, "ab") // 7: no shingles
+  ).toDF("doc_id", "text")
+
+  // 11 near-dups 1, 13 exact-dups 1, 15 is new, 17 has no shingles
+  private def batch = Seq(
+    (11L, nearDup), (13L, base), (15L, "fresh unseen material with many novel words inside it"),
+    (17L, "xy")
+  ).toDF("doc_id", "text")
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"dedupindex$tag").toString + "/idx"
+
+  test("probe finds exactly the cross near-dup pairs, with sane estimates") {
+    val path = tmp("probe")
+    DedupIndex.write(corpus, "doc_id", "text", path)
+    val pairs = DedupIndex.probePairs(spark, path, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // both dups of doc 1 found; exact dup agrees on every slot
+    assert(pairs.contains((1L, 13L)) && pairs((1L, 13L)) == 1.0)
+    assert(pairs.contains((1L, 11L)) && pairs((1L, 11L)) > 0.3)
+    // no candidate may involve the unrelated or shingle-less docs
+    assert(pairs.keys.forall { case (c, b) => c == 1L && (b == 11L || b == 13L) },
+      pairs.keys.toString)
+  }
+
+  test("append-then-probe is identical to rebuild-then-probe") {
+    val half1 = corpus.filter($"doc_id" <= 3)
+    val half2 = corpus.filter($"doc_id" > 3)
+    val pIncr = tmp("incr"); val pFull = tmp("full")
+    DedupIndex.write(half1, "doc_id", "text", pIncr)
+    DedupIndex.append(half2, "doc_id", "text", pIncr)
+    DedupIndex.write(corpus, "doc_id", "text", pFull)
+    def probe(p: String) = DedupIndex.probePairs(spark, p, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(probe(pIncr) == probe(pFull))
+  }
+
+  test("probe matches the batch self-join restricted to cross pairs") {
+    // reference: the standard candidate machinery over corpus ∪ batch,
+    // keeping only (corpus, batch) pairs — the index must reproduce it
+    val path = tmp("ref")
+    DedupIndex.write(corpus, "doc_id", "text", path)
+    val all = corpus.unionByName(batch)
+    val sigs = Dedup.minHashSignatures(all, "doc_id", "text")
+      .filter($"mh_0".isNotNull)
+    val refPairs: Set[(Long, Long)] = Dedup.minHashCandidatePairs(sigs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ref = refPairs
+      .filter { case (a, b) => (a < 10) != (b < 10) } // cross pairs only
+      .map { case (a, b) => if (a < 10) (a, b) else (b, a) }
+    val got = DedupIndex.probePairs(spark, path, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == ref, s"got $got ref $ref")
+  }
+
+  test("newDocs keeps exactly the batch docs without a corpus near-dup") {
+    val path = tmp("new")
+    DedupIndex.write(corpus, "doc_id", "text", path)
+    val kept = DedupIndex.newDocs(spark, path, batch, "doc_id", "text", threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    // 13 (exact dup, est 1.0) dropped; 11 near-dup: dropped iff its
+    // estimate clears 0.5 — assert consistency with the pairs instead
+    // of hardcoding the hash-dependent estimate
+    val est11 = DedupIndex.probePairs(spark, path, batch, "doc_id", "text")
+      .filter($"batch_id" === 11L).collect().map(_.getDouble(2)).maxOption
+    assert(!kept.contains(13L))
+    assert(kept.contains(15L) && kept.contains(17L))
+    assert(kept.contains(11L) == est11.forall(_ < 0.5))
+  }
+
+  test("oversized probed buckets are dropped, not exploded") {
+    // 60 identical corpus docs -> every band bucket holds 60 members;
+    // cap 10 must yield ZERO candidates for a matching batch doc
+    val big = (1L to 60L).map(i => (i, base)).toDF("doc_id", "text")
+    val path = tmp("cap")
+    DedupIndex.write(big, "doc_id", "text", path)
+    val probeDf = Seq((100L, base)).toDF("doc_id", "text")
+    val capped = DedupIndex.probePairs(
+      spark, path, probeDf, "doc_id", "text", maxBucketRows = 10L)
+    assert(capped.count() == 0L)
+    // and with a generous cap all 60 surface
+    val open = DedupIndex.probePairs(
+      spark, path, probeDf, "doc_id", "text", maxBucketRows = 1000L)
+    assert(open.count() == 60L)
+  }
+
+  test("the candidate join broadcasts the batch side (corpus never shuffles)") {
+    val path = tmp("plan")
+    DedupIndex.write(corpus, "doc_id", "text", path)
+    val plan = DedupIndex.probePairs(spark, path, batch, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}
