@@ -334,6 +334,26 @@ class IoStreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streaming HLL registers equal the batch registers (idempotent max-merge state)") {
+    import graft.ops.Sketches
+    import graft.functions.SketchFunctions
+    val dir = "/root/testdata/sf0.001"
+    val h = Sketches.h60(concat_ws("|", lit("shll"), $"user_id".cast("string")))
+    val agg = EventStream.readEvents(spark, eventsDir)
+      .groupBy($"event_type")
+      .agg(SketchFunctions.hllRegisters(h, 8).as("regs"))
+    val q = EventStream.runToMemory(agg, "hll_stream", outputMode = "complete")
+    q.stop()
+    val got = spark.table("hll_stream")
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1).toList).toMap
+    val batch = graft.Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(SketchFunctions.hllRegisters(h, 8).as("regs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1).toList).toMap
+    assert(got.nonEmpty)
+    assert(got == batch)
+  }
+
   test("readEvents starts on an empty ingest directory (schema fallback)") {
     // a streaming ingest dir normally exists BEFORE the first file
     // lands; schema inference from footers must fall back, not refuse

@@ -228,6 +228,36 @@ class SketchSpec extends SparkSpec {
     assert(a == b && b == c)
   }
 
+  test("HLL agg face is bitwise identical to the relational face") {
+    // the native HllRegistersAgg (one shuffle, streaming-safe) and the
+    // two-level groupBy must produce the SAME double — identical
+    // integer harmonic sums through the shared estimator tree
+    val rel = Sketches.hllDistinctByKey(grouped, Seq("grp"), "v", b = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val agg = Sketches.hllDistinctAggByKey(grouped, Seq("grp"), "v", b = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rel == agg)
+    // and under a different partitioning (merge path exercised)
+    val agg13 = Sketches.hllDistinctAggByKey(
+      grouped.repartition(13, col("id")), Seq("grp"), "v", b = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(agg13 == rel)
+  }
+
+  test("HllRegistersAgg serde round-trips and merge is elementwise max") {
+    val a = graft.functions.HllRegistersAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(1L), b = 4)
+    val b1 = a.createAggregationBuffer()
+    b1(3) = 5; b1(7) = 2
+    val b2 = a.deserialize(a.serialize(b1))
+    assert(b2.toSeq == b1.toSeq)
+    assert(!(b2 eq b1)) // defensive copy, no aliasing
+    val other = a.createAggregationBuffer()
+    other(3) = 4; other(7) = 9; other(0) = 1
+    val merged = a.merge(b2, other)
+    assert(merged(3) == 5 && merged(7) == 9 && merged(0) == 1)
+  }
+
   test("HLL register split matches the definition on a known hash") {
     // one value: its single register must be bucket=h>>52,
     // rho=53-bitlen(low 52 bits); estimate then rides the
