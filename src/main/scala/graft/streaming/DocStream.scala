@@ -2,7 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 import graft.pipeline.TrainingData
+import graft.text.DedupIndex
 
 /** Streaming face of the training-data curation pipeline (green-field,
   * SURVEY §2.11 — mirrors the batch `TrainingData.curate` stages that
@@ -43,4 +45,100 @@ object DocStream {
         col("n_tokens") >= cfg.minTokens)
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(Seq("fingerprint"))
+
+  /** UNBOUNDED-horizon streaming near-dup dedup — the stage the
+    * scaladoc above excludes from watermark streaming, made
+    * incremental by the persisted [[graft.text.DedupIndex]]. Per
+    * micro-batch: (1) gates + exact dedup + within-batch near-dup
+    * ([[TrainingData.curateFull]] on the batch ALONE — micro-batch
+    * sized, never the corpus), (2) cross-corpus probe against the
+    * index (the corpus is neither rescanned as text nor reshuffled —
+    * one scan of its compact signature tables), (3) survivors appended
+    * to the index and written to the sink. Dedup state lives in the
+    * parquet index: O(corpus) on DISK, ZERO state-store rows — where
+    * `dropDuplicatesWithinWatermark` only covers the watermark horizon
+    * and the [[CompactionDriver]] batch cycle re-reads the whole sink
+    * per compaction.
+    *
+    * Replay idempotence (foreachBatch re-runs a failed epoch): the
+    * `_last_batch` marker commits an epoch — a replayed id ≤ marker is
+    * a no-op. A crash BETWEEN the index append and the marker leaves
+    * the batch's rows in the index; the replay still emits the same
+    * survivors because probe self-matches are excluded
+    * ([[DedupIndex.newDocs]]) and signatures are deterministic (the
+    * duplicate index rows are benign: candidate sets are distinct'd).
+    * The sink write is per-epoch directory overwrite
+    * (`sink/batch=<id>`), so a replayed epoch replaces rather than
+    * duplicates its output. */
+  def ingestWithNearDupIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      sinkPath: String,
+      checkpointDir: String,
+      cfg: TrainingData.CurationConfig = TrainingData.CurationConfig(),
+      threshold: Double = 0.8): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId, idCol, textCol, indexPath, sinkPath, cfg, threshold)
+        ()
+      }
+      .start()
+
+  /** One epoch of [[ingestWithNearDupIndex]] — factored out so specs
+    * and batch backfills drive it directly. Returns the number of
+    * survivors written (−1 for a skipped replay). All filesystem
+    * probes go through the Hadoop FileSystem of the session conf (the
+    * sink/index may be hdfs:// or s3a:// — java.io.File would silently
+    * see nothing there). */
+  def ingestBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      sinkPath: String,
+      cfg: TrainingData.CurationConfig = TrainingData.CurationConfig(),
+      threshold: Double = 0.8): Long = {
+    val spark = batch.sparkSession
+    val hconf = spark.sessionState.newHadoopConf()
+    val idxRoot = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = idxRoot.getFileSystem(hconf)
+    val marker = new org.apache.hadoop.fs.Path(idxRoot, "_last_batch")
+    val last =
+      if (fs.exists(marker)) {
+        val in = fs.open(marker)
+        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+        finally in.close()
+      } else -1L
+    if (batchId <= last) return -1L
+
+    val curated = TrainingData.curateFull(batch, idCol, textCol, cfg).kept
+      .persist(graft.ops.Caches.memoLevel(spark))
+    try {
+      val hasIndex = fs.exists(
+        new org.apache.hadoop.fs.Path(idxRoot, "bands/_SUCCESS"))
+      val fresh = (if (hasIndex)
+        DedupIndex.newDocs(
+          spark, indexPath, curated, idCol, textCol, threshold,
+          cfg.minHashes, cfg.bands, cfg.maxBucketRows)
+      else curated)
+        // two consumers below (index write + sink write); unpinned,
+        // each would re-run the gate + LSH + probe chain
+        .persist(graft.ops.Caches.memoLevel(spark))
+      try {
+        val n = fresh.count()
+        if (hasIndex)
+          DedupIndex.append(fresh, idCol, textCol, indexPath, cfg.minHashes, cfg.bands)
+        else
+          DedupIndex.write(fresh, idCol, textCol, indexPath, cfg.minHashes, cfg.bands)
+        fresh.write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
+        val out = fs.create(marker, true)
+        try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+        n
+      } finally { fresh.unpersist(); () }
+    } finally { curated.unpersist(); () }
+  }
 }

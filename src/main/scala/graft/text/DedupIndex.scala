@@ -151,6 +151,13 @@ object DedupIndex {
       maxBucketRows: Long = 100000L): DataFrame = {
     val dups = probePairs(
       spark, path, batch, idCol, textCol, numHashes, bands, maxBucketRows)
+      // self-matches excluded: ids are globally unique in normal use
+      // (nothing matches), and after a CRASHED ingest epoch whose
+      // index append committed but whose marker did not, the replayed
+      // batch finds ITSELF in the index — without this guard every
+      // replayed document would score est=1.0 against its own prior
+      // append and be dropped (DocStream.ingestBatch idempotence)
+      .filter(col("corpus_id") =!= col("batch_id"))
       .filter(col("est_jaccard") >= threshold)
       .select(col("batch_id").as(idCol))
       .distinct()

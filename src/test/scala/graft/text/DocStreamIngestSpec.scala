@@ -1,0 +1,90 @@
+package graft.text
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.pipeline.TrainingData
+import graft.streaming.DocStream
+
+/** The incremental-ingest loop: DedupIndex-backed streaming near-dup
+  * dedup with an unbounded horizon (DocStream.ingestBatch /
+  * ingestWithNearDupIndex). */
+class DocStreamIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  // long unique-token texts: the near-dup differs in ONE word of 40,
+  // so 3 of 41 union shingles change -> jaccard ~0.85 and the 32-slot
+  // estimate clears 0.5 with no realistic sampling risk (a repeated-
+  // phrase fixture sat at J~0.65, within noise of the threshold)
+  private val tA = (0 until 40).map(i => s"alpha$i").mkString(" ")
+  private val tAdup = tA.replace("alpha39", "changed")
+  private val tB = (0 until 40).map(i => s"beta$i").mkString(" ")
+  private val tC = (0 until 40).map(i => s"gamma$i").mkString(" ")
+
+  private val cfg = TrainingData.CurationConfig(
+    minQuality = 0.0, langs = Set("en", "und"), minTokens = 3,
+    nearDupJaccard = 0.5)
+
+  private def dirs() = {
+    val root = Files.createTempDirectory("ingest").toString
+    (s"$root/idx", s"$root/sink", s"$root/ckpt")
+  }
+
+  test("cross-epoch near-dups are dropped beyond any watermark horizon") {
+    val (idx, sink, _) = dirs()
+    val b0 = Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
+    val b1 = Seq((11L, tAdup), (12L, tC)).toDF("doc_id", "text") // 11 near-dups epoch-0's 1
+    assert(DocStream.ingestBatch(b0, 0L, "doc_id", "text", idx, sink, cfg, 0.5) == 2L)
+    assert(DocStream.ingestBatch(b1, 1L, "doc_id", "text", idx, sink, cfg, 0.5) == 1L)
+    val kept = spark.read.parquet(sink).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 12L), kept.toString)
+  }
+
+  test("a replayed epoch is a no-op (marker commit)") {
+    val (idx, sink, _) = dirs()
+    val b0 = Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
+    assert(DocStream.ingestBatch(b0, 0L, "doc_id", "text", idx, sink, cfg, 0.5) == 2L)
+    assert(DocStream.ingestBatch(b0, 0L, "doc_id", "text", idx, sink, cfg, 0.5) == -1L)
+    assert(spark.read.parquet(sink).count() == 2L)
+  }
+
+  test("replay after a committed append but lost marker emits the same survivors") {
+    // simulate the crash window: epoch ran fully, then the marker is
+    // deleted — the replay re-probes an index that already contains
+    // the batch, and the self-match exclusion must keep output stable
+    val (idx, sink, _) = dirs()
+    val b0 = Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
+    DocStream.ingestBatch(b0, 0L, "doc_id", "text", idx, sink, cfg, 0.5)
+    new java.io.File(idx, "_last_batch").delete()
+    assert(DocStream.ingestBatch(b0, 0L, "doc_id", "text", idx, sink, cfg, 0.5) == 2L)
+    // per-epoch dir overwrite: no duplicates in the sink
+    assert(spark.read.parquet(sink).count() == 2L)
+    assert(spark.read.parquet(sink).select("doc_id").distinct().count() == 2L)
+  }
+
+  test("the streaming wrapper drives the same loop end-to-end") {
+    val (idx, sink, ckpt) = dirs()
+    val srcDir = Files.createTempDirectory("ingest_src").toString
+    Seq((1L, tA), (2L, tB), (21L, tAdup)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .parquet(srcDir)
+    val q = DocStream.ingestWithNearDupIndex(
+      stream, "doc_id", "text", idx, sink, ckpt, cfg, threshold = 0.5)
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(sink).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // 21 near-dups 1 WITHIN the first micro-batch -> within-batch
+    // near-dup stage (curateFull) keeps the lowest id
+    assert(kept == Set(1L, 2L), kept.toString)
+    // the index holds exactly the survivors
+    val indexed = spark.read.parquet(s"$idx/sigs").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(1L, 2L))
+  }
+}
