@@ -113,6 +113,36 @@ object TextHash {
     true
   }
 
+  /** Bloom bit position i of a LONG key: the SplitMix64 stream seeded
+    * at splitMix64(v ^ splitMix64(seed)), taken mod nBits. ~1 ns per
+    * position vs ~100 ns for the md5-family path — integral fact keys
+    * (suppkey, partkey, user ids) are the common Bloom-prune case, and
+    * the probe runs once per fact row at 100 TB. Shared by the build
+    * (positions) and probe (contains) kernels so the two stay
+    * definitionally locked. */
+  def bloomPosLong(v: Long, i: Int, nBits: Long, seedMix: Long): Long =
+    java.lang.Long.remainderUnsigned(splitMix64(splitMix64(v ^ seedMix) + i), nBits)
+
+  /** All nHashes long-key Bloom positions (build side). */
+  def bloomPositionsLong(v: Long, nHashes: Int, nBits: Long, seedMix: Long): ArrayData = {
+    val arr = new Array[Long](nHashes)
+    var i = 0
+    while (i < nHashes) { arr(i) = bloomPosLong(v, i, nBits, seedMix); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** Long-key Bloom membership probe with early exit (probe side). */
+  def bloomContainsLong(
+      v: Long, nHashes: Int, nBits: Long, seedMix: Long, words: Array[Long]): Boolean = {
+    var i = 0
+    while (i < nHashes) {
+      val p = bloomPosLong(v, i, nBits, seedMix)
+      if ((words(p.toInt >>> 6) & (1L << (p & 63L).toInt)) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
   /** (a·h + b) mod 2⁶¹−1 via a 128-bit product (multiplyHigh):
     * a·h = hi·2⁶⁴ + lo with 2⁶⁴ ≡ 8 and 2⁶¹ ≡ 1 (mod p). Inputs are
     * < 2⁶¹ so the signed high word equals the unsigned one. */
@@ -766,12 +796,58 @@ case class BloomContainsExpr(
   override def prettyName: String = "bloom_contains"
 }
 
+/** Codegen'd long-key Bloom position vector (build side of the
+  * integral-key fast path; formula: [[TextHash.bloomPosLong]]). */
+case class BloomPositionsLongExpr(child: Expression, nHashes: Int, nBits: Int, seed: Long)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private val seedMix = TextHash.splitMix64(seed)
+  override def nullSafeEval(in: Any): Any =
+    TextHash.bloomPositionsLong(in.asInstanceOf[Long], nHashes, nBits.toLong, seedMix)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextHash.bloomPositionsLong($a, $nHashes, ${nBits}L, ${seedMix}L);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "bloom_positions_long"
+}
+
+/** Codegen'd long-key Bloom membership probe — the integral-key twin
+  * of [[BloomContainsExpr]]: SplitMix64 positions (~100× cheaper than
+  * the md5 render-and-digest path), referenced word array, early exit. */
+case class BloomContainsLongExpr(
+    child: Expression, nHashes: Int, nBits: Int, seed: Long, words: Array[Long])
+    extends UnaryExpression with Serializable {
+  require(nBits >= 64 && nBits % 64 == 0 && words.length == nBits / 64,
+    s"bloom needs nBits a positive multiple of 64 matching words (got $nBits, ${words.length} words)")
+  override def dataType: DataType = BooleanType
+  private val seedMix = TextHash.splitMix64(seed)
+  override def nullSafeEval(in: Any): Any =
+    TextHash.bloomContainsLong(
+      in.asInstanceOf[Long], nHashes, nBits.toLong, seedMix, words)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("bloomWords", words, "long[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextHash.bloomContainsLong($a, $nHashes, ${nBits}L, ${seedMix}L, $wRef);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "bloom_contains_long"
+}
+
 object TextHashExpressions {
   /** Bloom membership probe column (codegen'd; see
     * [[BloomContainsExpr]]). */
   def bloomContains(
       item: Column, nHashes: Int, nBits: Int, seed: Long, words: Array[Long]): Column =
     Bridge.column(BloomContainsExpr(Bridge.expression(item), nHashes, nBits, seed, words))
+
+  /** Long-key Bloom position vector (codegen'd). */
+  def bloomPositionsLong(key: Column, nHashes: Int, nBits: Int, seed: Long): Column =
+    Bridge.column(BloomPositionsLongExpr(Bridge.expression(key), nHashes, nBits, seed))
+
+  /** Long-key Bloom membership probe (codegen'd, early exit). */
+  def bloomContainsLong(
+      key: Column, nHashes: Int, nBits: Int, seed: Long, words: Array[Long]): Column =
+    Bridge.column(BloomContainsLongExpr(Bridge.expression(key), nHashes, nBits, seed, words))
 
   /** Minhash signature vector over a shingle array column. */
   def minHashArray(shingles: Column, numHashes: Int): Column =

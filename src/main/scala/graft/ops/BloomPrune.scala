@@ -49,9 +49,17 @@ object BloomPrune {
   val MaxBits: Int = 1 << 27
 
   /** A built filter: the packed bit words plus the knobs that define
-    * the hash family. Serializable — ships to executors inside the
-    * probe expression's referenced objects. */
-  final case class Filter(nHashes: Int, nBits: Int, seed: Long, words: Array[Long])
+    * the hash family. `longKeys` selects the family: integral keys
+    * take the SplitMix64 path (~1 ns/position — the probe runs once
+    * per FACT row, so this is the operator's hot loop; the md5 path
+    * measured ~+3 s over the sf10 lineitem scan), everything else the
+    * md5-string path. Build and probe must use the same family —
+    * [[build]] sets it from the key's type, and `contains` follows.
+    * Serializable — ships to executors inside the probe expression's
+    * referenced objects. */
+  final case class Filter(
+      nHashes: Int, nBits: Int, seed: Long, words: Array[Long],
+      longKeys: Boolean = false)
       extends Serializable {
     /** Number of set bits (drives the realized false-positive rate). */
     def bitsSet: Long = words.foldLeft(0L)((a, w) => a + java.lang.Long.bitCount(w))
@@ -61,7 +69,16 @@ object BloomPrune {
     /** Membership probe column (codegen'd, early-exit). Null keys
       * yield null (filtered out by a WHERE, matching join semantics). */
     def contains(key: Column): Column =
-      TextHashExpressions.bloomContains(key.cast("string"), nHashes, nBits, seed, words)
+      if (longKeys)
+        TextHashExpressions.bloomContainsLong(key.cast("long"), nHashes, nBits, seed, words)
+      else
+        TextHashExpressions.bloomContains(key.cast("string"), nHashes, nBits, seed, words)
+  }
+
+  private def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+         _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => true
+    case _ => false
   }
 
   /** Build a [[Filter]] from a dimension key column: ONE aggregation
@@ -77,10 +94,17 @@ object BloomPrune {
     require(nBits >= 64 && nBits % 64 == 0 && nBits <= MaxBits,
       s"nBits must be a multiple of 64 in [64, $MaxBits], got $nBits")
     require(nHashes >= 1 && nHashes <= 16, s"nHashes must be in [1,16], got $nHashes")
+    val longKeys = isIntegral(dim.schema(keyCol).dataType)
+    val posCol =
+      if (longKeys)
+        TextHashExpressions.bloomPositionsLong(
+          col(keyCol).cast("long"), nHashes, nBits, seed)
+      else
+        TextHashExpressions.cmsBuckets(
+          col(keyCol).cast("string"), nHashes, nBits, seed)
     val pos = dim
       .filter(col(keyCol).isNotNull)
-      .select(explode(TextHashExpressions.cmsBuckets(
-        col(keyCol).cast("string"), nHashes, nBits, seed)).as("p"))
+      .select(explode(posCol).as("p"))
       .distinct()
       .collect()
     val words = new Array[Long](nBits / 64)
@@ -88,7 +112,7 @@ object BloomPrune {
       val p = r.getLong(0).toInt
       words(p >>> 6) |= (1L << (p & 63))
     }
-    Filter(nHashes, nBits, seed, words)
+    Filter(nHashes, nBits, seed, words, longKeys)
   }
 
   /** Exact semi join with a Bloom pre-filter on the fact side:

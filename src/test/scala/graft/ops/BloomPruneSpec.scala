@@ -60,6 +60,28 @@ class BloomPruneSpec extends SparkSpec {
     assert(pruned.count() == plain.count())
   }
 
+  test("string keys take the md5 family with the same guarantees") {
+    val sdim = dim.select(concat(lit("k"), col("dk")).as("dk"))
+    val sfact = fact.select(col("row_id"), concat(lit("k"), col("k")).as("k"))
+    val f = BloomPrune.build(sdim, "dk", nBits = 4096, nHashes = 3, seed = 7L)
+    assert(!f.longKeys)
+    assert(sdim.filter(!f.contains(col("dk"))).count() == 0L) // no false negatives
+    val pruned = BloomPrune.semiJoin(sfact, "k", sdim, "dk", nBits = 4096)
+      .orderBy(col("row_id")).collect()
+    val plain = sfact.join(sdim, sfact("k") === sdim("dk"), "left_semi")
+      .orderBy(col("row_id")).collect()
+    assert(pruned.sameElements(plain) && pruned.nonEmpty)
+  }
+
+  test("integral keys take the SplitMix64 family (build and probe agree)") {
+    val f = BloomPrune.build(dim, "dk", nBits = 4096, nHashes = 3)
+    assert(f.longKeys)
+    // int-typed probe column casts into the same family
+    val intFact = fact.select(col("row_id"), col("k").cast("int").as("k"))
+    assert(intFact.join(dim, intFact("k") === dim("dk"), "left_semi").count() ==
+      BloomPrune.semiJoin(intFact, "k", dim, "dk", nBits = 4096).count())
+  }
+
   test("build rejects invalid shapes") {
     intercept[IllegalArgumentException] {
       BloomPrune.build(dim, "dk", nBits = 100) // not a multiple of 64
