@@ -82,9 +82,14 @@ object BloomPrune {
   }
 
   /** Build a [[Filter]] from a dimension key column: ONE aggregation
-    * (explode the nHashes positions, distinct — partial aggregation
-    * bounds every map task's output at nBits) and a bounded driver
-    * collect of the ≤ nBits distinct positions. */
+    * that packs positions into 64-bit words DISTRIBUTED —
+    * `groupBy(p DIV 64).agg(bit_or(1 << p%64))` — so map-side partials
+    * compress every task to ≤ nBits/64 rows and the driver collects at
+    * most nBits/64 (word, mask) pairs. (The first version collected
+    * the raw DISTINCT positions: up to nBits ≈ nHashes·|dim| rows —
+    * at sf100 that was a 12M-row driver collect per execution and the
+    * whole operator went super-linear; caught by the decade run,
+    * BENCH_NOTES round-14.) */
   def build(
       dim: DataFrame,
       keyCol: String,
@@ -102,16 +107,17 @@ object BloomPrune {
       else
         TextHashExpressions.cmsBuckets(
           col(keyCol).cast("string"), nHashes, nBits, seed)
-    val pos = dim
+    val packed = dim
       .filter(col(keyCol).isNotNull)
       .select(explode(posCol).as("p"))
-      .distinct()
+      .select(
+        expr("CAST(p DIV 64 AS INT)").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("m"))
+      .groupBy(col("w"))
+      .agg(expr("bit_or(m)").as("m"))
       .collect()
     val words = new Array[Long](nBits / 64)
-    pos.foreach { r =>
-      val p = r.getLong(0).toInt
-      words(p >>> 6) |= (1L << (p & 63))
-    }
+    packed.foreach(r => words(r.getInt(0)) = r.getLong(1))
     Filter(nHashes, nBits, seed, words, longKeys)
   }
 
