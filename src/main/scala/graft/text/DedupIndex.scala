@@ -77,6 +77,29 @@ object DedupIndex {
     } finally { sigs.unpersist(); () }
   }
 
+  /** Rewrite the index WITHOUT duplicate rows into `newPath` and
+    * return the (docs, bandRows) counts after compaction. Duplicate
+    * rows accumulate only from replayed ingest epochs whose append
+    * committed but whose marker write was lost
+    * ([[graft.streaming.DocStream.ingestBatch]]) — they are benign for
+    * probe correctness (candidates are distinct'd, newDocs decisions
+    * are set-based) but pay scan cost forever. Compaction keeps one
+    * sigs row per doc_id and one bands row per (doc_id, band_idx,
+    * band_hash); signatures are deterministic functions of the text,
+    * so "any row per doc" is THE row. Writes to a NEW path — the swap
+    * is the caller's pointer flip (same contract as the ANN index's
+    * versioned layouts); compacting in place would expose readers to
+    * a half-rewritten index. */
+  def compact(spark: SparkSession, path: String, newPath: String): (Long, Long) = {
+    require(newPath != path, "compact writes to a NEW path (atomic pointer swap is the caller's)")
+    val sigs = spark.read.parquet(s"$path/sigs").dropDuplicates("doc_id")
+    sigs.write.mode("overwrite").parquet(s"$newPath/sigs")
+    val bands = spark.read.parquet(s"$path/bands").distinct()
+    bands.write.mode("overwrite").parquet(s"$newPath/bands")
+    (spark.read.parquet(s"$newPath/sigs").count(),
+      spark.read.parquet(s"$newPath/bands").count())
+  }
+
   /** Cross near-dup candidates (corpus_id, batch_id, est_jaccard) of a
     * new batch against the indexed corpus. `est_jaccard` is the
     * fraction of agreeing minhash slots ([[Dedup.minHashJaccard]]);

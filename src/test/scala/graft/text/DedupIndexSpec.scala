@@ -99,6 +99,22 @@ class DedupIndexSpec extends SparkSpec {
     assert(open.count() == 60L)
   }
 
+  test("compact removes replay-duplicated rows without changing probe results") {
+    val path = tmp("compactsrc"); val path2 = tmp("compactdst")
+    DedupIndex.write(corpus, "doc_id", "text", path)
+    // simulate a replayed epoch whose append committed twice
+    DedupIndex.append(corpus, "doc_id", "text", path)
+    val before = spark.read.parquet(s"$path/sigs").count()
+    val (docs, bandRows) = DedupIndex.compact(spark, path, path2)
+    assert(before == 2 * docs) // duplicates existed and are gone
+    assert(docs == 3L)         // 3 corpus docs carry signatures (doc 7 has none)
+    assert(bandRows == 3L * 8)
+    def probe(p: String) = DedupIndex.probePairs(spark, p, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(probe(path2) == probe(path))
+    intercept[IllegalArgumentException] { DedupIndex.compact(spark, path, path) }
+  }
+
   test("the candidate join broadcasts the batch side (corpus never shuffles)") {
     val path = tmp("plan")
     DedupIndex.write(corpus, "doc_id", "text", path)
