@@ -25,6 +25,19 @@ object LayoutBench {
     df.queryExecution.executedPlan.toString
       .linesIterator.count(_.contains("Exchange"))
 
+  /** Order-independent CONTENT checksum + row count: sum of xxhash64
+    * over every output column, summed exactly (decimal(38,0) — ANSI
+    * mode throws on a long-sum overflow, and a wrap would weaken the
+    * check anyway). Row counts alone would pass a layout-induced
+    * result difference that preserves cardinality. */
+  private def checksum(df: DataFrame): (java.math.BigDecimal, Long) = {
+    val r = df.agg(
+      coalesce(sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO)).as("h"),
+      count(lit(1)).as("n")).head()
+    (r.getDecimal(0), r.getLong(1))
+  }
+
   private def kruskal(li: DataFrame): DataFrame =
     graft.stats.StatTests.kruskalWallis(
       li.select(col("l_suppkey"), col("l_returnflag"), col("l_quantity")),
@@ -69,10 +82,11 @@ object LayoutBench {
     // interleaved samples, median
     def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
     val samples = (1 to 3).map { _ =>
-      val (r1, tPlain) = timed(kruskal(plainLi).count())
-      val (r2, tBuck) = timed(kruskal(bucketedLi).count())
-      require(r1 == r2, s"layout changed the result: $r1 vs $r2")
-      (tPlain, tBuck, r1)
+      val ((h1, n1), tPlain) = timed(checksum(kruskal(plainLi)))
+      val ((h2, n2), tBuck) = timed(checksum(kruskal(bucketedLi)))
+      require(n1 == n2 && h1.compareTo(h2) == 0,
+        s"layout changed the result: rows $n1 vs $n2, checksum $h1 vs $h2")
+      (tPlain, tBuck, n1)
     }
     val rows = samples.head._3
     println(

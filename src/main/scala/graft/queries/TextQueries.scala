@@ -1615,8 +1615,12 @@ object TextQueries extends QueryProvider {
         // after BOTH subtable writes committed)
         new java.io.File(path, "_SUCCESS").createNewFile()
       }
+      // the cap is passed EXPLICITLY (not left to the default) and the
+      // SQL below interpolates the same named constant: the two sides
+      // cannot drift if the library default ever changes
       graft.text.DedupIndex.probePairs(
-        s, path, docs.filter(col("doc_id") % 10 === 9), "doc_id", "text")
+        s, path, docs.filter(col("doc_id") % 10 === 9), "doc_id", "text",
+        maxBucketRows = graft.text.DedupIndex.DefaultMaxBucketRows)
     },
     Some {
       val bandCase = (0 until 8).map(b =>
@@ -1640,7 +1644,7 @@ object TextQueries extends QueryProvider {
         FROM bndc c
         JOIN bndb bb ON bb.band_idx = c.band_idx AND bb.bv = c.bv
         JOIN bszc z ON z.band_idx = c.band_idx AND z.bv = c.bv
-        WHERE z.bn <= 100000)
+        WHERE z.bn <= ${graft.text.DedupIndex.DefaultMaxBucketRows})
       SELECT cand.corpus_id, cand.batch_id,
         CAST($agree AS DOUBLE) / 32 AS est_jaccard
       FROM cand

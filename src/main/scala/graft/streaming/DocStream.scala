@@ -110,8 +110,14 @@ object DocStream {
     val last =
       if (fs.exists(marker)) {
         val in = fs.open(marker)
-        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-        finally in.close()
+        val body =
+          try scala.io.Source.fromInputStream(in).mkString.trim
+          finally in.close()
+        // a torn/empty marker (crash mid-write on a pre-atomic-rename
+        // index, manual truncation) must not poison every later epoch
+        // with NumberFormatException — treat it as "no epoch committed"
+        // and replay, which ingestBatch is idempotent under by design
+        try body.toLong catch { case _: NumberFormatException => -1L }
       } else -1L
     if (batchId <= last) return -1L
 
@@ -135,10 +141,30 @@ object DocStream {
         else
           DedupIndex.write(fresh, idCol, textCol, indexPath, cfg.minHashes, cfg.bands)
         fresh.write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
-        val out = fs.create(marker, true)
-        try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+        writeMarker(fs, marker, batchId)
         n
       } finally { fresh.unpersist(); () }
     } finally { curated.unpersist(); () }
+  }
+
+  /** Epoch-commit marker write: tmp + rename, so a crash mid-write can
+    * never leave a truncated marker in place (create+write+close is
+    * not atomic on HDFS-like filesystems — the reader would otherwise
+    * see a half-written body). Same tmp-rename protocol as
+    * [[graft.sim.AnnIndex.publishCurrent]]; HDFS refuses rename-onto,
+    * so the existing marker is deleted first — a crash in THAT window
+    * leaves no marker, which reads as -1 → replay, proven idempotent
+    * by DocStreamIngestSpec. */
+  private def writeMarker(
+      fs: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path,
+      batchId: Long): Unit = {
+    val tmp = marker.suffix(".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, marker)) {
+      fs.delete(marker, false)
+      require(fs.rename(tmp, marker), s"could not commit epoch marker at $marker")
+    }
   }
 }

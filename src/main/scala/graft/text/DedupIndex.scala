@@ -21,11 +21,16 @@ import org.apache.spark.sql.functions._
   *
   * Probe scale contract (the asymmetry is the point — `batch` is the
   * small side, the corpus is unbounded):
-  *  - the corpus NEVER shuffles: the candidate join broadcasts the
-  *    batch's banded triples against one scan of `bands/`, and the
-  *    signature joins broadcast the candidates against one scan of
-  *    `sigs/` (same shape as [[Dedup.contaminationScores]]'s broadcast
-  *    probe);
+  *  - the corpus never shuffles in the NORMAL regime: the candidate
+  *    join broadcasts the batch's banded triples against one scan of
+  *    `bands/`, and the signature joins broadcast the candidates
+  *    against one scan of `sigs/` (same shape as
+  *    [[Dedup.contaminationScores]]'s broadcast probe). Worst case the
+  *    bucket cap alone permits is |batchTriples| × maxBucketRows
+  *    candidates — NOT batch-sized — so the probe gates the broadcast
+  *    plan on an exact candidate-count bound and falls back to shuffle
+  *    joins above [[DefaultMaxBroadcastCandidates]] (identical pairs,
+  *    degraded cost, never an OOM);
   *  - skew: a batch band-hash that hits an oversized corpus bucket
   *    (boilerplate clusters — the LSH mega-bucket mode) is dropped by
   *    the `maxBucketRows` cap BEFORE the join fans out, from one
@@ -35,6 +40,26 @@ import org.apache.spark.sql.functions._
   *    band hash).
   */
 object DedupIndex {
+
+  /** Corpus-side LSH bucket cap (rows per (band_idx, band_hash) bucket
+    * a probe will join against). Named so oracle SQL can interpolate
+    * the SAME constant the library default uses — a silent default
+    * change can then never diverge the two sides. */
+  val DefaultMaxBucketRows: Long = 100000L
+
+  /** Candidate-pair ceiling for the BROADCAST probe plan. The bucket
+    * cap alone bounds candidates only to |batchTriples| × maxBucketRows
+    * — a dup-heavy batch whose every band lands in a near-cap corpus
+    * bucket can legitimately produce candidate sets far beyond
+    * "batch-sized", and broadcasting those would OOM the driver, not
+    * degrade gracefully. probePairs therefore pre-computes the exact
+    * pre-distinct candidate count from the bucket histogram it already
+    * builds (aggregate-only — never the membership rows) and, above
+    * this ceiling, drops the broadcast hints: the SAME pairs via
+    * shuffle joins (results identical; the corpus pays one shuffle —
+    * the documented degraded mode, still never a rescan of the text).
+    * 2M pairs ≈ tens of MB broadcast at typical id widths. */
+  val DefaultMaxBroadcastCandidates: Long = 2000000L
 
   /** Write (or overwrite) the index for `docs`. Documents with no
     * shingles (< shingleSize words) have null signatures and are not
@@ -114,7 +139,8 @@ object DedupIndex {
       textCol: String,
       numHashes: Int = 32,
       bands: Int = 8,
-      maxBucketRows: Long = 100000L): DataFrame = {
+      maxBucketRows: Long = DefaultMaxBucketRows,
+      maxBroadcastCandidates: Long = DefaultMaxBroadcastCandidates): DataFrame = {
     val batchSigs = Dedup.minHashSignatures(batch, idCol, textCol, numHashes)
       .filter(col("mh_0").isNotNull)
     val batchBanded = Dedup.bandedTriples(batchSigs, idCol, numHashes, bands)
@@ -136,10 +162,31 @@ object DedupIndex {
     val batchOk = batchBanded
       .join(broadcast(okBuckets), Seq("band_idx", "band_hash"), "left_semi")
 
+    // broadcast-safety gate: the bucket cap bounds candidates only to
+    // |batchTriples| × maxBucketRows, so before building the join pick
+    // the plan from the EXACT pre-distinct candidate count — Σ over
+    // capped probed buckets of corpusRows × batchRows. One extra
+    // aggregate-only pass over bands/ (semi-pruned to the probed
+    // buckets), same shape as the histogram above; the membership rows
+    // still never reach the driver.
+    val batchPerBucket = batchBanded
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("_bb"))
+    val candUpperBound = probed
+      .filter(col("_bn") <= maxBucketRows)
+      .join(broadcast(batchPerBucket), Seq("band_idx", "band_hash"))
+      .agg(coalesce(sum(col("_bn") * col("_bb")), lit(0L)))
+      .head().getLong(0)
+    // above the ceiling the SAME joins run unhinted (shuffle): results
+    // identical, the corpus pays a bands/+sigs/ shuffle instead of an
+    // impossible broadcast
+    val bcast: DataFrame => DataFrame =
+      if (candUpperBound <= maxBroadcastCandidates) broadcast else identity
+
     // candidate join: ONE scan of bands/, batch side broadcast — the
-    // corpus membership rows never shuffle
+    // corpus membership rows never shuffle (broadcast regime)
     val cand = corpusBands
-      .join(broadcast(batchOk), Seq("band_idx", "band_hash"))
+      .join(bcast(batchOk), Seq("band_idx", "band_hash"))
       .select(col(idCol).as("corpus_id"), col("batch_id"))
       .distinct()
 
@@ -153,7 +200,7 @@ object DedupIndex {
       .map(i => when(col(s"a_mh_$i") === col(s"b_mh_$i"), 1).otherwise(0))
       .reduce(_ + _)
     corpusSigs
-      .join(broadcast(cand), Seq("corpus_id"))
+      .join(bcast(cand), Seq("corpus_id"))
       .join(broadcast(bSigs), Seq("batch_id"))
       .select(col("corpus_id"), col("batch_id"),
         (agree.cast("double") / numHashes).as("est_jaccard"))
@@ -171,9 +218,11 @@ object DedupIndex {
       threshold: Double,
       numHashes: Int = 32,
       bands: Int = 8,
-      maxBucketRows: Long = 100000L): DataFrame = {
+      maxBucketRows: Long = DefaultMaxBucketRows,
+      maxBroadcastCandidates: Long = DefaultMaxBroadcastCandidates): DataFrame = {
     val dups = probePairs(
-      spark, path, batch, idCol, textCol, numHashes, bands, maxBucketRows)
+      spark, path, batch, idCol, textCol, numHashes, bands, maxBucketRows,
+      maxBroadcastCandidates)
       // self-matches excluded: ids are globally unique in normal use
       // (nothing matches), and after a CRASHED ingest epoch whose
       // index append committed but whose marker did not, the replayed

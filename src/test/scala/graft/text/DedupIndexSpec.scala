@@ -122,4 +122,28 @@ class DedupIndexSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("above the candidate ceiling the probe degrades to shuffle joins, same pairs") {
+    // maxBroadcastCandidates = 0 forces the fallback regime: the plan
+    // must stop broadcasting the candidate set, and the emitted pairs
+    // must be IDENTICAL to the broadcast plan's (the ceiling changes
+    // the physical join, never the result)
+    val path = tmp("fallback")
+    DedupIndex.write(corpus, "doc_id", "text", path)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bcast = DedupIndex.probePairs(spark, path, batch, "doc_id", "text")
+    val fallback = DedupIndex.probePairs(
+      spark, path, batch, "doc_id", "text", maxBroadcastCandidates = 0L)
+    assert(pairsOf(fallback) == pairsOf(bcast))
+    // the unbounded sets (batchOk triples, cand) lose their FORCED
+    // broadcast hints — AQE may still broadcast genuinely small sides
+    // at runtime (it does here, the fixture is tiny), which is exactly
+    // the stats-driven behavior the fallback hands the planner
+    def hints(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.toString
+        .linesIterator.count(_.contains("ResolvedHint"))
+    assert(hints(fallback) == hints(bcast) - 2,
+      s"fallback ${hints(fallback)} vs bcast ${hints(bcast)}")
+  }
 }

@@ -65,6 +65,23 @@ class DocStreamIngestSpec extends SparkSpec {
     assert(spark.read.parquet(sink).select("doc_id").distinct().count() == 2L)
   }
 
+  test("a torn epoch marker reads as 'replay', not a poisoned stream") {
+    // the marker write is tmp+rename (atomic), but an index produced
+    // by an OLDER build — or a manually truncated file — can still
+    // present an empty/garbage marker; every later epoch must treat it
+    // as -1 (replay, idempotent) instead of dying on toLong forever
+    val (idx, sink, _) = dirs()
+    val b0 = Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
+    assert(DocStream.ingestBatch(b0, 0L, "doc_id", "text", idx, sink, cfg, 0.5) == 2L)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(idx, "_last_batch"), Array.emptyByteArray)
+    // replay of epoch 0 under the torn marker: same survivors, and the
+    // marker is re-committed so the NEXT replay is a -1 no-op again
+    assert(DocStream.ingestBatch(b0, 0L, "doc_id", "text", idx, sink, cfg, 0.5) == 2L)
+    assert(DocStream.ingestBatch(b0, 0L, "doc_id", "text", idx, sink, cfg, 0.5) == -1L)
+    assert(spark.read.parquet(sink).select("doc_id").distinct().count() == 2L)
+  }
+
   test("the streaming wrapper drives the same loop end-to-end") {
     val (idx, sink, ckpt) = dirs()
     val srcDir = Files.createTempDirectory("ingest_src").toString
