@@ -234,6 +234,135 @@ object TopKPriorityAgg {
     StructField("weight", DoubleType, nullable = false))), containsNull = false)
 }
 
+/** Bottom-k-by-hash mergeable aggregate — the grouped face of the
+  * deterministic bottom-k sample ([[graft.ops.Sketches.bottomKSample]]
+  * as ONE aggregation instead of a per-key rank window): the buffer
+  * holds the k entries with the smallest (hash, id) order plus their
+  * payload value; merge is union-then-trim. Partitioning- and
+  * merge-order-independent like [[KmvAgg]], so map-side partials ship
+  * ≤k entries per group per task where the window form shuffles EVERY
+  * sampled row to its key's partition — the difference between
+  * O(k·groups) and O(rows) shuffle bytes at 100 TB.
+  *
+  * The hash stays an exact LongType throughout ([[TopKPriorityAgg]]'s
+  * double priority would collapse 60-bit hashes beyond 2⁵³ onto equal
+  * doubles and reshuffle the tie-break, diverging from a SQL replay
+  * that orders by the exact integer hash). Ids must be non-null and
+  * distinct per group — they are the sample's dedup key. */
+case class BottomKHashAgg(
+    h: Expression,
+    id: Expression,
+    value: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[BottomKHashAgg.Entry]]
+  with org.apache.spark.sql.catalyst.trees.TernaryLike[Expression] {
+
+  import BottomKHashAgg.Entry
+
+  require(k >= 1, s"bottom-k hash sample needs k >= 1, got $k")
+
+  override def first: Expression = h
+  override def second: Expression = id
+  override def third: Expression = value
+
+  override def createAggregationBuffer(): java.util.TreeSet[Entry] =
+    new java.util.TreeSet[Entry](BottomKHashAgg.ord)
+
+  private def insert(buf: java.util.TreeSet[Entry], e: Entry): Boolean = {
+    if (buf.size < k) { buf.add(e); true }
+    else if (BottomKHashAgg.ord.compare(e, buf.last) < 0) {
+      // evict only when something was actually inserted (duplicate
+      // entries must not shrink the sample — same guard as
+      // TopKPriorityAgg.insert)
+      if (buf.add(e)) { buf.pollLast(): Unit }
+      true
+    } else false
+  }
+
+  override def update(
+      buf: java.util.TreeSet[Entry], input: InternalRow): java.util.TreeSet[Entry] = {
+    val hv = h.eval(input)
+    val iv = id.eval(input)
+    val vv = value.eval(input)
+    if (hv != null && iv != null && vv != null)
+      insert(buf, Entry(hv.asInstanceOf[Long], iv.asInstanceOf[Long], vv.asInstanceOf[Double]))
+    buf
+  }
+
+  override def merge(
+      buf: java.util.TreeSet[Entry], other: java.util.TreeSet[Entry]): java.util.TreeSet[Entry] = {
+    // other iterates best (smallest) first: stop at the first reject
+    val it = other.iterator()
+    var more = true
+    while (more && it.hasNext) more = insert(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[Entry]): Any = {
+    val out = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = InternalRow(e.h, e.id, e.value)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[Entry]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 24 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      bb.putLong(e.h); bb.putLong(e.id); bb.putDouble(e.value)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[Entry] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.add(Entry(bb.getLong, bb.getLong, bb.getDouble)); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = BottomKHashAgg.outType
+  override def nullable: Boolean = false
+  override def prettyName: String = "bottomk_hash"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): BottomKHashAgg =
+    copy(h = newFirst, id = newSecond, value = newThird)
+}
+
+object BottomKHashAgg {
+  final case class Entry(h: Long, id: Long, value: Double)
+
+  /** Hash ASC, id ASC — total order, deterministic under ties,
+    * EXACT on the full 60-bit hash (no double round-trip). */
+  val ord: java.util.Comparator[Entry] = new java.util.Comparator[Entry] {
+    override def compare(a: Entry, b: Entry): Int = {
+      val c = java.lang.Long.compare(a.h, b.h)
+      if (c != 0) c else java.lang.Long.compare(a.id, b.id)
+    }
+  }
+
+  val outType: DataType = ArrayType(StructType(Seq(
+    StructField("h", LongType, nullable = false),
+    StructField("id", LongType, nullable = false),
+    StructField("value", DoubleType, nullable = false))), containsNull = false)
+}
+
 /** HyperLogLog registers as a native mergeable aggregate — the
   * single-aggregation / STREAMING face of
   * [[graft.ops.Sketches.hllDistinctByKey]]'s two-level relational
@@ -324,5 +453,13 @@ object SketchFunctions {
   def topKByPriority(pri: Column, id: Column, weight: Column, k: Int): Column =
     Bridge.column(TopKPriorityAgg(
       Bridge.expression(pri), Bridge.expression(id), Bridge.expression(weight), k)
+      .toAggregateExpression())
+
+  /** k smallest (hash, id) entries with payload, as an array of
+    * (h, id, value) structs ascending. h and id LongType, value
+    * DoubleType. */
+  def bottomKByHash(h: Column, id: Column, value: Column, k: Int): Column =
+    Bridge.column(BottomKHashAgg(
+      Bridge.expression(h), Bridge.expression(id), Bridge.expression(value), k)
       .toAggregateExpression())
 }
