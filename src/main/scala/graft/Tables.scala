@@ -43,4 +43,69 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  // ---- key-clustered (bucketed + sorted) layout opt-in ----
+  //
+  // The per-supplier stat chains (Kruskal-Wallis, Mann-Whitney) are
+  // keyed by l_suppkey in EVERY stage — tie groupBys, the rank window,
+  // the stitch join — so on a key-clustered layout all of them reuse
+  // the storage partitioning instead of re-shuffling the fact table
+  // per query (LayoutBench measured the identical chain at 2.9x /
+  // 11→5 exchanges at sf10; at 100 TB a per-key family without
+  // key-clustered layout re-shuffles the full table per query).
+  // Plain parquet stays the default: the driver's testdata is
+  // unbucketed, and the clustered view costs a ONE-TIME bucketed
+  // rewrite that only amortizes across repeated keyed jobs.
+
+  /** `SPARK_GRAFT_BUCKETED=1` routes the per-key stat chains through
+    * [[lineitemClustered]]. Results are layout-invariant
+    * (SkewSpec asserts identity); only the plan changes. */
+  def bucketedEnabled: Boolean =
+    sys.env.get("SPARK_GRAFT_BUCKETED").exists(v => v == "1" || v.equalsIgnoreCase("true"))
+
+  val LineitemClusterKey = "l_suppkey"
+  val ClusterBuckets = 32
+
+  /** The lineitem view the per-suppkey query family reads: clustered
+    * when the env knob is set, plain parquet otherwise. */
+  def lineitemKeyed(s: SparkSession, d: String): DataFrame =
+    if (bucketedEnabled) lineitemClustered(s, d) else lineitem(s, d)
+
+  def lineitemClustered(
+      s: SparkSession, d: String,
+      key: String = LineitemClusterKey,
+      numBuckets: Int = ClusterBuckets): DataFrame =
+    clustered(s, d, "lineitem", key, numBuckets)
+
+  /** Bucketed+sorted catalog view of `sfDir/name.parquet` clustered by
+    * `key`. Built ONCE per (source mtime, key, bucket count) into a
+    * deterministic scratch path (the ANN-index ensure pattern:
+    * completed builds are reused across sessions via the parquet
+    * `_SUCCESS` marker; a catalog-only miss re-registers the existing
+    * files with the same bucket DDL instead of rewriting). Spark reads
+    * bucket metadata from the catalog, so later equi-joins/groupBys on
+    * `key` skip their shuffles entirely. */
+  def clustered(
+      spark: SparkSession, sfDir: String, name: String,
+      key: String, numBuckets: Int): DataFrame = synchronized {
+    val mtime = new java.io.File(s"$sfDir/$name.parquet").lastModified()
+    val sane = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"graft_${name}_by_${key}_b${numBuckets}_${sane}_$mtime"
+    if (!spark.catalog.tableExists(tbl)) {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_layout_$tbl"
+      val src = table(spark, sfDir, name)
+      // mtime == 0 means the source was not visible — never a valid
+      // cache key; rebuild unconditionally (same rule as ensureIndex)
+      if (mtime != 0L && new java.io.File(s"$path/_SUCCESS").exists())
+        spark.sql(
+          s"CREATE TABLE $tbl (${src.schema.toDDL}) USING PARQUET " +
+          s"CLUSTERED BY ($key) SORTED BY ($key) INTO $numBuckets BUCKETS " +
+          s"LOCATION '$path'")
+      else
+        src.write.mode("overwrite")
+          .bucketBy(numBuckets, key).sortBy(key)
+          .option("path", path).format("parquet").saveAsTable(tbl)
+    }
+    spark.table(tbl)
+  }
 }

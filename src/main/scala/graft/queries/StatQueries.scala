@@ -25,7 +25,7 @@ object StatQueries extends QueryProvider {
   private val qTtest = Q(
     "q_ttest_ind",
     (s, d) => StatTests.tTestInd(
-        Tables.lineitem(s, d).select(col("l_suppkey"), col("l_returnflag"), col("l_quantity")),
+        Tables.lineitemKeyed(s, d).select(col("l_suppkey"), col("l_returnflag"), col("l_quantity")),
         Seq("l_suppkey"), "l_returnflag", "l_quantity", a = "A", b = "R")
       .filter(col("n_a") >= 2 && col("n_b") >= 2)
       .drop("p"),
@@ -60,7 +60,7 @@ object StatQueries extends QueryProvider {
   private val qTtestWelch = Q(
     "q_ttest_welch",
     (s, d) => StatTests.tTestWelch(
-        Tables.lineitem(s, d).select(col("l_suppkey"), col("l_returnflag"), col("l_quantity")),
+        Tables.lineitemKeyed(s, d).select(col("l_suppkey"), col("l_returnflag"), col("l_quantity")),
         Seq("l_suppkey"), "l_returnflag", "l_quantity", a = "A", b = "R")
       .filter(col("n_a") >= 2 && col("n_b") >= 2)
       .drop("p"),
@@ -99,7 +99,7 @@ object StatQueries extends QueryProvider {
   private val qMannWhitney = Q(
     "q_mannwhitney_u",
     (s, d) => StatTests.mannWhitneyU(
-        Tables.lineitem(s, d).select(col("l_suppkey"), col("l_returnflag"), col("l_quantity")),
+        Tables.lineitemKeyed(s, d).select(col("l_suppkey"), col("l_returnflag"), col("l_quantity")),
         Seq("l_suppkey"), "l_returnflag", "l_quantity", a = "A", b = "R")
       .filter(col("n_a") >= 1 && col("n_b") >= 1)
       .drop("p"),
@@ -143,7 +143,7 @@ object StatQueries extends QueryProvider {
   private val qKruskal = Q(
     "q_kruskal_wallis",
     (s, d) => StatTests.kruskalWallis(
-        Tables.lineitem(s, d).select(col("l_suppkey"), col("l_returnflag"), col("l_quantity")),
+        Tables.lineitemKeyed(s, d).select(col("l_suppkey"), col("l_returnflag"), col("l_quantity")),
         Seq("l_suppkey"), "l_returnflag", "l_quantity")
       .filter(col("k") >= 2)
       .drop("p"),

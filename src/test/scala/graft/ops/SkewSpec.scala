@@ -75,4 +75,36 @@ class SkewSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
     spark.sql("DROP TABLE bucketed_skewed")
   }
+
+  test("Tables.clustered: layout-invariant results, fewer exchanges, cached re-register") {
+    val sfDir = "/root/testdata/sf0.001"
+    def chain(li: org.apache.spark.sql.DataFrame) =
+      graft.stats.StatTests.kruskalWallis(
+        li.select(col("l_suppkey"), col("l_returnflag"), col("l_quantity")),
+        Seq("l_suppkey"), "l_returnflag", "l_quantity")
+        .filter(col("k") >= 2).drop("p")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString)
+    def exchanges(df: org.apache.spark.sql.DataFrame) = {
+      df.count() // let AQE finalize
+      df.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange"))
+    }
+    val plain = graft.Tables.lineitem(spark, sfDir)
+    val clustered = graft.Tables.lineitemClustered(spark, sfDir)
+    // the whole point: identical OUTPUT (bitwise — kruskal is integer
+    // + exact-moment arithmetic), cheaper PLAN (the storage bucketing
+    // replaces the chain's suppkey exchanges)
+    assert(rows(chain(clustered)).sameElements(rows(chain(plain))))
+    assert(exchanges(chain(clustered)) < exchanges(chain(plain)))
+    // cold-catalog warm-files path: dropping the catalog entry must
+    // re-REGISTER the existing bucketed files (CREATE TABLE ... INTO
+    // BUCKETS LOCATION), not rewrite them, and keep the same results
+    val tblName = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_lineitem_by_")).head
+    spark.sql(s"DROP TABLE $tblName") // external: files survive
+    val reRegistered = graft.Tables.lineitemClustered(spark, sfDir)
+    assert(rows(chain(reRegistered)).sameElements(rows(chain(plain))))
+    assert(exchanges(chain(reRegistered)) < exchanges(chain(plain)))
+  }
 }
