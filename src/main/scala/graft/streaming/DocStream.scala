@@ -101,12 +101,18 @@ object DocStream {
       indexPath: String,
       sinkPath: String,
       cfg: TrainingData.CurationConfig = TrainingData.CurationConfig(),
-      threshold: Double = 0.8): Long = {
+      threshold: Double = 0.8,
+      markerPath: Option[String] = None): Long = {
     val spark = batch.sparkSession
     val hconf = spark.sessionState.newHadoopConf()
     val idxRoot = new org.apache.hadoop.fs.Path(indexPath)
     val fs = idxRoot.getFileSystem(hconf)
-    val marker = new org.apache.hadoop.fs.Path(idxRoot, "_last_batch")
+    // under a VERSIONED root the marker lives at the root (markerPath),
+    // not inside the version dir — epoch-commit state must survive a
+    // compaction's version swap
+    val marker = markerPath
+      .map(p => new org.apache.hadoop.fs.Path(p, "_last_batch"))
+      .getOrElse(new org.apache.hadoop.fs.Path(idxRoot, "_last_batch"))
     val last =
       if (fs.exists(marker)) {
         val in = fs.open(marker)
@@ -145,6 +151,36 @@ object DocStream {
         n
       } finally { fresh.unpersist(); () }
     } finally { curated.unpersist(); () }
+  }
+
+  /** [[ingestBatch]] under [[graft.text.DedupIndex]]'s versioned-root
+    * convention, with index compaction wired into the loop: resolve
+    * the live version (initializing `v1`), ingest against it, then let
+    * `maintenance` decide whether the adaptive period has elapsed for
+    * the current index size — if so it compacts into `v<N+1>`,
+    * repoints, and sweeps superseded versions. The compaction removes
+    * the replay-duplicated rows that crashed epochs leave behind
+    * (benign for correctness, a forever-scan-tax otherwise).
+    * In-flight probes are unaffected: they hold a resolved version
+    * protected by the retention window (reader-during-compact spec in
+    * DedupIndexSpec). */
+  def ingestBatchVersioned(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      indexRoot: String,
+      sinkPath: String,
+      cfg: TrainingData.CurationConfig = TrainingData.CurationConfig(),
+      threshold: Double = 0.8,
+      maintenance: Option[DedupIndexMaintenance] = None): Long = {
+    val spark = batch.sparkSession
+    val live = DedupIndex.resolveOrInit(spark, indexRoot)
+    val n = ingestBatch(
+      batch, batchId, idCol, textCol, s"$indexRoot/$live", sinkPath, cfg,
+      threshold, markerPath = Some(indexRoot))
+    maintenance.foreach(_.maybeCompact(): Unit)
+    n
   }
 
   /** Epoch-commit marker write: tmp + rename, so a crash mid-write can

@@ -125,6 +125,95 @@ object DedupIndex {
       spark.read.parquet(s"$newPath/bands").count())
   }
 
+  // ---- versioned index ROOT: `root/v<N>` dirs + an atomically-swapped
+  //      `_graft_current` pointer, so [[compact]]'s "the swap is the
+  //      caller's pointer flip" contract has a first-class caller —
+  //      the same protocol as the ANN serving index
+  //      ([[graft.sim.AnnIndex.publishCurrent]]), minus the centroid
+  //      payload (an LSH signature index has no probe-side constants).
+  //      A reader resolves (version) ONCE and scans only that
+  //      version's sigs/ + bands/, so a concurrent compact+repoint
+  //      never tears its view; superseded versions are first-class GC
+  //      targets for [[sweepVersions]]. ----
+  private val CurrentPointer = "_graft_current"
+  private val VersionDirRe = """v(\d+)""".r
+
+  /** Atomically repoint `root`'s live index version (tmp + rename). */
+  def publishCurrent(spark: SparkSession, root: String, version: String): Unit = {
+    val base = new org.apache.hadoop.fs.Path(root)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(base, CurrentPointer + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(base, CurrentPointer)
+    if (!fs.rename(tmp, dst)) { // HDFS refuses rename-onto; replace explicitly
+      fs.delete(dst, false)
+      require(fs.rename(tmp, dst), s"could not publish current pointer at $dst")
+    }
+  }
+
+  /** The live version dir name, if published. Empty/torn pointers read
+    * as unpublished. */
+  def resolveCurrent(spark: SparkSession, root: String): Option[String] =
+    try {
+      val base = new org.apache.hadoop.fs.Path(root)
+      val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+      val p = new org.apache.hadoop.fs.Path(base, CurrentPointer)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val body =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        if (body.isEmpty) None else Some(body)
+      }
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  /** Resolve the live version, initializing (and publishing) `v1` when
+    * the root is unversioned — the ingest loop's entry point. */
+  def resolveOrInit(spark: SparkSession, root: String): String =
+    resolveCurrent(spark, root).getOrElse {
+      publishCurrent(spark, root, "v1"); "v1"
+    }
+
+  /** [[compact]] under the versioned-root convention: rewrite the live
+    * version without duplicate rows into `root/v<N+1>` and repoint.
+    * Returns (new version dir, (docs, bandRows)). Single-writer like
+    * all maintenance ops — version transitions are the ingest
+    * pipeline's serialized job; concurrent READERS are safe (they hold
+    * a resolved version whose files [[sweepVersions]]' retention
+    * window protects). */
+  def compactCurrent(spark: SparkSession, root: String): (String, (Long, Long)) = {
+    val live = resolveCurrent(spark, root).getOrElse(
+      throw new IllegalStateException(s"no current pointer under $root"))
+    val n = live match { case VersionDirRe(v) => v.toLong; case _ => 0L }
+    val next = s"v${n + 1}"
+    val counts = compact(spark, s"$root/$live", s"$root/$next")
+    publishCurrent(spark, root, next)
+    (next, counts)
+  }
+
+  /** Retention sweep for superseded versions: delete `root/v<N>` dirs
+    * that are neither the live version nor among the `keep` highest.
+    * Size `keep` to exceed the longest probe's lifetime in versions —
+    * an in-flight reader of the just-superseded version needs its
+    * grace window (same rule as AnnIndex.sweepIndexVersions). */
+  def sweepVersions(spark: SparkSession, root: String, keep: Int = 2): Unit = {
+    require(keep >= 1, "must keep at least the live version")
+    val base = new org.apache.hadoop.fs.Path(root)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val live = resolveCurrent(spark, root)
+    val versions = fs.listStatus(base).iterator
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case name @ VersionDirRe(n) => (n.toLong, name) }
+      .toSeq.sortBy(_._1)
+    val retained = versions.takeRight(keep).map(_._2).toSet ++ live
+    versions.map(_._2).filterNot(retained).foreach { name =>
+      fs.delete(new org.apache.hadoop.fs.Path(base, name), true): Unit
+    }
+  }
+
   /** Cross near-dup candidates (corpus_id, batch_id, est_jaccard) of a
     * new batch against the indexed corpus. `est_jaccard` is the
     * fraction of agreeing minhash slots ([[Dedup.minHashJaccard]]);

@@ -123,6 +123,36 @@ class DedupIndexSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("versioned root: reader during compact+repoint+sweep sees a stable view") {
+    val root = tmp("vroot")
+    // live version v1 via the versioned entry points
+    assert(DedupIndex.resolveCurrent(spark, root).isEmpty)
+    assert(DedupIndex.resolveOrInit(spark, root) == "v1")
+    DedupIndex.write(corpus, "doc_id", "text", s"$root/v1")
+    // a reader resolves ONCE and builds its probe against that version
+    val readerVersion = DedupIndex.resolveCurrent(spark, root).get
+    val probe = DedupIndex.probePairs(
+      spark, s"$root/$readerVersion", batch, "doc_id", "text")
+    // concurrent maintenance: compact → v2, repoint, sweep (keep=2
+    // retains v1 — the reader's grace window)
+    val (next, (docs, _)) = DedupIndex.compactCurrent(spark, root)
+    assert(next == "v2" && docs == 3L) // 3 indexed docs (7 has no shingles)
+    DedupIndex.sweepVersions(spark, root, keep = 2)
+    assert(DedupIndex.resolveCurrent(spark, root).contains("v2"))
+    // the in-flight reader's materialization AFTER the swap still works
+    // and matches a fresh probe of the new version exactly
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val stale = pairsOf(probe)
+    val fresh = pairsOf(DedupIndex.probePairs(spark, s"$root/v2", batch, "doc_id", "text"))
+    assert(stale == fresh && stale.nonEmpty)
+    // one more cycle: v3 published, and NOW v1 leaves the retention set
+    DedupIndex.compactCurrent(spark, root)
+    DedupIndex.sweepVersions(spark, root, keep = 2)
+    val dirs = new java.io.File(root).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("v2", "v3"), dirs.toString)
+  }
+
   test("above the candidate ceiling the probe degrades to shuffle joins, same pairs") {
     // maxBroadcastCandidates = 0 forces the fallback regime: the plan
     // must stop broadcasting the candidate set, and the emitted pairs

@@ -82,6 +82,59 @@ class DocStreamIngestSpec extends SparkSpec {
     assert(spark.read.parquet(sink).select("doc_id").distinct().count() == 2L)
   }
 
+  test("versioned ingest: maintenance driver compacts on schedule, dedup and replay survive the swap") {
+    val (root, sink, _) = dirs()
+    var now = 0L
+    // each read advances 1 ms so a compaction's measured wall is > 0
+    // (a zero wall is ignored by scheduler.record and would pin the
+    // scheduler in bootstrap-compact-always mode)
+    val clock = () => { now += 1000000L; now }
+    val maint = new graft.streaming.DedupIndexMaintenance(
+      spark, root,
+      scheduler = new graft.streaming.CompactionScheduler(
+        targetUtilization = 0.5, minPeriodSec = 1000.0),
+      nanoTime = clock)
+    val b0 = Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
+    // epoch 0 initializes v1; bootstrap (no history) compacts at once
+    assert(DocStream.ingestBatchVersioned(
+      b0, 0L, "doc_id", "text", root, sink, cfg, 0.5, Some(maint)) == 2L)
+    assert(maint.compactions.size == 1)
+    assert(graft.text.DedupIndex.resolveCurrent(spark, root).contains("v2"))
+    // epoch 1 under the COMPACTED version: cross-epoch near-dup still
+    // dropped (the swap kept the corpus signatures)
+    val b1 = Seq((11L, tAdup), (12L, tC)).toDF("doc_id", "text")
+    now += 1L * 1000 * 1000 * 1000 // 1 s << minPeriodSec: no compaction
+    assert(DocStream.ingestBatchVersioned(
+      b1, 1L, "doc_id", "text", root, sink, cfg, 0.5, Some(maint)) == 1L)
+    assert(maint.compactions.size == 1)
+    // replay of epoch 1 is a marker no-op — the marker lives at the
+    // ROOT and survived the version swap
+    assert(DocStream.ingestBatchVersioned(
+      b1, 1L, "doc_id", "text", root, sink, cfg, 0.5, Some(maint)) == -1L)
+    // crash-window replay: marker lost AFTER the index append — the
+    // replayed epoch self-matches in the LIVE version and re-emits the
+    // same survivors; then force the period to elapse and compact the
+    // replay-duplicated rows away
+    new java.io.File(root, "_last_batch").delete()
+    assert(DocStream.ingestBatchVersioned(
+      b1, 1L, "doc_id", "text", root, sink, cfg, 0.5, Some(maint)) == 1L)
+    val live0 = graft.text.DedupIndex.resolveCurrent(spark, root).get
+    val dupRows = spark.read.parquet(s"$root/$live0/sigs").count()
+    assert(dupRows == 4L) // 1,2,12 + 12's replay duplicate
+    now += 1000L * 1000 * 1000 * 1000 // >> any predicted period
+    assert(maint.maybeCompact().isDefined)
+    val live1 = graft.text.DedupIndex.resolveCurrent(spark, root).get
+    assert(spark.read.parquet(s"$root/$live1/sigs").count() == 3L)
+    // retention: keep=2 leaves at most the two highest versions
+    val dirsLeft = new java.io.File(root).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirsLeft.size <= 2, dirsLeft.toString)
+    // sink is the full survivor set
+    val kept = spark.read.parquet(sink).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 12L), kept.toString)
+  }
+
   test("the streaming wrapper drives the same loop end-to-end") {
     val (idx, sink, ckpt) = dirs()
     val srcDir = Files.createTempDirectory("ingest_src").toString
