@@ -126,7 +126,17 @@ object BloomPrune {
     * Bloom predicate pruning fact rows before the join's shuffle.
     * Result ≡ the plain semi join (the join removes false positives).
     * The dim plan is evaluated twice (once to build, once to join) —
-    * cache it upstream if it is itself expensive. */
+    * cache it upstream if it is itself expensive.
+    *
+    * `dimHint`: physical-strategy hint for the false-positive-removal
+    * join's DIM side, for the regime where the dim outgrows the
+    * broadcast threshold (sf100: 4M filtered keys → Spark picks an
+    * SMJ that SORTS the pruned fact side; the r14 decade run measured
+    * that tail super-linear, exponent 1.21). "shuffle_hash" builds a
+    * hash relation from the dim instead — no fact-side sort; the
+    * pruned fact stream pays one hash probe per row. Pass None to let
+    * Catalyst choose (correct at every scale, just not always the
+    * fastest dim regime); graft.BloomDimBench is the measured A/B. */
   def semiJoin(
       fact: DataFrame,
       factKey: String,
@@ -134,10 +144,12 @@ object BloomPrune {
       dimKey: String,
       nBits: Int,
       nHashes: Int = 3,
-      seed: Long = 0L): DataFrame = {
+      seed: Long = 0L,
+      dimHint: Option[String] = None): DataFrame = {
     val f = build(dim.select(col(dimKey)), dimKey, nBits, nHashes, seed)
+    val dimSide = dimHint.fold(dim)(dim.hint(_))
     fact
       .filter(col(factKey).isNotNull && f.contains(col(factKey)))
-      .join(dim, fact(factKey) === dim(dimKey), "left_semi")
+      .join(dimSide, fact(factKey) === dimSide(dimKey), "left_semi")
   }
 }
