@@ -24,16 +24,14 @@ object Bench {
     val builder0 = Sessions.production(SparkSession.builder(), cpus.toInt)
       .master(master)
       .config("spark.ui.enabled", "false")
+    // local-cluster[n,c,m] sizes the WORKER's capacity only; request
+    // the worker's full share for executors too, or they run at the
+    // 1 GiB spark.executor.memory default (Sessions scaladoc has the
+    // round-15 OOM evidence).
     val spark = (if (master.startsWith("local-cluster"))
-      // local-cluster[n,c,m] sizes the WORKER's capacity; executors
-      // still request the spark.executor.memory DEFAULT (1g) unless
-      // told otherwise — the round-15 sf10 topology run OOMed exactly
-      // there (8192 MB workers, 1 GiB executor heaps). Request the
-      // worker's full share so the topology means what it says.
       builder0.config("spark.executor.extraClassPath", sys.props("java.class.path"))
         .config("spark.executor.memory",
-          master.replaceAll("[^0-9,]", "").split(',').lift(2)
-            .filter(_.nonEmpty).map(_ + "m").getOrElse("1g"))
+          Sessions.localClusterExecutorMemory(master).getOrElse("1g"))
     else builder0)
       // Shuffles START at 64 partitions and AQE coalesces DOWN per
       // runtime stats — at sf0.1 that lands back near the core count,

@@ -75,6 +75,21 @@ object Sessions {
     "spark.memory.storageFraction" -> "0.3",
     "spark.cleaner.periodicGC.interval" -> "2min")
 
+  /** Executor memory to REQUEST under a `local-cluster[n,c,m]` master.
+    *
+    * The master string's `m` sizes the WORKER's capacity only;
+    * executors still ask for the `spark.executor.memory` default
+    * (1 GiB) unless the session requests more — the round-15 sf10
+    * topology run OOMed exactly there (8192 MB workers, 1 GiB
+    * executor heaps, the span-memo build dead at exit 52). Harnesses
+    * that honor `SPARK_GRAFT_MASTER` pass this alongside
+    * `spark.executor.extraClassPath`. None for non-local-cluster
+    * masters or an unparseable spec (caller keeps Spark's default). */
+  def localClusterExecutorMemory(master: String): Option[String] =
+    if (!master.startsWith("local-cluster")) None
+    else master.replaceAll("[^0-9,]", "").split(',').lift(2)
+      .filter(_.nonEmpty).map(_ + "m")
+
   /** Apply the production profile to a builder. Master, UI, and any
     * deployment-specific confs stay the caller's: cluster users set
     * their own master/resources and then layer this profile on top.

@@ -27,14 +27,12 @@ object Verify {
     val builder = SparkSession.builder()
       .master(master)
     if (master.startsWith("local-cluster"))
-      // local-cluster[n,c,m] sizes the WORKER; executors still request
-      // the 1g spark.executor.memory default unless told otherwise
-      // (the round-15 sf10 topology run OOMed there) — ask for the
-      // worker's full share.
+      // local-cluster[n,c,m] sizes the WORKER only; executors run at
+      // the 1 GiB default unless the session requests the worker's
+      // share (Sessions.localClusterExecutorMemory has the evidence).
       builder.config("spark.executor.extraClassPath", sys.props("java.class.path"))
         .config("spark.executor.memory",
-          master.replaceAll("[^0-9,]", "").split(',').lift(2)
-            .filter(_.nonEmpty).map(_ + "m").getOrElse("1g"))
+          Sessions.localClusterExecutorMemory(master).getOrElse("1g"))
     val spark = builder
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

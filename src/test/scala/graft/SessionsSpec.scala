@@ -65,4 +65,19 @@ class SessionsSpec extends AnyFunSuite {
     assert(applied.keySet == expected.keySet,
       s"builder applied extra confs: ${applied.keySet.diff(expected.keySet)}")
   }
+
+  test("local-cluster executor-memory request parses the worker share") {
+    // the master's m component is the WORKER capacity — executors must
+    // request it explicitly or run at the 1 GiB default (the round-15
+    // sf10 topology OOM)
+    assert(Sessions.localClusterExecutorMemory("local-cluster[2,16,8192]")
+      .contains("8192m"))
+    assert(Sessions.localClusterExecutorMemory("local-cluster[1,4,1024]")
+      .contains("1024m"))
+    // non-local-cluster masters and malformed specs: caller keeps
+    // Spark's default rather than guessing
+    assert(Sessions.localClusterExecutorMemory("local[32]").isEmpty)
+    assert(Sessions.localClusterExecutorMemory("spark://host:7077").isEmpty)
+    assert(Sessions.localClusterExecutorMemory("local-cluster[2,16]").isEmpty)
+  }
 }
