@@ -28,11 +28,14 @@ object Bench {
     // the worker's full share for executors too, or they run at the
     // 1 GiB spark.executor.memory default (Sessions scaladoc has the
     // round-15 OOM evidence).
-    val spark = (if (master.startsWith("local-cluster"))
-      builder0.config("spark.executor.extraClassPath", sys.props("java.class.path"))
-        .config("spark.executor.memory",
-          Sessions.localClusterExecutorMemory(master).getOrElse("1g"))
-    else builder0)
+    val spark = (if (master.startsWith("local-cluster")) {
+      val b = builder0.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      // None (unparseable spec) genuinely keeps Spark's default —
+      // no .config call at all (the old getOrElse("1g") pinned 1g,
+      // correct only while that stays the default; ADVICE r15)
+      Sessions.localClusterExecutorMemory(master)
+        .fold(b)(b.config("spark.executor.memory", _))
+    } else builder0)
       // Shuffles START at 64 partitions and AQE coalesces DOWN per
       // runtime stats — at sf0.1 that lands back near the core count,
       // at sf10 it keeps per-task sort/agg working sets 2× smaller
@@ -137,21 +140,33 @@ object Bench {
     // instead of leaving a stage number to reverse-map.
     def mark(phase: String, name: String): Unit =
       System.err.println(f"[bench +${(System.nanoTime() - t0Run) / 1e9}%.1fs] $phase $name")
-    // SPARK_GRAFT_BUCKETED=1: the per-suppkey family reads the
-    // key-clustered lineitem view, whose ONE-TIME bucketed write is a
-    // layout cost amortized across every later keyed job — the same
+    // SPARK_GRAFT_BUCKETED=1: the per-KEY stat families read the
+    // key-clustered lineitem views, whose ONE-TIME bucketed writes are
+    // layout costs amortized across every later keyed job — the same
     // cache-backed-family policy as the IVF/dedup-index warmups above.
-    // Warm it whenever any per-key stat query is in this run, or the
-    // first timed chain books the build (the round-14 q_ann_ivf_batch
-    // class of artifact corruption).
+    // Warm each key's layout whenever any of its family is in this
+    // run, or the first timed chain books the build (the round-14
+    // q_ann_ivf_batch class of artifact corruption). A failed layout
+    // warmup is RECORDED (warmupFailures → the artifact's
+    // transient_failures + clean:false): the first timed keyed query
+    // would silently pay (or re-attempt) the full bucketed write —
+    // the exact artifact-corruption class this warmup exists to
+    // prevent (ADVICE r15).
+    val warmupFailures = scala.collection.mutable.ArrayBuffer.empty[String]
     if (Tables.bucketedEnabled) {
-      val keyed = Set("q_ttest_ind", "q_ttest_welch", "q_mannwhitney_u",
-        "q_kruskal_wallis")
-      if (args.isEmpty || args.exists(keyed)) {
-        mark("warmup", "lineitem_clustered_layout")
-        try consume(Tables.lineitemClustered(spark, sfDir).limit(1)) catch {
+      val families = Seq(
+        Tables.LineitemClusterKey -> Set(
+          "q_ttest_ind", "q_ttest_welch", "q_mannwhitney_u",
+          "q_kruskal_wallis", "q_anova_f", "q_ttest_1samp",
+          "q_median_collapse", "q_impute_pls"),
+        Tables.PartClusterKey -> Set(
+          "q_volcano", "q_volcano_surface", "q_min_valid_in_any_group"))
+      for ((key, family) <- families if args.isEmpty || args.exists(family)) {
+        mark("warmup", s"lineitem_clustered_layout_$key")
+        try consume(Tables.lineitemClustered(spark, sfDir, key).limit(1)) catch {
           case e: Throwable =>
-            System.err.println(s"[bench] WARMUP FAILED lineitem_clustered_layout: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            warmupFailures += s"warmup_layout_$key"
+            System.err.println(s"[bench] WARMUP FAILED lineitem_clustered_layout_$key: ${e.getClass.getSimpleName}: ${e.getMessage}")
         }
       }
     }
@@ -265,9 +280,9 @@ object Bench {
     // a mid-run JVM disturbance likely skewed neighboring samples, so
     // it disqualifies `clean` even though the query has a valid sample
     val resultByName = results.toMap
-    val transientFailures = firstPass.collect {
+    val transientFailures = (firstPass.collect {
       case (n, t) if t.isNaN && !resultByName(n).isNaN => n
-    }.sorted
+    } ++ warmupFailures).sorted
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val okResults = results.filterNot(_._2.isNaN)
     val total = okResults.map(_._2).sum

@@ -61,6 +61,26 @@ object PlanAudit {
       spark.stop()
       return
     }
+    if (args.headOption.contains("--formatted")) {
+      // full `.explain("formatted")` dumps for the optimization-round
+      // plan evidence (plans/r16/...): --formatted OUTDIR SUFFIX [SFDIR] q...
+      val outDir = args(1); val suffix = args(2)
+      val (sfDir, names) =
+        if (args.length > 3 && new java.io.File(args(3)).isDirectory)
+          (args(3), args.drop(4))
+        else (d, args.drop(3))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+      for (name <- names) {
+        val p = queries.Registry.queries(name)(spark, sfDir)
+          .queryExecution.explainString(ExplainMode.fromString("formatted"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$outDir/${name}_$suffix.txt"),
+          p.getBytes("UTF-8"))
+        println(s"wrote $outDir/${name}_$suffix.txt")
+      }
+      spark.stop()
+      return
+    }
     for (name <- args) {
       val p = queries.Registry.queries(name)(spark, d)
         .queryExecution.explainString(ExplainMode.fromString("simple"))

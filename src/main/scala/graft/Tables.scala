@@ -64,12 +64,28 @@ object Tables {
     sys.env.get("SPARK_GRAFT_BUCKETED").exists(v => v == "1" || v.equalsIgnoreCase("true"))
 
   val LineitemClusterKey = "l_suppkey"
+  /** Cluster key of the feature-keyed (per-part) stat family —
+    * q_volcano / q_volcano_surface / q_min_valid_in_any_group all key
+    * EVERY corpus-scale stage by `l_partkey` (r15 sf100: q_volcano
+    * solo exponent 1.14 on plain parquet — the same super-scan shape
+    * whose suppkey twin dropped 1.11→0.90 on the clustered layout). */
+  val PartClusterKey = "l_partkey"
   val ClusterBuckets = 32
 
   /** The lineitem view the per-suppkey query family reads: clustered
     * when the env knob is set, plain parquet otherwise. */
   def lineitemKeyed(s: SparkSession, d: String): DataFrame =
-    if (bucketedEnabled) lineitemClustered(s, d) else lineitem(s, d)
+    lineitemKeyedBy(s, d, LineitemClusterKey)
+
+  /** Per-FAMILY clustered routing (round-16): same opt-in as
+    * [[lineitemKeyed]] but with the family's own cluster key, so the
+    * partkey-grouped chains stop re-shuffling the fact table per query
+    * the way the suppkey family already does. Each key costs ONE
+    * bucketed rewrite (amortized across every keyed job on that key);
+    * results are layout-invariant (SkewSpec asserts bitwise identity
+    * for both families). */
+  def lineitemKeyedBy(s: SparkSession, d: String, key: String): DataFrame =
+    if (bucketedEnabled) lineitemClustered(s, d, key) else lineitem(s, d)
 
   def lineitemClustered(
       s: SparkSession, d: String,

@@ -26,13 +26,15 @@ object Verify {
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val builder = SparkSession.builder()
       .master(master)
-    if (master.startsWith("local-cluster"))
+    if (master.startsWith("local-cluster")) {
       // local-cluster[n,c,m] sizes the WORKER only; executors run at
       // the 1 GiB default unless the session requests the worker's
       // share (Sessions.localClusterExecutorMemory has the evidence).
-      builder.config("spark.executor.extraClassPath", sys.props("java.class.path"))
-        .config("spark.executor.memory",
-          Sessions.localClusterExecutorMemory(master).getOrElse("1g"))
+      // None (unparseable spec) keeps Spark's default — no config call.
+      val b = builder.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      Sessions.localClusterExecutorMemory(master)
+        .foreach(b.config("spark.executor.memory", _))
+    }
     val spark = builder
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -48,6 +48,24 @@ object BloomPrune {
     * plan and the driver copy stops being "bounded". */
   val MaxBits: Int = 1 << 27
 
+  /** Dim-key count past which [[semiJoin]]'s AUTO hint forces
+    * `shuffle_hash` on the false-positive-removal join's dim side.
+    * Measured regime (BloomDimBench, sf100's 4M filtered dim keys,
+    * content-checksum-equal, 3 interleaved samples): shuffle_hash
+    * 18.3 s vs planner-default SMJ 21.5 s vs merge 19.9 s — the SMJ
+    * sorts the pruned fact stream for no benefit once the dim has
+    * outgrown the broadcast threshold. Below ~10 MB of dim keys the
+    * planner's broadcast is already right and the auto hint stays
+    * out of the way. The band between the broadcast threshold and 1M
+    * keys is unmeasured; 1M is the conservative end (hint only where
+    * the win is proven). */
+  val ShuffleHashDimKeys: Long = 1000000L
+
+  /** Sentinel for [[semiJoin]]'s `dimHint`: pick the join strategy
+    * adaptively from the built filter's own cardinality estimate —
+    * no extra job, no caller-side count. */
+  val AutoDimHint: String = "auto"
+
   /** A built filter: the packed bit words plus the knobs that define
     * the hash family. `longKeys` selects the family: integral keys
     * take the SplitMix64 path (~1 ns/position — the probe runs once
@@ -66,6 +84,16 @@ object BloomPrune {
     /** Realized false-positive probability for a uniform non-member:
       * (bitsSet/nBits)^nHashes. */
     def fpRate: Double = math.pow(bitsSet.toDouble / nBits, nHashes)
+    /** Standard Bloom cardinality estimate of the distinct keys
+      * inserted: −(m/k)·ln(1 − bitsSet/m). Free — derived from the
+      * packed words, no extra Spark job. Caveat: an UNDERSIZED filter
+      * saturates the estimate near (m/k)·ln(m), i.e. it can only
+      * UNDER-estimate — trustworthy only when nBits is sized for the
+      * dim (the sizing contract in the object scaladoc). For the auto
+      * hint that failure mode is benign: it degrades to "no hint",
+      * the always-correct planner choice. */
+    def estimatedKeys: Double =
+      -(nBits.toDouble / nHashes) * math.log1p(-(bitsSet.toDouble / nBits))
     /** Membership probe column (codegen'd, early-exit). Null keys
       * yield null (filtered out by a WHERE, matching join semantics). */
     def contains(key: Column): Column =
@@ -134,9 +162,13 @@ object BloomPrune {
     * SMJ that SORTS the pruned fact side; the r14 decade run measured
     * that tail super-linear, exponent 1.21). "shuffle_hash" builds a
     * hash relation from the dim instead — no fact-side sort; the
-    * pruned fact stream pays one hash probe per row. Pass None to let
-    * Catalyst choose (correct at every scale, just not always the
-    * fastest dim regime); graft.BloomDimBench is the measured A/B. */
+    * pruned fact stream pays one hash probe per row. The DEFAULT
+    * ([[AutoDimHint]]) resolves adaptively from the built filter's
+    * own cardinality estimate — `shuffle_hash` past
+    * [[ShuffleHashDimKeys]] (the measured-fastest regime,
+    * graft.BloomDimBench), no hint below it (the planner's broadcast
+    * is already right there). Pass None to force Catalyst's choice at
+    * every scale, or Some(hint) to force a strategy. */
   def semiJoin(
       fact: DataFrame,
       factKey: String,
@@ -145,9 +177,15 @@ object BloomPrune {
       nBits: Int,
       nHashes: Int = 3,
       seed: Long = 0L,
-      dimHint: Option[String] = None): DataFrame = {
+      dimHint: Option[String] = Some(AutoDimHint)): DataFrame = {
     val f = build(dim.select(col(dimKey)), dimKey, nBits, nHashes, seed)
-    val dimSide = dimHint.fold(dim)(dim.hint(_))
+    val resolvedHint = dimHint match {
+      case Some(AutoDimHint) =>
+        if (f.estimatedKeys > ShuffleHashDimKeys.toDouble) Some("shuffle_hash")
+        else None
+      case other => other
+    }
+    val dimSide = resolvedHint.fold(dim)(dim.hint(_))
     fact
       .filter(col(factKey).isNotNull && f.contains(col(factKey)))
       .join(dimSide, fact(factKey) === dimSide(dimKey), "left_semi")

@@ -152,9 +152,15 @@ object Sketches {
     * the exact 60-bit hash, rank order (value, id), same IEEE rank
     * arithmetic.
     *
-    * Non-integral id or non-castable value types fall back to
-    * [[sampleQuantilesByKeyWindowed]] (same semantics, window
-    * machinery) rather than silently hashing nulls. */
+    * NON-integral ids take the same aggregate with the id carried as
+    * STRING ([[graft.functions.BottomKHashStrAgg]], round-16): the
+    * (h, id) selection tie-break is then UTF8-binary = Spark string
+    * order, identical to the window form for string-keyed data (the
+    * id is hashed through its string image either way). The
+    * O(rows)-shuffle [[sampleQuantilesByKeyWindowed]] form is no
+    * longer silently chosen for any id type — it stays public for
+    * explicit opt-in only. Non-numeric value types (no quantile
+    * ordering under the double cast) are rejected loudly. */
   def sampleQuantilesByKey(
       df: DataFrame,
       keys: Seq[String],
@@ -163,24 +169,32 @@ object Sketches {
       k: Int,
       qs: Seq[Double],
       tag: String = "sq"): DataFrame = {
-    import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, NumericType, ShortType, TimestampType}
     val idIntegral = df.schema(idCol).dataType match {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
     val valueNumeric = df.schema(valueCol).dataType match {
-      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
+      case _: NumericType | TimestampType => true
       case _ => false
     }
-    if (!idIntegral || !valueNumeric)
-      return sampleQuantilesByKeyWindowed(df, keys, valueCol, idCol, k, qs, tag)
+    require(valueNumeric,
+      s"sampleQuantilesByKey needs a numeric value column, got " +
+        s"${df.schema(valueCol).dataType} for '$valueCol'; use " +
+        "sampleQuantilesByKeyWindowed explicitly for raw-order ranking")
 
     val h = h60(concat_ws("|", lit(tag), col(idCol).cast("string")))
+    val sampleAgg =
+      if (idIntegral)
+        SketchFunctions.bottomKByHash(
+          h, col(idCol).cast("long"), col(valueCol).cast("double"), k)
+      else
+        SketchFunctions.bottomKByHashStr(
+          h, col(idCol).cast("string"), col(valueCol).cast("double"), k)
     val agged = df.filter(col(valueCol).isNotNull)
       .select((keys.map(col) :+ col(valueCol) :+ col(idCol)): _*)
       .groupBy(keys.map(col): _*)
-      .agg(SketchFunctions.bottomKByHash(
-        h, col(idCol).cast("long"), col(valueCol).cast("double"), k).as("_s"))
+      .agg(sampleAgg.as("_s"))
     // rank within the ≤k sample is row-local: sort the array by
     // (value, id) and index it at the target rank per quantile
     val byValue = array_sort(col("_s"), (l, r) =>

@@ -94,7 +94,8 @@ object CoreQueries extends QueryProvider {
   private val qMinValid = Q(
     "q_min_valid_in_any_group",
     (s, d) => Filters.minimumValidValuesInAnyGroup(
-        Tables.lineitem(s, d), Seq("l_partkey"), Seq("l_returnflag"), "l_quantity", 3L)
+        Tables.lineitemKeyedBy(s, d, Tables.PartClusterKey),
+        Seq("l_partkey"), Seq("l_returnflag"), "l_quantity", 3L)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey")),
     Some("""
       SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem

@@ -127,16 +127,13 @@ object JoinQueries extends QueryProvider {
       val nKeys = math.max(64L, dim.count())
       val nBits = math.min(BloomPrune.MaxBits.toLong,
         java.lang.Long.highestOneBit(nKeys * 16) * 2).toInt
-      // dim regime (r15 BloomDimBench at sf100's 4M filtered keys):
-      // past the broadcast threshold the exact fp-removal join
-      // transitions to SMJ, which SORTS the pruned fact stream —
-      // shuffle_hash measured fastest there (18.3 vs 21.5 default vs
-      // 19.9 merge, checksum-equal). Below it the planner's broadcast
-      // is already right, and a hint would override it — gate on the
-      // dim count the bloom sizing computes anyway.
+      // dim-regime join strategy now lives in BloomPrune itself: the
+      // default AutoDimHint resolves shuffle_hash past
+      // BloomPrune.ShuffleHashDimKeys from the built filter's own
+      // cardinality estimate (measured A/B in its scaladoc), so the
+      // gate-SF plan keeps the planner's broadcast with no caller gate.
       BloomPrune.semiJoin(
-        Tables.lineitem(s, d), "l_partkey", dim, "p_partkey", nBits,
-        dimHint = if (nKeys > 1000000L) Some("shuffle_hash") else None)
+        Tables.lineitem(s, d), "l_partkey", dim, "p_partkey", nBits)
         .groupBy(col("l_returnflag"))
         .agg(
           Moments.sumExactInt(col("l_quantity")).as("sum_qty"),

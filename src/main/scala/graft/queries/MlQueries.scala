@@ -316,7 +316,7 @@ object MlQueries extends QueryProvider {
   private val qImputePls = Q(
     "q_impute_pls",
     (s, d) => {
-      val prof = Tables.lineitem(s, d)
+      val prof = Tables.lineitemKeyed(s, d)
         .groupBy(col("l_suppkey").as("id"), col("l_returnflag").as("sample"))
         .agg(Moments.meanOf(Moments.sumExact(col("l_quantity")),
           count(col("l_quantity"))).as("value"))

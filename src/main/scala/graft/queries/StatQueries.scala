@@ -262,7 +262,7 @@ object StatQueries extends QueryProvider {
   private def anovaBuild = Q(
     "q_anova_f",
     (s, d) => {
-      val li = Tables.lineitem(s, d)
+      val li = Tables.lineitemKeyed(s, d)
       val dq = Moments.dec(col("l_quantity"))
       val dq2 = Moments.decProd(col("l_quantity"), col("l_quantity"))
       val flags = Seq("A" -> "a", "N" -> "n", "R" -> "r")
@@ -434,7 +434,7 @@ object StatQueries extends QueryProvider {
   private val qVolcano = Q(
     "q_volcano",
     (s, d) => {
-      val long = Tables.lineitem(s, d)
+      val long = Tables.lineitemKeyedBy(s, d, Tables.PartClusterKey)
         .filter(col("l_returnflag").isin("A", "R"))
         .select(col("l_partkey").as("id"), col("l_returnflag").as("group"),
           round(log2(col("l_extendedprice")), 6).as("value"))
@@ -505,7 +505,7 @@ object StatQueries extends QueryProvider {
   private val qVolcanoSurface = Q(
     "q_volcano_surface",
     (s, d) => {
-      val long = Tables.lineitem(s, d)
+      val long = Tables.lineitemKeyedBy(s, d, Tables.PartClusterKey)
         .filter(col("l_returnflag").isin("A", "R"))
         .select(col("l_partkey").as("id"), col("l_returnflag").as("group"),
           round(log2(col("l_extendedprice")), 6).as("value"))
@@ -520,7 +520,7 @@ object StatQueries extends QueryProvider {
   private val qTtest1 = Q(
     "q_ttest_1samp",
     (s, d) => StatTests.tTest1Samp(
-        Tables.lineitem(s, d)
+        Tables.lineitemKeyed(s, d)
           .select(col("l_suppkey").as("id"), (col("l_discount") - 0.05).as("value")),
         Seq("id"), "value")
       .filter(col("n") >= 2)
@@ -546,7 +546,7 @@ object StatQueries extends QueryProvider {
   private val qMedianCollapse = Q(
     "q_median_collapse",
     (s, d) => graft.stats.Summaries.collapseTechnicalReplicates(
-      Tables.lineitem(s, d)
+      Tables.lineitemKeyed(s, d)
         .select(col("l_suppkey").as("id"), col("l_returnflag").as("Group"),
           col("l_quantity").as("value")),
       Seq("id"), Seq("Group"), "value"),

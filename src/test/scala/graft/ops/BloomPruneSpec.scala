@@ -82,6 +82,40 @@ class BloomPruneSpec extends SparkSpec {
       BloomPrune.semiJoin(intFact, "k", dim, "dk", nBits = 4096).count())
   }
 
+  test("estimatedKeys tracks the true insert count") {
+    val f = BloomPrune.build(dim, "dk", nBits = 4096, nHashes = 3)
+    assert(math.abs(f.estimatedKeys - 100.0) < 20.0, s"est=${f.estimatedKeys}")
+    // an UNDERSIZED filter's estimate saturates near (m/k)·ln(m) — it
+    // can only underestimate, so the auto hint degrades to "no hint"
+    // (the always-correct planner choice), never to a wrong result
+    val sat = BloomPrune.build(dim, "dk", nBits = 64, nHashes = 2)
+    assert(sat.estimatedKeys > 50.0 && sat.estimatedKeys < 64.0 * 5)
+  }
+
+  test("auto dim hint flips the fp-removal join at the key threshold") {
+    def joinNodes(df: org.apache.spark.sql.DataFrame): String = {
+      df.count() // finalize AQE
+      df.queryExecution.executedPlan.toString
+    }
+    // small dim (100 keys, default AutoDimHint): planner's broadcast wins
+    val small = BloomPrune.semiJoin(fact, "k", dim, "dk", nBits = 4096)
+    val smallPlan = joinNodes(small)
+    assert(smallPlan.contains("BroadcastHashJoin") && !smallPlan.contains("ShuffledHashJoin"),
+      smallPlan)
+    // big dim (2M keys > ShuffleHashDimKeys): auto resolves shuffle_hash.
+    // nBits = 2^24 keeps the load factor low so the estimate is accurate.
+    val bigDim = spark.range(1, 2000001).select(col("id").as("dk"))
+    val fBig = BloomPrune.build(bigDim, "dk", nBits = 1 << 24, nHashes = 3)
+    assert(fBig.estimatedKeys > BloomPrune.ShuffleHashDimKeys, s"est=${fBig.estimatedKeys}")
+    val big = BloomPrune.semiJoin(fact, "k", bigDim, "dk", nBits = 1 << 24)
+    val bigPlan = joinNodes(big)
+    assert(bigPlan.contains("ShuffledHashJoin"), bigPlan)
+    // forced None keeps the planner's choice even at the big dim
+    val forced = BloomPrune.semiJoin(fact, "k", bigDim, "dk", nBits = 1 << 24,
+      dimHint = None)
+    assert(!joinNodes(forced).contains("ShuffledHashJoin"))
+  }
+
   test("build rejects invalid shapes") {
     intercept[IllegalArgumentException] {
       BloomPrune.build(dim, "dk", nBits = 100) // not a multiple of 64

@@ -125,6 +125,34 @@ class SketchSpec extends SparkSpec {
     assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("per-group sample quantiles: STRING ids take the aggregate path, ≡ windowed") {
+    // round-16 (verdict-15 item 7): non-integral ids no longer fall
+    // back to the O(rows)-shuffle window form — the string-id
+    // aggregate must select the identical sample (same h60 hash, id
+    // tie-break in the same string order) and carry no window
+    val df = spark.range(1, 2001).select(
+      concat(lit("doc-"), col("id")).as("id"),
+      (col("id") % 4).cast("string").as("g"),
+      (col("id") * 7 % 1000).cast("double").as("v"))
+    val qs = Seq(0.25, 0.5, 0.9)
+    val agg = Sketches.sampleQuantilesByKey(df, Seq("g"), "v", "id", 64, qs)
+    val win = Sketches.sampleQuantilesByKeyWindowed(df, Seq("g"), "v", "id", 64, qs)
+    def asMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(asMap(agg) == asMap(win))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    // partitioning invariance holds for the string-id aggregate too
+    val agg2 = Sketches.sampleQuantilesByKey(
+      df.repartition(13, col("v")), Seq("g"), "v", "id", 64, qs)
+    assert(asMap(agg) == asMap(agg2))
+    // non-numeric value: loud rejection, not a silent window fallback
+    intercept[IllegalArgumentException] {
+      Sketches.sampleQuantilesByKey(
+        df.withColumn("v", col("v").cast("string")), Seq("g"), "v", "id", 64, qs)
+    }
+  }
+
   test("bottom-k hash aggregate: merge-order / partitioning invariance") {
     val df = spark.range(1, 1001).select(col("id"),
       lit("k").as("g"), (col("id") % 97).cast("double").as("v"))

@@ -107,4 +107,34 @@ class SkewSpec extends SparkSpec {
     assert(rows(chain(reRegistered)).sameElements(rows(chain(plain))))
     assert(exchanges(chain(reRegistered)) < exchanges(chain(plain)))
   }
+
+  test("partkey-clustered layout: volcano chain layout-invariant, fewer exchanges") {
+    // round-16: the feature-keyed (l_partkey) stat family adopts the
+    // per-family clustered lever — same bitwise-identity contract as
+    // the suppkey family above (r15 sf100: q_volcano solo exponent
+    // 1.14 on plain parquet was the last super-scan decade row).
+    val sfDir = "/root/testdata/sf0.001"
+    def chain(li: org.apache.spark.sql.DataFrame) = {
+      val long = li
+        .filter(col("l_returnflag").isin("A", "R"))
+        .select(col("l_partkey").as("id"), col("l_returnflag").as("group"),
+          round(log2(col("l_extendedprice")), 6).as("value"))
+      graft.stats.Volcano.twoSample(long, Seq("id"), "group", "value",
+        control = "A", comparison = "R", minValidN = 2,
+        s0 = 0.1, minRatio = 0.1, minP = 0.5)
+        .drop("p", "significant")
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString)
+    def exchanges(df: org.apache.spark.sql.DataFrame) = {
+      df.count() // let AQE finalize
+      df.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange"))
+    }
+    val plain = graft.Tables.lineitem(spark, sfDir)
+    val clustered = graft.Tables.lineitemClustered(
+      spark, sfDir, graft.Tables.PartClusterKey)
+    assert(rows(chain(clustered)).sameElements(rows(chain(plain))))
+    assert(exchanges(chain(clustered)) < exchanges(chain(plain)))
+  }
 }
