@@ -60,9 +60,12 @@ object Pca {
 
     // per-feature means: sum over PRESENT cells / total sample count
     // (missing cells are zeros — they contribute 0 to the sum but do
-    // count in the denominator)
+    // count in the denominator). Persisted (r16): TWO consumers below
+    // (m1's join, mu2's global sum) each re-ran this corpus-scale
+    // aggregation; one row per feature, unpersisted before fit returns.
     val featMeans = df.groupBy(col(idCol))
       .agg((graft.stats.Moments.sumExactFine(v) / nSamples).as("_fmu"))
+      .persist(graft.ops.Caches.memoLevel(df.sparkSession))
 
     // m1[a] = Σ_f μ_f·x_fa ; mu2 = Σ_f μ_f²
     val m1 = df.join(featMeans, idCol)
@@ -72,6 +75,7 @@ object Pca {
     val mu2 = featMeans
       .agg(graft.stats.Moments.sumProdExact(col("_fmu"), col("_fmu")))
       .head().getDouble(0)
+    featMeans.unpersist()
 
     // cross-products via one groupBy(feature) + in-row pair expansion
     // (zero-filled cells contribute 0 to every product, so skipping
@@ -124,7 +128,14 @@ object Pca {
       spark: SparkSession, df: DataFrame, model: PcaModel,
       idCol: String, sampleCol: String, valueCol: String): DataFrame = {
     val v = coalesce(col(valueCol), lit(0.0))
+    // persisted (r16): the weights chain (df scan + featMeans join +
+    // groupBy) was evaluated TWICE — once for the K constants' collect
+    // and again inside the returned projection plan. One row per
+    // feature; session-lifetime LRU cache (the returned lazy frame
+    // references it, so there is no safe in-function unpersist — same
+    // contract as the span/signature memo caches).
     val weights = featureWeightsRaw(df, model, idCol, sampleCol, valueCol)
+      .persist(graft.ops.Caches.memoLevel(spark))
     val kAggs = model.eigenvalues.indices.map(c =>
       graft.stats.Moments.sumProdExact(col("_fmu"), col(s"w_$c")).as(s"k_$c"))
     // weights carries _fmu per feature, so K needs no extra join

@@ -77,12 +77,17 @@ object Pls {
       val ycThis = yc
       val yMap = typedLit(yc)
       // w = X_fit y / ||X_fit y||  (distributed over features; the
-      // null element_at for unlabeled samples drops them from the sum)
+      // null element_at for unlabeled samples drops them from the sum).
+      // w0 is checkpointed ONCE (r16): it used to be evaluated twice —
+      // a full x-scale groupBy for the wNorm scalar and again inside
+      // w's own checkpoint. Now wNorm aggregates the materialized
+      // blocks and w stays a lazy row-local projection over them.
       val w0 = x.groupBy(col(idCol))
         .agg(sumProdExact(col("_x"), element_at(yMap, col(sampleCol))).as("_w"))
+        .localCheckpoint()
       val wNorm = math.sqrt(
         w0.agg(sumProdExact(col("_w"), col("_w"))).head().getDouble(0))
-      val w = w0.select(col(idCol), (col("_w") / wNorm).as("w")).localCheckpoint()
+      val w = w0.select(col(idCol), (col("_w") / wNorm).as("w"))
       // t = X^T w  (per sample, tiny — covers ALL samples)
       val tRows = x.join(w, idCol)
         .groupBy(col(sampleCol)).agg(sumProdExact(col("_x"), col("w")).as("t"))
@@ -97,10 +102,16 @@ object Pls {
         .agg((sumProdExact(col("_x"), element_at(tMapFit, col(sampleCol))) / tt).as("p"))
       // deflate EVERY sample: X ← X - t p^T ; y ← y - q t
       val tMapAll = typedLit(tRows)
+      val xPrev = x
       x = x.join(p, idCol)
         .select(col(idCol), col(sampleCol),
           (col("_x") - element_at(tMapAll, col(sampleCol)) * col("p")).as("_x"))
         .localCheckpoint()
+      // the superseded component's X blocks have no consumer once the
+      // deflated X is materialized — free them now instead of pinning
+      // O(components) corpus-scale checkpoint copies until driver GC
+      // (the Dedup CC loop's round-scratch rule)
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(xPrev)
       yc = yc.map { case (s, v) => s -> (v - q * tRows.getOrElse(s, 0.0)) }
       PlsComponent(w, tRows, q, wNorm, tt, ycThis)
     }

@@ -133,10 +133,18 @@ object Impute {
     val sIdx = samples.zipWithIndex.toMap
     val nS = samples.length
 
-    // completeness: a feature is a predictor iff it has all s values
-    val counts = base.groupBy(col("_id"))
-      .agg(count(col("_v")).as("_n"))
-    val completeIds = counts.filter(col("_n") === nS).select(col("_id"))
+    // completeness + per-feature mean in ONE aggregation pass (r16,
+    // guide §2.3 "aggregate before you shuffle"): a feature is a
+    // predictor iff it has all s values, and the complete features'
+    // means are pure functions of the same per-feature (count, exact
+    // sum) — the old separate mu aggregation re-scanned the complete
+    // block for moments this pass already has. Persisted: one row per
+    // feature, three consumers (semi, anti, mean join).
+    val featStats = base.groupBy(col("_id"))
+      .agg(count(col("_v")).as("_n"),
+        graft.stats.Moments.sumExact(col("_v")).as("_s1"))
+      .persist(Caches.memoLevel(spark))
+    val completeIds = featStats.filter(col("_n") === nS).select(col("_id"))
     val complete = base.join(completeIds, Seq("_id"), "left_semi")
     val incomplete = base.join(completeIds, Seq("_id"), "left_anti")
 
@@ -146,9 +154,8 @@ object Impute {
     // the whole kernel solve partition-order-independent — and, since
     // every remaining step is plain +,-,*,/,sqrt over per-feature
     // scalars, SQL-replayable.
-    val mu = complete.groupBy(col("_id")).agg(
-      graft.stats.Moments.meanOf(
-        graft.stats.Moments.sumExact(col("_v")), count(col("_v"))).as("_mu"))
+    val mu = featStats.filter(col("_n") === nS).select(col("_id"),
+      graft.stats.Moments.meanOf(col("_s1"), col("_n")).as("_mu"))
     val centered = complete.join(mu, Seq("_id"))
       .select(col("_id"), col("_s"), (col("_v") - col("_mu")).as("_v"))
     val gram = Array.ofDim[Double](nS, nS)
@@ -228,6 +235,9 @@ object Impute {
     val out = complete.withColumn("was_imputed", lit(false))
       .unionByName(imputed)
       .withColumnsRenamed(Map("_id" -> idCol, "_s" -> sampleCol, "_v" -> valueCol))
-    (out, () => { base.unpersist(); bcGram.destroy(); bcSamples.destroy() })
+    (out, () => {
+      base.unpersist(); featStats.unpersist()
+      bcGram.destroy(); bcSamples.destroy()
+    })
   }
 }

@@ -103,8 +103,13 @@ object Pipelines {
       timeCol: String,
       valueCol: String,
       k: Int): Timecourse = {
+    // persisted (r16): prof is the corpus-scale collapse and had TWO
+    // consumers (the per-id moment aggregation and z's join) — each
+    // re-ran the full groupBy over `long`. One row per (id, time);
+    // freed by the same cleanup handle as z.
     val prof = long.groupBy(col(idCol), col(timeCol))
       .agg(Moments.meanOf(Moments.sumExact(col(valueCol)), count(col(valueCol))).as("_v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val m = prof.groupBy(col(idCol))
       .agg(
         Moments.sumExact(col("_v")).as("_s1"),
@@ -123,6 +128,6 @@ object Pipelines {
       .agg(
         Moments.meanOf(Moments.sumExact(col("z")), count(col("z"))).as("mean_z"),
         count(col("z")).cast("bigint").as("n_sites"))
-    Timecourse(assign, means, () => { z.unpersist(); () })
+    Timecourse(assign, means, () => { prof.unpersist(); z.unpersist(); () })
   }
 }

@@ -61,7 +61,11 @@ object MlQueries extends QueryProvider {
   private val qPca = Q(
     "q_pca_scores",
     (s, d) => {
-      val long = embLong(s, d)
+      // persisted (r16): fit + scores read this long form ~7 times
+      // (sample collect, feature means ×2, Gram pairs, weight matvec,
+      // K row, score matvec) — each re-ran the unpivot over the
+      // source scan. Session-lifetime LRU cache, one materialization.
+      val long = embLong(s, d).persist(graft.ops.Caches.memoLevel(s))
       val model = Pca.fit(long, "vec_id", "sample", "value", nComponents = 2)
       lastPca.set(model)
       Pca.sampleScores(s, long, model, "vec_id", "sample", "value")

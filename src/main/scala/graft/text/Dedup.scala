@@ -348,8 +348,6 @@ object Dedup {
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(true)
-    val verts = pairs.select(col("id_a").as("id"))
-      .unionByName(pairs.select(col("id_b").as("id"))).distinct()
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(graft.ops.Caches.memoLevel(spark))
@@ -360,7 +358,19 @@ object Dedup {
     // exactly how the first cut of this loop ate the driver heap.
     // Checkpointing truncates the plan to the materialized partitions,
     // so every round plans against a constant-size leaf.
-    var labels = truncate(verts.withColumn("cluster", col("id")))
+    //
+    // Round-0 fusion (r16, guide §2.4): the identity labeling's first
+    // neighbor round is `min(id, min(neighbors))` — computable as ONE
+    // aggregation over the symmetric edge list (every vertex appears
+    // as a src). That replaces the old verts-distinct shuffle + an
+    // identity checkpoint + the first round's edges-scale join with a
+    // single groupBy: one fewer full pass over the edge table AND
+    // (usually) one fewer driver-loop round. Same unique fixpoint —
+    // min label per component is schedule-independent.
+    var labels = truncate(edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("_nl"))
+      .select(col("src").as("id"),
+        least(col("src"), col("_nl")).as("cluster")))
     // the checkpointed frame whose blocks back `labels` — freed once
     // the NEXT round's checkpoint is materialized. Without this the
     // loop accumulates O(rounds) block-manager scratch: a local
