@@ -43,6 +43,10 @@ object Verify {
       // read as nanos-since-epoch longs (queries convert explicitly).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // mirror the production profile's join planning (Sessions): the
+      // oracle gate then certifies results under the same shuffled-
+      // hash-join-enabled plans Bench and library sessions execute
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Tell queries with driver-recorded oracle literals (q_volcano's p
