@@ -4,6 +4,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val t0Run = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // the bench measures the PLAIN layout unless explicitly opted in
+    // (SPARK_GRAFT_BUCKETED / SPARK_GRAFT_LAYOUT): timings must not
+    // silently improve because a previous run left a built layout on
+    // disk — the library's auto routing is a deployment posture, not
+    // a bench condition
+    Tables.pinPlainLayoutDefault()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Host-state capture (round-10 judge item 5): artifacts must
     // self-describe whether the run was clean — round 10's 98.3s vs

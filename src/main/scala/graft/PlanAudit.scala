@@ -3,6 +3,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.ExplainMode
 object PlanAudit {
   def main(args: Array[String]): Unit = {
+    // committed plan evidence documents the PLAIN layout unless
+    // explicitly opted in — independent of layouts left on disk
+    Tables.pinPlainLayoutDefault()
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")

@@ -63,6 +63,55 @@ object Tables {
   def bucketedEnabled: Boolean =
     sys.env.get("SPARK_GRAFT_BUCKETED").exists(v => v == "1" || v.equalsIgnoreCase("true"))
 
+  /** Layout routing posture (round-17, verdict-16 item 2 — "decide the
+    * default"): `-Dgraft.layout` / `$SPARK_GRAFT_LAYOUT` =
+    *  - `auto` (LIBRARY DEFAULT — the production posture): the keyed
+    *    stat families read a key-clustered layout whenever a COMPLETED
+    *    build already exists for (source mtime, key, buckets); auto
+    *    never triggers a build, so the first run on plain parquet
+    *    stays plain and a deployment that has paid the one-time
+    *    bucketed rewrite gets its shuffle-free plans on every
+    *    subsequent job without any per-job flag;
+    *  - `plain`: never route (the harness mains — Bench, Verify,
+    *    PlanAudit — pin this unless explicitly overridden, so driver
+    *    bench numbers and committed plan evidence stay comparable and
+    *    reproducible regardless of layouts left on disk);
+    *  - `clustered`: always route, building if needed — same as
+    *    `SPARK_GRAFT_BUCKETED=1`, which takes precedence for
+    *    back-compat. */
+  def layoutMode: String =
+    if (bucketedEnabled) "clustered"
+    else sys.props.get("graft.layout")
+      .orElse(sys.env.get("SPARK_GRAFT_LAYOUT"))
+      .getOrElse("auto")
+
+  /** Pin `plain` routing for a harness main unless the user explicitly
+    * chose a layout (env or prop). Call BEFORE any table load. */
+  def pinPlainLayoutDefault(): Unit =
+    if (!bucketedEnabled && sys.props.get("graft.layout").isEmpty &&
+        sys.env.get("SPARK_GRAFT_LAYOUT").isEmpty)
+      sys.props("graft.layout") = "plain"
+
+  /** Whether a completed clustered build for this (source, key) is
+    * already on disk — the `_SUCCESS`-marker reuse that makes `auto`
+    * routing deterministic (a partial/failed build is never routed). */
+  def clusteredBuildExists(sfDir: String, name: String, key: String,
+      numBuckets: Int = ClusterBuckets): Boolean = {
+    val (_, path, mtime) = layoutAddress(sfDir, name, key, numBuckets)
+    mtime != 0L && new java.io.File(s"$path/_SUCCESS").exists()
+  }
+
+  /** Deterministic (catalog table, scratch path, source mtime) address
+    * of a clustered layout — ONE definition shared by the builder and
+    * the auto-routing existence check so they can never disagree. */
+  private def layoutAddress(sfDir: String, name: String, key: String,
+      numBuckets: Int): (String, String, Long) = {
+    val mtime = new java.io.File(s"$sfDir/$name.parquet").lastModified()
+    val sane = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"graft_${name}_by_${key}_b${numBuckets}_${sane}_$mtime"
+    (tbl, s"${System.getProperty("java.io.tmpdir")}/graft_layout_$tbl", mtime)
+  }
+
   val LineitemClusterKey = "l_suppkey"
   /** Cluster key of the feature-keyed (per-part) stat family —
     * q_volcano / q_volcano_surface / q_min_valid_in_any_group all key
@@ -85,7 +134,19 @@ object Tables {
     * results are layout-invariant (SkewSpec asserts bitwise identity
     * for both families). */
   def lineitemKeyedBy(s: SparkSession, d: String, key: String): DataFrame =
-    if (bucketedEnabled) lineitemClustered(s, d, key) else lineitem(s, d)
+    if (routeClustered(layoutMode, clusteredBuildExists(d, "lineitem", key)))
+      lineitemClustered(s, d, key)
+    else lineitem(s, d)
+
+  /** Pure routing decision (unit-testable without prop flips):
+    * `clustered` always routes (building if needed), `plain` never,
+    * `auto` routes iff the one-time build has already been paid. */
+  private[graft] def routeClustered(mode: String, buildExists: Boolean): Boolean =
+    mode match {
+      case "clustered" => true
+      case "plain"     => false
+      case _           => buildExists
+    }
 
   def lineitemClustered(
       s: SparkSession, d: String,
@@ -104,11 +165,8 @@ object Tables {
   def clustered(
       spark: SparkSession, sfDir: String, name: String,
       key: String, numBuckets: Int): DataFrame = synchronized {
-    val mtime = new java.io.File(s"$sfDir/$name.parquet").lastModified()
-    val sane = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val tbl = s"graft_${name}_by_${key}_b${numBuckets}_${sane}_$mtime"
+    val (tbl, path, mtime) = layoutAddress(sfDir, name, key, numBuckets)
     if (!spark.catalog.tableExists(tbl)) {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_layout_$tbl"
       val src = table(spark, sfDir, name)
       // mtime == 0 means the source was not visible — never a valid
       // cache key; rebuild unconditionally (same rule as ensureIndex)

@@ -16,6 +16,10 @@ object Verify {
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
+    // harness runs certify/measure the PLAIN layout unless explicitly
+    // opted in (SPARK_GRAFT_BUCKETED / SPARK_GRAFT_LAYOUT): results
+    // must not depend on layouts a previous run left on disk
+    Tables.pinPlainLayoutDefault()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // SPARK_GRAFT_MASTER overrides the single-JVM default — the
     // topology smoke runs the whole gate under

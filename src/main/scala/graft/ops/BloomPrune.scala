@@ -61,6 +61,16 @@ object BloomPrune {
     * the win is proven). */
   val ShuffleHashDimKeys: Long = 1000000L
 
+  /** Upper key-count bound on the AUTO shuffle_hash hint (ADVICE r16):
+    * a HINTED shuffled-hash join bypasses the planner's
+    * canBuildLocalHashMap size guard, and its per-partition build side
+    * cannot spill — so the hint must not extrapolate arbitrarily far
+    * past the measured 4M-key regime. 64× the lower threshold keeps
+    * the per-partition build bounded (64M keys over the production
+    * profile's initial partitions is sub-million keys per task);
+    * beyond it the planner's own SMJ choice stands. */
+  val MaxAutoShuffleHashKeys: Long = 64L * ShuffleHashDimKeys
+
   /** Sentinel for [[semiJoin]]'s `dimHint`: pick the join strategy
     * adaptively from the built filter's own cardinality estimate —
     * no extra job, no caller-side count. */
@@ -87,13 +97,21 @@ object BloomPrune {
     /** Standard Bloom cardinality estimate of the distinct keys
       * inserted: −(m/k)·ln(1 − bitsSet/m). Free — derived from the
       * packed words, no extra Spark job. Caveat: an UNDERSIZED filter
-      * saturates the estimate near (m/k)·ln(m), i.e. it can only
-      * UNDER-estimate — trustworthy only when nBits is sized for the
-      * dim (the sizing contract in the object scaladoc). For the auto
-      * hint that failure mode is benign: it degrades to "no hint",
-      * the always-correct planner choice. */
+      * under-estimates as it loads up, and at FULL saturation
+      * (bitsSet == nBits) the formula diverges to +Infinity — so the
+      * estimate is only trustworthy while the realized fpRate stays
+      * sane. [[estimateTrustworthy]] is that guard; callers making
+      * planning decisions (the auto hint) must check it, or a
+      * saturated 64-bit filter would read as "billions of keys". */
     def estimatedKeys: Double =
       -(nBits.toDouble / nHashes) * math.log1p(-(bitsSet.toDouble / nBits))
+    /** Whether [[estimatedKeys]] is usable for planning decisions:
+      * false once the filter is loaded past fpRate 0.5 (heading to the
+      * +Inf divergence at full saturation — ADVICE r16), where the
+      * sizing contract was violated and the estimate says nothing
+      * about the true cardinality. */
+    def estimateTrustworthy: Boolean =
+      bitsSet < nBits && fpRate <= 0.5
     /** Membership probe column (codegen'd, early-exit). Null keys
       * yield null (filtered out by a WHERE, matching join semantics). */
     def contains(key: Column): Column =
@@ -108,6 +126,19 @@ object BloomPrune {
          _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => true
     case _ => false
   }
+
+  /** [[AutoDimHint]] resolution: the auto hint only fires inside the
+    * band where it is both trusted and measured. An untrustworthy
+    * (saturated) estimate diverges to +Inf (ADVICE r16 — it would
+    * FORCE shuffle_hash, whose hinted build side bypasses
+    * canBuildLocalHashMap and cannot spill), and past
+    * [[MaxAutoShuffleHashKeys]] the regime is unmeasured — both cases
+    * degrade to the planner's own choice. */
+  private[ops] def resolveAutoHint(f: Filter): Option[String] =
+    if (f.estimateTrustworthy &&
+        f.estimatedKeys > ShuffleHashDimKeys.toDouble &&
+        f.estimatedKeys <= MaxAutoShuffleHashKeys.toDouble) Some("shuffle_hash")
+    else None
 
   /** Build a [[Filter]] from a dimension key column: ONE aggregation
     * that packs positions into 64-bit words DISTRIBUTED —
@@ -180,9 +211,7 @@ object BloomPrune {
       dimHint: Option[String] = Some(AutoDimHint)): DataFrame = {
     val f = build(dim.select(col(dimKey)), dimKey, nBits, nHashes, seed)
     val resolvedHint = dimHint match {
-      case Some(AutoDimHint) =>
-        if (f.estimatedKeys > ShuffleHashDimKeys.toDouble) Some("shuffle_hash")
-        else None
+      case Some(AutoDimHint) => resolveAutoHint(f)
       case other => other
     }
     val dimSide = resolvedHint.fold(dim)(dim.hint(_))

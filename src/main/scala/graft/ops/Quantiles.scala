@@ -11,24 +11,83 @@ import org.apache.spark.sql.functions._
   * Scale design: group cardinality is this operator's stated use case
   * ("per language"), so one window partition PER GROUP is not enough —
   * at 100 TB one language can be half the corpus and would pin a
-  * single sort task. Ranks therefore come from the two-level bucketed
-  * pattern (same stitch as QValues/DistributedRank) applied WITHIN
-  * each group: range-bucket the value against the group's own
-  * (min, max) — from one aggregate, broadcast back — rank inside each
-  * (group, bucket) window in parallel, then add per-bucket offsets
-  * from a tiny (group × ≤numBuckets)-row cumulative sum. Bucketing by
-  * value preserves the (value, tieCols...) order across buckets, so
-  * the stitched rank is EXACTLY the per-group row_number; the
-  * quantile is then the row at rank ceil(q·n) (1-indexed, the
-  * discrete lower-nearest definition) — exact and bitwise-
-  * reproducible (approx_percentile's sketch is neither), replayable
-  * verbatim by an external engine.
+  * single sort task. Every public entry point therefore runs the
+  * TWO-PASS distributed selection plan ([[selectedGroupRanks]]):
+  * a per-(group, value-bucket) histogram pass whose exchange carries
+  * only the occupied-bucket counts (map-side combine), then a rank
+  * pass over ONLY the buckets that hold a requested rank. No task
+  * ever sorts or holds more than one (group, bucket) slice, and the
+  * value at rank ceil(q·n) (1-indexed, the discrete lower-nearest
+  * definition) is exact and bitwise-reproducible
+  * (approx_percentile's sketch is neither), replayable verbatim by an
+  * external engine as a plain windowed ROW_NUMBER.
+  *
+  * Round-17: the engine went from THREE full-data passes to TWO. The
+  * old pass 1 computed per-group (min, max) only to define the bucket
+  * boundaries; [[fixedBucket]] replaces it with a STATS-FREE
+  * order-preserving bucketing (see its scaladoc), so the histogram is
+  * the first and only full-data aggregation. exactGroupQuantiles also
+  * moved off the full bucketed-rank stitch (which shuffled and sorted
+  * EVERY row) onto the same selection plan: the value at a requested
+  * rank is invariant to the order among equal values, so tie-break
+  * columns are not needed for the OUTPUT even though the old full
+  * stitch ranked with them.
   */
 object Quantiles {
 
+  /** Stats-free order-preserving value bucketing:
+    * `floor(ln(|v|)·K)` split by sign, K = buckets per ln-unit.
+    *
+    * Monotone (v1 < v2 ⇒ bucket(v1) ≤ bucket(v2)) by construction:
+    * java.lang.{Math,StrictMath}.log are SEMI-MONOTONIC by their
+    * specification (whenever the real function is non-decreasing, so
+    * is the approximation), multiplication by a positive constant,
+    * floor, least and greatest are monotone, and the three sign
+    * regimes are kept disjoint by the ±SignOffset shifts (negatives
+    * mirror through the sign: -v grows as v falls, so the negated
+    * floor falls as v falls). NaN/±Inf clamp into the extreme buckets
+    * BEFORE floor (ANSI: floor(±Inf) overflows LONG) — Spark treats
+    * NaN as the largest double in comparisons, so greatest/least park
+    * it (and +Inf) in the top bucket and -Inf in the bottom one,
+    * exactly where the sort order puts them. ±0.0 compare equal to 0
+    * in Spark, so both take the zero bucket.
+    *
+    * Bucketing only ROUTES rows — the ln value never reaches an
+    * output or the oracle, so cross-JVM ulp variance in log cannot
+    * change any result (value-at-rank is bucketing-invariant).
+    *
+    * Granularity: the relative value step per bucket is e^(1/K)
+    * (~0.1% at the default K=1024), so data spread over r ln-units
+    * occupies ~r·K buckets — a handful of thousands for any
+    * quantity/price/score-shaped column, far below the old scheme's
+    * data-size-independent bound only in the adversarial full-range
+    * case (~1419·K occupied buckets if one group spans every binade;
+    * still counts-frame-sized next to the data). Degenerate
+    * concentration — a group packed inside one ~1/K relative window —
+    * collapses its rows into one bucket and the rank pass sorts that
+    * group in one (spilling) window task: the same degenerate tail
+    * the old (min,max)-ranged scheme had for value concentration,
+    * with its uniform-RANGE assumption replaced by a relative-scale
+    * one. Equal values always share a bucket in both schemes. */
+  private val SignOffset = 4000000000000000L // |clamped b| ≤ 1e15 < this
+  private def fixedBucket(v: Column, bucketsPerLnUnit: Int): Column = {
+    val k = lit(bucketsPerLnUnit.toDouble)
+    def b(x: Column) = floor(least(greatest(log(x) * k, lit(-1.0e15)), lit(1.0e15)))
+    when(v > 0, b(v.cast("double")) + lit(SignOffset))
+      .when(v < 0, -b(-v.cast("double")) - lit(SignOffset))
+      .otherwise(lit(0L))
+  }
+
   /** One row per group with a column per requested quantile
-    * (`p50`, `p95`, … named from `(q*100).round`). `tieCols` must make
-    * (group, value, tieCols) unique for reproducible ranks. */
+    * (`p50`, `p95`, … named from `(q*100).round`).
+    *
+    * `tieCols` is retained for source compatibility but no longer
+    * participates: the quantile is the VALUE at rank ceil(q·n) under
+    * any (value, …) ordering, and that value is invariant to the
+    * order among equal values — so the selection engine (which ranks
+    * by value only) returns bitwise-identical output to the old full
+    * (value, tieCols) rank stitch while never shuffling more than the
+    * histogram and the target buckets. */
   def exactGroupQuantiles(
       df: DataFrame,
       groupCol: String,
@@ -37,7 +96,8 @@ object Quantiles {
       tieCols: Seq[String],
       numBuckets: Int = 1024): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0), "qs in (0, 1]")
-    val ranked = groupRanked(df, Seq(groupCol), valueCol, tieCols, numBuckets)
+    val ranked = selectedGroupRanks(df, Seq(groupCol), valueCol,
+      qs.map(q => (n: Column) => ceil(lit(q) * n)), numBuckets)
     val aggs = qs.map { q =>
       val name = s"p${math.round(q * 100)}"
       max(when(col("_rn") === ceil(lit(q) * col("_n")), col(valueCol))).as(name)
@@ -45,129 +105,99 @@ object Quantiles {
     ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Shared two-level bucketed-rank frame: the non-null rows of `df`
-    * with the exact per-group row number `_rn` (ordered by value, then
-    * `tieCols`) and group size `_n` — without any task ever sorting or
-    * holding more than one (group, value-bucket) slice.
+  /** The two-pass distributed selection engine for callers that read
+    * values at a FEW known ranks per group (median's two, the box
+    * plot's six, describe's three):
+    *   1. per-(group, [[fixedBucket]]) HISTOGRAM — the only full-data
+    *      aggregation; its exchange carries ≤ occupied-bucket rows per
+    *      task (map-side combine), never the data;
+    *   2. per-bucket rank offsets, per-group n/min/max (and any caller
+    *      `carryAggs`) as WINDOW aggregates over the tiny histogram
+    *      frame — one more (histogram-sized) exchange, after which a
+    *      row-local filter keeps exactly the buckets holding a
+    *      requested rank. Everything derived from the histogram lives
+    *      on this ONE linear chain: the histogram subtree is
+    *      referenced exactly once, so the engine cannot silently
+    *      re-execute the full-data pass through DAG fan-out (the r16
+    *      shape computed stats/offsets/targets as separate frames over
+    *      the same aggregation and paid a measured THIRD full scan
+    *      where exchange reuse didn't fire);
+    *   3. rank ONLY the target buckets' rows — everything else is
+    *      dropped at the scan's broadcast join on (group, bucket).
+    * At 100 TB that is two pruned column scans with no full-data
+    * exchange, vs the full-fact-table shuffle a windowed rank pays.
+    * `rankFns` build each target rank (a LONG column) from the
+    * group's `n`.
     *
-    * Per-group value range + count is one partial-aggregated pass; the
-    * result is group-cardinality-sized (the operator's own output
-    * size), so broadcasting it back is always affordable. Buckets
-    * clamp BEFORE floor/cast: under ANSI mode (invariant 5) floor of
-    * ±Inf overflows LONG and NaN fails the int cast; least/greatest
-    * treat NaN as the largest double, so -Inf→bucket 0, NaN/+Inf→last
-    * bucket — exactly where the sort order puts them. Per-bucket rank
-    * offsets come from a (group × ≤numBuckets)-row cumulative sum —
-    * bounded at any scale. */
-  private def groupRanked(
+    * Returns the target buckets' rows as (groups..., valueCol, _rn,
+    * _n, _mn, _mx, carryAggs...): `_rn` the exact per-group row number
+    * (ordered by value), `_n` the group size, `_mn`/`_mx` the group
+    * min/max as double.
+    *
+    * `bucketAggs` are extra aggregations computed per (group, bucket)
+    * in the histogram pass; `carryAggs` are (name, aggregate) pairs
+    * the engine evaluates per GROUP as whole-partition window
+    * aggregates over the histogram (e.g. re-summing a bucketAgg
+    * partial) and carries onto every returned row. Associative exact
+    * aggregates only (decimal sums, count, min/max) — the two-level
+    * split must be value-identical to a direct per-group aggregation.
+    * This lets describe() fuse its moment pass into the engine instead
+    * of paying a third full scan. */
+  private[graft] def selectedGroupRanks(
       df: DataFrame, groupCols: Seq[String], valueCol: String,
-      tieCols: Seq[String], numBuckets: Int): DataFrame = {
+      rankFns: Seq[Column => Column], numBuckets: Int,
+      bucketAggs: Seq[Column] = Nil,
+      carryAggs: Seq[(String, Column)] = Nil): DataFrame = {
     val gs = groupCols.map(col)
     // prune to the columns the rank needs BEFORE any exchange: callers
     // pass full frames (subtractColumnMedian, boxData), and shuffling
-    // every column twice to produce a per-group scalar would dominate
-    // the cost at scale
-    val data = df
-      .select((groupCols ++ (valueCol +: tieCols)).distinct.map(col): _*)
-      .filter(col(valueCol).isNotNull)
-    val stats = data.groupBy(gs: _*).agg(
-      min(col(valueCol)).cast("double").as("_mn"),
-      max(col(valueCol)).cast("double").as("_mx"),
-      count(lit(1)).as("_n"))
-    val span = when(col("_mx") > col("_mn"), col("_mx") - col("_mn")).otherwise(lit(1.0))
-    val bucket = floor(least(greatest(
-        (col(valueCol).cast("double") - col("_mn")) / span * numBuckets, lit(0.0)),
-      lit((numBuckets - 1).toDouble))).cast("int")
-    // NULL-SAFE group match: groupBy keeps a NULL group — and so do
-    // the SQL mirrors' GROUP BYs — so a plain equi-join here would
-    // silently drop every row of a NULL-keyed group
-    val bucketed = nullSafeBroadcastJoin(data, stats, groupCols)
-      .withColumn("_rb", bucket)
-    // skew split numBuckets ways: the window key is (group, bucket)
-    val wBkt = Window.partitionBy((gs :+ col("_rb")): _*)
-      .orderBy((col(valueCol) +: tieCols.map(col)): _*)
-    val local = bucketed.withColumn("_lrn", row_number().over(wBkt))
-    val wGrp = Window.partitionBy(gs: _*).orderBy(col("_rb"))
-    val offsets = local.groupBy((gs :+ col("_rb")): _*).agg(count(lit(1)).as("_bn"))
-      .withColumn("_off", coalesce(
-        sum(col("_bn")).over(wGrp.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select((gs :+ col("_rb") :+ col("_off")): _*)
-    nullSafeBroadcastJoin(local, offsets, groupCols :+ "_rb")
-      .withColumn("_rn", col("_off") + col("_lrn"))
-  }
-
-  /** Selection-only sibling of [[groupRanked]] for callers that read
-    * values at a FEW known ranks per group (median's two, the box
-    * plot's six): the classic distributed selection plan —
-    *   1. per-group (min, max, n) — one partial-aggregated pass;
-    *   2. per-(group, value-bucket) COUNTS — a second pass whose
-    *      exchange carries ≤ groups·numBuckets rows (map-side combine),
-    *      never the data;
-    *   3. per-bucket rank offsets + "which bucket holds rank r" —
-    *      arithmetic over the tiny counts frame;
-    *   4. rank ONLY the rows of the target buckets (≈ rankCount ·
-    *      n/numBuckets rows) — everything else is filtered at the
-    *      scan by a broadcast semi-join on (group, bucket).
-    * Where [[groupRanked]] shuffles and sorts the WHOLE input once
-    * (correct when every row needs its rank — exactGroupQuantiles'
-    * output joins, subtractColumnMedian's *ranked* variant), this
-    * reads the source three times but never exchanges more than the
-    * counts and the target buckets — at 100 TB that's three pruned
-    * column scans vs a full-fact-table shuffle, and at the gate SF it
-    * removes the multi-shuffle constants the round-9/10 verdicts
-    * flagged (q_median_center 2.7×, q_box_summary 11× DuckDB).
-    *
-    * Returns the target buckets' rows as (groups..., valueCol, _rn,
-    * _n, _mn, _mx): exactly [[groupRanked]]'s schema plus the group
-    * stats, restricted to buckets containing a requested rank — the
-    * rank-probing aggregates downstream are unchanged because value-
-    * at-rank is what they read, and every requested rank's row is
-    * here. `rankFns` build each target rank (a LONG column) from the
-    * group's `n`.
-    *
-    * Degenerate concentration (many rows sharing one value) collapses
-    * a target bucket toward the whole group — the same worst case the
-    * full-rank stitch has, since equal values always share a bucket;
-    * the uniform-range assumption behind numBuckets is the operator's
-    * documented contract either way. */
-  private def selectedGroupRanks(
-      df: DataFrame, groupCols: Seq[String], valueCol: String,
-      rankFns: Seq[Column => Column], numBuckets: Int): DataFrame = {
-    val gs = groupCols.map(col)
+    // every column to produce a per-group scalar would dominate the
+    // cost at scale
     val data = df
       .select((groupCols :+ valueCol).distinct.map(col): _*)
       .filter(col(valueCol).isNotNull)
-    val stats = data.groupBy(gs: _*).agg(
-      min(col(valueCol)).cast("double").as("_mn"),
-      max(col(valueCol)).cast("double").as("_mx"),
-      count(lit(1)).as("_n"))
-    val span = when(col("_mx") > col("_mn"), col("_mx") - col("_mn")).otherwise(lit(1.0))
-    val bucket = floor(least(greatest(
-        (col(valueCol).cast("double") - col("_mn")) / span * numBuckets, lit(0.0)),
-      lit((numBuckets - 1).toDouble))).cast("int")
-    // pass 2: per-bucket counts — the only full-data aggregation, and
-    // its exchange is ≤ groups·numBuckets rows after partial agg
-    val counts = nullSafeBroadcastJoin(data, stats, groupCols)
-      .groupBy((gs :+ bucket.as("_rb")): _*).agg(count(lit(1)).as("_bn"))
-    val wGrp = Window.partitionBy(gs: _*).orderBy(col("_rb"))
-    val offsets = counts.withColumn("_off", coalesce(
-      sum(col("_bn")).over(wGrp.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    // target ranks per group (tiny), matched to their holding bucket
-    val targets = stats.select((gs :+
-      explode(array(rankFns.map(f => f(col("_n"))): _*)).as("_tr")): _*)
-    val needed = nullSafeBroadcastJoin(targets, offsets, groupCols)
-      .filter(col("_tr") > col("_off") && col("_tr") <= col("_off") + col("_bn"))
-      .select((gs :+ col("_rb") :+ col("_off")): _*)
-      .distinct()
-    // pass 3: rank only the target buckets' rows
-    val bucketed = nullSafeBroadcastJoin(data, stats, groupCols)
-      .withColumn("_rb", bucket)
-    val selected = nullSafeBroadcastJoin(bucketed, needed, groupCols :+ "_rb")
+    val bucket = fixedBucket(col(valueCol), numBuckets)
+    // pass 1: the histogram — per (group, bucket) count + raw min/max
+    // (+ caller partials); the only aggregation that sees every row
+    val aggsA = Seq(
+      count(lit(1)).as("_bn"),
+      min(col(valueCol)).as("_bmn"),
+      max(col(valueCol)).as("_bmx")) ++ bucketAggs
+    val counts = data.groupBy((gs :+ bucket.as("_rb")): _*)
+      .agg(aggsA.head, aggsA.tail: _*)
+    // per-group offsets AND stats as window aggregates over the
+    // histogram — same partition key, ONE exchange, no second frame:
+    // sum of bucket counts == count, min of bucket mins == min, so
+    // the old dedicated stats pass falls out of the same tiny pass
+    val wGrp = Window.partitionBy(gs: _*)
+    val wOrd = wGrp.orderBy(col("_rb"))
+    val carried = Seq(
+      "_off" -> coalesce(
+        sum(col("_bn")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)),
+      "_n" -> sum(col("_bn")).over(wGrp),
+      "_mn" -> min(col("_bmn")).over(wGrp).cast("double"),
+      "_mx" -> max(col("_bmx")).over(wGrp).cast("double")) ++
+      carryAggs.map { case (name, agg) => name -> agg.over(wGrp) }
+    val full = carried.foldLeft(counts) { case (d, (name, c)) => d.withColumn(name, c) }
+    // keep exactly the buckets that hold a requested rank — a
+    // row-local predicate over the windowed histogram
+    val holdsTarget = rankFns
+      .map(f => f(col("_n")) > col("_off") && f(col("_n")) <= col("_off") + col("_bn"))
+      .reduce(_ || _)
+    val needed = full.filter(holdsTarget)
+      .select((gs :+ col("_rb") :+ col("_off") :+ col("_n") :+
+        col("_mn") :+ col("_mx")) ++ carryAggs.map { case (n, _) => col(n) }: _*)
+    // pass 2: rank only the target buckets' rows. NULL-SAFE group
+    // match: groupBy keeps a NULL group — and so do the SQL mirrors'
+    // GROUP BYs — so a plain equi-join would silently drop every row
+    // of a NULL-keyed group.
+    val selected = nullSafeBroadcastJoin(
+      data.withColumn("_rb", bucket), needed, groupCols :+ "_rb")
     val wBkt = Window.partitionBy((gs :+ col("_rb")): _*).orderBy(col(valueCol))
     selected
       .withColumn("_rn", col("_off") + row_number().over(wBkt))
       .select((gs :+ col(valueCol) :+ col("_rn") :+ col("_n") :+
-        col("_mn") :+ col("_mx")): _*)
+        col("_mn") :+ col("_mx")) ++ carryAggs.map { case (n, _) => col(n) }: _*)
   }
 
   /** Broadcast inner join that matches NULL keys to NULL keys
@@ -237,7 +267,7 @@ object Quantiles {
       valueCol: String,
       numBuckets: Int = 1024): DataFrame = {
     // selection plan: only the six quartile ranks' buckets are ranked;
-    // lo/hi/n ride in from the stats pass (min(v) cast double ==
+    // lo/hi/n ride in from the histogram pass (min(v) cast double ==
     // cast-then-min — the double cast is monotone)
     def posOf(n: Column, q: Double) = lit(1.0) + (n.cast("double") - lit(1.0)) * lit(q)
     val quartiles = Seq("q1" -> 0.25, "med" -> 0.5, "q3" -> 0.75)
@@ -328,8 +358,9 @@ object Quantiles {
              THEN l ELSE (l + h) / 2 END AS $outCol
       FROM mg"""
 
-  /** The matching DuckDB SQL (same rank selection, same tie-break) —
-    * kept adjacent so the trees stay structurally identical. */
+  /** The matching DuckDB SQL (same rank selection; ranks are selected
+    * by value, so the mirror's tie order is irrelevant to the output)
+    * — kept adjacent so the trees stay structurally identical. */
   def oracleSql(
       table: String, groupCol: String, valueCol: String,
       qs: Seq[Double], tieCols: Seq[String]): String = {

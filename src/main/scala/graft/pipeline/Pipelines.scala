@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ml.Ward
-import graft.ops.{Design, Filters, Normalize, Reshape}
+import graft.ops.{Caches, Design, Filters, Normalize, Reshape}
 import graft.stats.{Moments, StatTests, Summaries, Volcano}
 
 /** The reference's canonical end-to-end workflows (SURVEY §3) as
@@ -12,6 +12,15 @@ import graft.stats.{Moments, StatTests, Summaries, Volcano}
   * keyed aggregations — shuffles only at the design-keyed aggs.
   */
 object Pipelines {
+
+  /** Estimated-input-size floor (bytes) below which
+    * [[hierarchicalTimecourse]] skips the `prof` persist: under it the
+    * rescan the cache would avoid is cheaper than the cache's extra
+    * stage barriers (the r16 driver measured the unconditional persist
+    * 0.88× at sf0.1 where sf10 same-window A/Bs show 1.6×; sf0.1's
+    * pruned lineitem estimate is ~MBs, sf10's ~hundreds of MBs — this
+    * sits between them with an order of magnitude of margin each way). */
+  val PersistInputBytesFloor: BigInt = BigInt(128L << 20)
 
   /** §3.1 Phospho-LFQ timecourse (File S-1 flagship), through the
     * volcano table. `sites` is a MaxQuant site table (io.MaxQuant
@@ -107,9 +116,20 @@ object Pipelines {
     // consumers (the per-id moment aggregation and z's join) — each
     // re-ran the full groupBy over `long`. One row per (id, time);
     // freed by the same cleanup handle as z.
-    val prof = long.groupBy(col(idCol), col(timeCol))
+    //
+    // SIZE-GATED (r17, verdict-16 item 4): at gate SF the rescan the
+    // persist avoids costs less than the extra stage barriers the
+    // cache adds — the driver measured the r16 unconditional persist
+    // 0.88× where sf10+ same-window A/Bs show 1.6×. Gate on the
+    // INPUT's estimated plan size (free, deterministic per fixture):
+    // below [[PersistInputBytesFloor]] the two consumers just rescan.
+    // Storage level via Caches.memoLevel (ADVICE r16: respect the
+    // low-heap DISK_ONLY policy instead of hardcoding MEMORY_AND_DISK).
+    val inputBytes = long.queryExecution.optimizedPlan.stats.sizeInBytes
+    val profPersisted = inputBytes >= PersistInputBytesFloor
+    val prof0 = long.groupBy(col(idCol), col(timeCol))
       .agg(Moments.meanOf(Moments.sumExact(col(valueCol)), count(col(valueCol))).as("_v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prof = if (profPersisted) prof0.persist(Caches.memoLevel(long.sparkSession)) else prof0
     val m = prof.groupBy(col(idCol))
       .agg(
         Moments.sumExact(col("_v")).as("_s1"),
@@ -121,7 +141,7 @@ object Pipelines {
     val z = prof.join(broadcast(m), Seq(idCol))
       .select(col(idCol), col(timeCol),
         Moments.div(col("_v") - col("_mu"), col("_sd")).as("z"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(Caches.memoLevel(long.sparkSession))
     val assign = Ward.clusterSamples(spark, z, timeCol, idCol, "z", k)
     val means = z.join(broadcast(assign), Seq(idCol))
       .groupBy(col("cluster"), col(timeCol))

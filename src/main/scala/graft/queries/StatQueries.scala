@@ -18,15 +18,21 @@ import graft.stats.Moments.{Sql => MS}
   */
 object StatQueries extends QueryProvider {
 
-  private val decQty = MS.dec("l_quantity")
-  private val decProdQty = MS.decProd("l_quantity", "l_quantity")
+  // NARROW keyed-family images (round-17): l_quantity is 2-decimal-
+  // exact with |x| < 100 and the suppkey grouping has SF-invariant
+  // rows per key, so the decimal(8,6)/(8,4) images are value-identical
+  // to dec/decProd while keeping the sum buffers long-backed — the
+  // measured 2× on the partial-agg-bound tier (Moments.decKeyed).
+  private val decQty = MS.decKeyed("l_quantity")
+  private val decProdQty = MS.decProdKeyed("l_quantity", "l_quantity")
 
   // ---- §2.10 ttest_ind: per-feature two-sample t between groups ----
   private val qTtest = Q(
     "q_ttest_ind",
     (s, d) => StatTests.tTestInd(
         Tables.lineitemKeyed(s, d).select(col("l_suppkey"), col("l_returnflag"), col("l_quantity")),
-        Seq("l_suppkey"), "l_returnflag", "l_quantity", a = "A", b = "R")
+        Seq("l_suppkey"), "l_returnflag", "l_quantity", a = "A", b = "R",
+        decImage = Moments.decKeyed, decProdImage = Moments.decProdKeyed)
       .filter(col("n_a") >= 2 && col("n_b") >= 2)
       .drop("p"),
     Some(s"""
@@ -61,7 +67,8 @@ object StatQueries extends QueryProvider {
     "q_ttest_welch",
     (s, d) => StatTests.tTestWelch(
         Tables.lineitemKeyed(s, d).select(col("l_suppkey"), col("l_returnflag"), col("l_quantity")),
-        Seq("l_suppkey"), "l_returnflag", "l_quantity", a = "A", b = "R")
+        Seq("l_suppkey"), "l_returnflag", "l_quantity", a = "A", b = "R",
+        decImage = Moments.decKeyed, decProdImage = Moments.decProdKeyed)
       .filter(col("n_a") >= 2 && col("n_b") >= 2)
       .drop("p"),
     Some {
@@ -263,8 +270,8 @@ object StatQueries extends QueryProvider {
     "q_anova_f",
     (s, d) => {
       val li = Tables.lineitemKeyed(s, d)
-      val dq = Moments.dec(col("l_quantity"))
-      val dq2 = Moments.decProd(col("l_quantity"), col("l_quantity"))
+      val dq = Moments.decKeyed(col("l_quantity"))
+      val dq2 = Moments.decProdKeyed(col("l_quantity"), col("l_quantity"))
       val flags = Seq("A" -> "a", "N" -> "n", "R" -> "r")
       val aggs = flags.flatMap { case (f, sfx) =>
         Seq(
@@ -522,12 +529,13 @@ object StatQueries extends QueryProvider {
     (s, d) => StatTests.tTest1Samp(
         Tables.lineitemKeyed(s, d)
           .select(col("l_suppkey").as("id"), (col("l_discount") - 0.05).as("value")),
-        Seq("id"), "value")
+        Seq("id"), "value",
+        sumImage = Moments.sumExactKeyed, sumSqImage = Moments.sumSqExactKeyed)
       .filter(col("n") >= 2)
       .drop("p"),
     Some {
       val v = "(l_discount - 0.05)"
-      val s1 = MS.sumExact(v); val s2 = MS.sumSqExact(v)
+      val s1 = MS.sumExactKeyed(v); val s2 = MS.sumSqExactKeyed(v)
       s"""
       WITH g AS (
         SELECT l_suppkey AS id, $s1 AS s1, $s2 AS s2,

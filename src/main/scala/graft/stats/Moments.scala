@@ -103,6 +103,42 @@ object Moments {
     floor(s).cast("double") + (s - floor(s)).cast("double")
   }
 
+  /** Narrow image for KEYED-FAMILY values (round-17): |x| < 100 at 6
+    * decimals — decimal(8,6), whose SUM type decimal(18,6) stays
+    * inside Spark's long-backed decimal fast path (precision ≤ 18 is
+    * a fixed-width mutable UnsafeRow aggregation field; wider sums
+    * buffer through BigDecimal byte regions — the sf10 per-suppkey
+    * partial agg measured 2× faster narrow, value-identical: the
+    * 6-decimal rounding is the same, only the carrier range shrinks).
+    * BOUND: the decimal(18,6) sum overflows (ANSI error, never a
+    * wrong value) at |sum| ≥ 1e12 — safe for the PER-KEY stat
+    * families where rows per key is SF-invariant (TPC-H ~600 lineitem
+    * rows per suppkey at every SF; |sum| ≤ 600·100 = 6e4, and even
+    * same-key-scaled decade fixtures at sf1e5 stay orders under the
+    * bound). NOT for global or low-cardinality groupings whose sums
+    * grow with the corpus (describe's per-flag quantity sums pass
+    * 1e12 near sf10⁵·corpus shapes — those keep [[dec]]). */
+  def decKeyed(c: Column): Column = c.cast("decimal(8,6)")
+
+  /** Exact keyed-family sum as double — see [[decKeyed]]. */
+  def sumExactKeyed(c: Column): Column = sum(decKeyed(c)).cast("double")
+
+  /** Product image for keyed-family values EXACT at ≤2 decimals with
+    * |x| < 100 (quantities, discounts): x·y is then exact at ≤4
+    * decimals and < 1e4, so the scale-4 rounding of the double
+    * product recovers exactly the same number the scale-10
+    * [[decProd]] image does (the product sits within ~1e-18 of its
+    * exact ≤4-decimal value — never near a rounding boundary at
+    * either scale, and no double is an exact midpoint at any
+    * factor-of-5 scale) while the sum type decimal(18,4) stays
+    * long-backed. NOT for values with more than 2 decimals (volcano's
+    * 6-decimal log2 values: their squares are not 4-decimal-exact and
+    * the narrower rounding would CHANGE the sum). */
+  def decProdKeyed(x: Column, y: Column): Column = (x * y).cast("decimal(8,4)")
+
+  /** Deterministic keyed-family sum of squares — see [[decProdKeyed]]. */
+  def sumSqExactKeyed(c: Column): Column = sum(decProdKeyed(c, c)).cast("double")
+
   /** Fine decimal image for unit-scale data (embeddings, z-scores):
     * |x| < 1e16 at 1e-12 resolution. dec(15,6) would quantize a ~0.5
     * embedding coordinate to 1e-6 — visible next to a 1e-6 golden
@@ -157,6 +193,12 @@ object Moments {
     * structurally identical (bitwise parity depends on it). */
   object Sql {
     def dec(c: String): String = s"CAST($c AS DECIMAL(15,6))"
+    def decKeyed(c: String): String = s"CAST($c AS DECIMAL(8,6))"
+    def decProdKeyed(x: String, y: String): String =
+      s"CAST(($x) * ($y) AS DECIMAL(8,4))"
+    def sumExactKeyed(c: String): String = s"CAST(SUM(${decKeyed(c)}) AS DOUBLE)"
+    def sumSqExactKeyed(c: String): String =
+      s"CAST(SUM(${decProdKeyed(c, c)}) AS DOUBLE)"
     def decFine(c: String): String = s"CAST($c AS DECIMAL(28,12))"
     def sumExactFine(c: String): String = s"CAST(SUM(${decFine(c)}) AS DOUBLE)"
     def decProd(x: String, y: String): String = s"CAST(($x) * ($y) AS DECIMAL(28,10))"

@@ -23,17 +23,19 @@ object StatTests {
       groupCol: String,
       valueCol: String,
       a: String,
-      b: String): DataFrame = {
+      b: String,
+      decImage: Column => Column = dec,
+      decProdImage: (Column, Column) => Column = decProd): DataFrame = {
     val inAB = df.filter(col(groupCol) === a || col(groupCol) === b)
     val v = col(valueCol)
     val g = inAB
       .groupBy(idCols.map(col): _*)
       .agg(
-        sum(when(col(groupCol) === a, dec(v))).cast("double").as("_s1a"),
-        sum(when(col(groupCol) === a, decProd(v, v))).cast("double").as("_s2a"),
+        sum(when(col(groupCol) === a, decImage(v))).cast("double").as("_s1a"),
+        sum(when(col(groupCol) === a, decProdImage(v, v))).cast("double").as("_s2a"),
         count(when(col(groupCol) === a, v)).as("n_a"),
-        sum(when(col(groupCol) === b, dec(v))).cast("double").as("_s1b"),
-        sum(when(col(groupCol) === b, decProd(v, v))).cast("double").as("_s2b"),
+        sum(when(col(groupCol) === b, decImage(v))).cast("double").as("_s1b"),
+        sum(when(col(groupCol) === b, decProdImage(v, v))).cast("double").as("_s2b"),
         count(when(col(groupCol) === b, v)).as("n_b"))
     val na = col("n_a").cast("double")
     val nb = col("n_b").cast("double")
@@ -66,17 +68,19 @@ object StatTests {
       groupCol: String,
       valueCol: String,
       a: String,
-      b: String): DataFrame = {
+      b: String,
+      decImage: Column => Column = dec,
+      decProdImage: (Column, Column) => Column = decProd): DataFrame = {
     val inAB = df.filter(col(groupCol) === a || col(groupCol) === b)
     val v = col(valueCol)
     val g = inAB
       .groupBy(idCols.map(col): _*)
       .agg(
-        sum(when(col(groupCol) === a, dec(v))).cast("double").as("_s1a"),
-        sum(when(col(groupCol) === a, decProd(v, v))).cast("double").as("_s2a"),
+        sum(when(col(groupCol) === a, decImage(v))).cast("double").as("_s1a"),
+        sum(when(col(groupCol) === a, decProdImage(v, v))).cast("double").as("_s2a"),
         count(when(col(groupCol) === a, v)).as("n_a"),
-        sum(when(col(groupCol) === b, dec(v))).cast("double").as("_s1b"),
-        sum(when(col(groupCol) === b, decProd(v, v))).cast("double").as("_s2b"),
+        sum(when(col(groupCol) === b, decImage(v))).cast("double").as("_s1b"),
+        sum(when(col(groupCol) === b, decProdImage(v, v))).cast("double").as("_s2b"),
         count(when(col(groupCol) === b, v)).as("n_b"))
     val na = col("n_a").cast("double")
     val nb = col("n_b").cast("double")
@@ -103,11 +107,13 @@ object StatTests {
       df: DataFrame,
       idCols: Seq[String],
       valueCol: String,
-      popMean: Double = 0.0): DataFrame = {
+      popMean: Double = 0.0,
+      sumImage: Column => Column = sumExact,
+      sumSqImage: Column => Column = sumSqExact): DataFrame = {
     val v = col(valueCol)
     val g = df
       .groupBy(idCols.map(col): _*)
-      .agg(sumExact(v).as("_s1"), sumSqExact(v).as("_s2"), count(v).as("n"))
+      .agg(sumImage(v).as("_s1"), sumSqImage(v).as("_s2"), count(v).as("n"))
     val nd = col("n").cast("double")
     val m = meanOf(col("_s1"), col("n"))
     val variance = varOf(col("_s1"), col("_s2"), col("n"))

@@ -1,6 +1,6 @@
 package graft.stats
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Summary/enrichment aggregations from `padua/analysis.py` tail +
@@ -10,10 +10,17 @@ object Summaries {
   /** Exact per-group `describe` — the pandas `df.describe()` contract
     * (count, mean, std, min, exact quartiles, max) that reference
     * users run constantly. Percentiles are the EXACT rank-selected
-    * values via the skew-safe two-level stitch (ops.Quantiles), not
-    * approx_percentile's non-reproducible sketch; moments are exact
-    * decimal sums. One moment pass + the quantile stitch, joined on
-    * the group (group-cardinality frames — broadcastable). */
+    * values via the skew-safe two-pass selection engine
+    * (ops.Quantiles), not approx_percentile's non-reproducible
+    * sketch; moments are exact decimal sums FUSED into the engine's
+    * histogram pass (round-17): the per-(group, bucket) partial
+    * decimal sums re-aggregate per group on the tiny histogram frame
+    * — exact decimal addition is associative, so the two-level split
+    * is value-identical to the old dedicated moment pass, and the
+    * whole operator is TWO full-data passes (histogram + target-rank)
+    * instead of the old four (moments, stats, full shuffle+rank).
+    * `tieCols` kept for source compatibility; quantile values are
+    * tie-order-invariant (see Quantiles.exactGroupQuantiles). */
   def describe(
       df: DataFrame,
       groupCol: String,
@@ -21,19 +28,41 @@ object Summaries {
       tieCols: Seq[String],
       qs: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
     import Moments._
-    val m = df.filter(col(valueCol).isNotNull)
-      .groupBy(col(groupCol))
-      .agg(
-        count(col(valueCol)).as("n"),
-        sumExact(col(valueCol)).as("_s1"),
-        sumSqExact(col(valueCol)).as("_s2"),
-        min(col(valueCol)).as("min"),
-        max(col(valueCol)).as("max"))
-      .withColumn("mean", meanOf(col("_s1"), col("n")))
-      .withColumn("std", sqrt(varOf(col("_s1"), col("_s2"), col("n"))))
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0), "qs in (0, 1]")
+    val ranked = graft.ops.Quantiles.selectedGroupRanks(
+      df, Seq(groupCol), valueCol,
+      rankFns = qs.map(q => (n: Column) => ceil(lit(q) * n)),
+      numBuckets = 1024,
+      // per-bucket exact decimal partials (NOT cast to double — the
+      // cast happens once, after the per-group re-sum, exactly where
+      // sumExact/sumSqExact place it)
+      bucketAggs = Seq(
+        sum(dec(col(valueCol))).as("_bs1"),
+        sum(decProd(col(valueCol), col(valueCol))).as("_bs2")),
+      // per-group totals + raw-typed min/max carried onto every
+      // ranked row — a per-group constant the final agg picks with
+      // max(), so the whole operator is histogram + rank + ONE
+      // group-sized aggregation, no separate moments frame to join
+      carryAggs = Seq(
+        "_ds1" -> sum(col("_bs1")),
+        "_ds2" -> sum(col("_bs2")),
+        "_mnv" -> min(col("_bmn")),
+        "_mxv" -> max(col("_bmx"))))
+    val qAggs = qs.map { q =>
+      val name = s"p${math.round(q * 100)}"
+      max(when(col("_rn") === ceil(lit(q) * col("_n")), col(valueCol))).as(name)
+    }
+    val aggs = Seq(
+      max(col("_n")).as("n"),
+      max(col("_mnv")).as("min"),
+      max(col("_mxv")).as("max"),
+      max(col("_ds1")).as("_s1"),
+      max(col("_ds2")).as("_s2")) ++ qAggs
+    ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+      .withColumn("mean", meanOf(col("_s1").cast("double"), col("n")))
+      .withColumn("std", sqrt(varOf(col("_s1").cast("double"),
+        col("_s2").cast("double"), col("n"))))
       .drop("_s1", "_s2")
-    m.join(graft.ops.Quantiles.exactGroupQuantiles(df, groupCol, valueCol, qs, tieCols),
-      groupCol)
   }
 
   /** `enrichment_from_msp` (ref analysis.py:263-287): zero → missing,

@@ -6,6 +6,11 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local session for all suites (one JVM-wide session — sbt
   * forks a single test JVM). */
 object TestSpark {
+  // structural/plan suites must see deterministic PLAIN-layout plans
+  // regardless of clustered layouts earlier runs left in the tmpdir
+  // (Tables.layoutMode is `auto` by default); layout suites opt in
+  // explicitly via Tables.lineitemClustered or a scoped prop flip.
+  Tables.pinPlainLayoutDefault()
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")

@@ -116,6 +116,46 @@ class BloomPruneSpec extends SparkSpec {
     assert(!joinNodes(forced).contains("ShuffledHashJoin"))
   }
 
+  test("auto hint never fires on an untrustworthy or out-of-band estimate (r17)") {
+    // FULLY saturated filter: estimate diverges to +Inf — before the
+    // r17 guard this FORCED shuffle_hash on an arbitrarily large dim
+    // (ADVICE r16); now it must degrade to "no hint"
+    val sat = BloomPrune.Filter(nHashes = 2, nBits = 64, seed = 0L,
+      words = Array(-1L), longKeys = true)
+    assert(sat.estimatedKeys.isInfinity)
+    assert(!sat.estimateTrustworthy)
+    assert(BloomPrune.resolveAutoHint(sat).isEmpty)
+    // overloaded (fpRate > 0.5) but not fully saturated: also distrusted
+    val hot = BloomPrune.Filter(nHashes = 1, nBits = 64, seed = 0L,
+      words = Array(0x00ffffffffffffffL), longKeys = true) // 56/64 bits
+    assert(hot.fpRate > 0.5 && hot.bitsSet < hot.nBits)
+    assert(BloomPrune.resolveAutoHint(hot).isEmpty)
+    // in-band trusted estimate fires; past the measured upper bound it
+    // degrades to the planner even though the estimate is trusted
+    val mk = (nBits: Int, load: Double) => {
+      val words = new Array[Long](nBits / 64)
+      val setBits = (nBits * load).toInt
+      (0 until setBits).foreach(i => words(i / 64) |= (1L << (i % 64)))
+      BloomPrune.Filter(nHashes = 3, nBits = nBits, seed = 0L, words, longKeys = true)
+    }
+    val inBand = mk(1 << 25, 0.25) // est ≈ 3.2M keys ∈ (1M, 64M]
+    assert(inBand.estimateTrustworthy &&
+      inBand.estimatedKeys > BloomPrune.ShuffleHashDimKeys)
+    assert(BloomPrune.resolveAutoHint(inBand).contains("shuffle_hash"))
+    val pastBand = mk(1 << 27, 0.79) // trusted (fp ~0.49) but est ≈ 70M > 64M
+    assert(pastBand.estimateTrustworthy &&
+      pastBand.estimatedKeys > BloomPrune.MaxAutoShuffleHashKeys)
+    assert(BloomPrune.resolveAutoHint(pastBand).isEmpty)
+    // end-to-end: a saturated build over a >1M-key dim keeps the
+    // planner's join AND the exact result
+    val bigDim = spark.range(1, 1200001).select(col("id").as("dk"))
+    val pruned = BloomPrune.semiJoin(fact, "k", bigDim, "dk", nBits = 64, nHashes = 2)
+    pruned.count()
+    assert(!pruned.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"))
+    assert(pruned.count() ==
+      fact.join(bigDim, fact("k") === bigDim("dk"), "left_semi").count())
+  }
+
   test("build rejects invalid shapes") {
     intercept[IllegalArgumentException] {
       BloomPrune.build(dim, "dk", nBits = 100) // not a multiple of 64

@@ -231,6 +231,75 @@ class OpsSpec extends SparkSpec {
     assert(out("h") == ((Double.NegativeInfinity, 1.0, 3.0)))
   }
 
+  test("fixed bucketing (r17): mixed signs, zeros, sub-unit and concentrated values rank exactly") {
+    import graft.ops.Quantiles
+    import org.apache.spark.sql.functions.{col, lit, median, percentile}
+    // exercises every sign regime of the stats-free ln bucketing
+    // (negatives mirror, ±0.0 take the zero bucket, |v| < 1 has a
+    // negative ln) plus a group concentrated inside one ~1/K relative
+    // window (single-bucket degenerate) — outputs must equal Spark's
+    // own exact median/percentile regardless of bucket routing
+    val rnd = new scala.util.Random(7)
+    val rows =
+      (1 to 400).map(_ => ("signs", rnd.nextDouble() * 20 - 10)) ++
+      Seq(("signs", 0.0), ("signs", -0.0), ("signs", 1e-9), ("signs", -1e-9)) ++
+      (1 to 300).map(_ => ("tiny", rnd.nextDouble() * 1e-6)) ++
+      (1 to 301).map(_ => ("dense", 42.0 + rnd.nextDouble() * 1e-9))
+    val df = rows.toDF("g", "v")
+    val ref = df.groupBy(col("g")).agg(
+      median(col("v")).as("med"),
+      percentile(col("v"), lit(0.25)).as("q1"),
+      percentile(col("v"), lit(0.75)).as("q3"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val med = Quantiles.medianByGroup(df, "g", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    ref.foreach { case (g, (m, _, _)) => assert(med(g) == m, s"median $g") }
+    val five = Quantiles.fiveNumberByGroup(df, Seq("g"), "v")
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    ref.foreach { case (g, (m, q1, q3)) =>
+      assert(five(g) == ((q1, m, q3)), s"five $g: ${five(g)} vs ($q1, $m, $q3)")
+    }
+  }
+
+  test("describe (r17): fused histogram moments equal a direct aggregation bitwise") {
+    import graft.stats.{Moments, Summaries}
+    import org.apache.spark.sql.functions.{col, count, min => smin, max => smax, sqrt}
+    val rnd = new scala.util.Random(11)
+    val df = ((1 to 500).map(_ => ("a", math.floor(rnd.nextDouble() * 200) / 4)) ++
+      (1 to 321).map(_ => ("b", math.floor(rnd.nextDouble() * 80) / 2)))
+      .toDF("g", "v")
+      .unionByName(Seq(("a", Option.empty[Double])).toDF("g", "v"))
+    // the OLD dedicated moment pass, verbatim — the fused two-level
+    // decimal sums must reproduce it bit-for-bit
+    val ref = df.filter(col("v").isNotNull).groupBy(col("g")).agg(
+      count(col("v")).as("n"),
+      Moments.sumExact(col("v")).as("s1"),
+      Moments.sumSqExact(col("v")).as("s2"),
+      smin(col("v")).as("min"), smax(col("v")).as("max"))
+      .select(col("g"), col("n"), col("min"), col("max"),
+        Moments.meanOf(col("s1"), col("n")).as("mean"),
+        sqrt(Moments.varOf(col("s1"), col("s2"), col("n"))).as("std"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val out = Summaries.describe(df, "g", "v", tieCols = Nil)
+      .select(col("g"), col("n"), col("min"), col("max"), col("mean"), col("std"),
+        col("p25"), col("p50"), col("p75"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)),
+          (r.getDouble(6), r.getDouble(7), r.getDouble(8)))).toMap
+    assert(out.keySet == ref.keySet)
+    ref.foreach { case (g, m) => assert(out(g)._1 == m, s"moments $g") }
+    // quartiles: exact rank selection vs an in-memory sorted reference
+    val byG = df.filter(col("v").isNotNull).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).groupBy(_._1)
+    byG.foreach { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      def at(q: Double) = sorted(math.ceil(q * sorted.length).toInt - 1)
+      assert(out(g)._2 == ((at(0.25), at(0.5), at(0.75))), s"quartiles $g")
+    }
+  }
+
   test("Caches.memoLevel: DISK_ONLY below the per-core heap floor, overridable") {
     import graft.ops.Caches
     import org.apache.spark.storage.StorageLevel

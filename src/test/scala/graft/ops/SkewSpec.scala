@@ -108,6 +108,23 @@ class SkewSpec extends SparkSpec {
     assert(exchanges(chain(reRegistered)) < exchanges(chain(plain)))
   }
 
+  test("layout routing (r17): auto routes only a completed build; harness pin wins") {
+    // the suppkey layout for sf0.001 exists after the test above built
+    // it — auto must route it, plain must not, clustered always does
+    val sfDir = "/root/testdata/sf0.001"
+    graft.Tables.lineitemClustered(spark, sfDir) // ensure built
+    assert(graft.Tables.clusteredBuildExists(sfDir, "lineitem", "l_suppkey"))
+    assert(graft.Tables.routeClustered("auto", buildExists = true))
+    assert(!graft.Tables.routeClustered("auto", buildExists = false))
+    assert(!graft.Tables.routeClustered("plain", buildExists = true))
+    assert(graft.Tables.routeClustered("clustered", buildExists = false))
+    // no build on disk for a made-up key
+    assert(!graft.Tables.clusteredBuildExists(sfDir, "lineitem", "l_linenumber"))
+    // the test JVM pins plain (TestSpark), so the registry's keyed
+    // views stay on plain parquet here even though the build exists
+    assert(graft.Tables.layoutMode == "plain")
+  }
+
   test("partkey-clustered layout: volcano chain layout-invariant, fewer exchanges") {
     // round-16: the feature-keyed (l_partkey) stat family adopts the
     // per-family clustered lever — same bitwise-identity contract as
