@@ -286,9 +286,14 @@ object Bench {
     // a mid-run JVM disturbance likely skewed neighboring samples, so
     // it disqualifies `clean` even though the query has a valid sample
     val resultByName = results.toMap
-    val transientFailures = (firstPass.collect {
+    // warmup failures are NOT query names — they get their own JSON
+    // field (ADVICE r16: consumers cross-referencing transient_failures
+    // against query results hit unknown keys) but still disqualify
+    // `clean` below, same as before
+    val warmupFailuresSorted = warmupFailures.sorted.toSeq
+    val transientFailures = firstPass.collect {
       case (n, t) if t.isNaN && !resultByName(n).isNaN => n
-    } ++ warmupFailures).sorted
+    }.sorted
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val okResults = results.filterNot(_._2.isNaN)
     val total = okResults.map(_._2).sum
@@ -303,14 +308,15 @@ object Bench {
     // against".
     val loadEnd = osBean.getSystemLoadAverage
     val clean = contended.isEmpty && failedQueries.isEmpty &&
-      transientFailures.isEmpty &&
+      transientFailures.isEmpty && warmupFailuresSorted.isEmpty &&
       (loadStart < 0 || loadStart <= cpus.toDouble)
     // rounded, not truncated: -Xmx8g reads ~7.8 GiB from maxMemory, so
     // integer division recorded heap_gb:7 and identically-configured
     // runs could disagree with the banked 8g/16g labels
     val heapGb = math.round(Runtime.getRuntime.maxMemory / (1L << 30).toDouble)
     val transientJson = transientFailures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val hostJson = s""""failed":$failedJson,"transient_failures":$transientJson,"floor_per_query":${f(floor)},"loadavg_start":${f(loadStart)},"loadavg_end":${f(loadEnd)},"heap_gb":$heapGb,"cpus":$cpus,"clean":$clean"""
+    val warmupJson = warmupFailuresSorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val hostJson = s""""failed":$failedJson,"transient_failures":$transientJson,"warmup_failures":$warmupJson,"floor_per_query":${f(floor)},"loadavg_start":${f(loadStart)},"loadavg_end":${f(loadEnd)},"heap_gb":$heapGb,"cpus":$cpus,"clean":$clean"""
     // Full per-query map for humans/the repo; the stdout line keeps the
     // slowest 40 + an "_other" rollup so the whole JSON object fits well
     // inside the driver's 2000-char output tail (rounds 1-2 overflowed

@@ -133,7 +133,13 @@ object Pca {
     // and again inside the returned projection plan. One row per
     // feature; session-lifetime LRU cache (the returned lazy frame
     // references it, so there is no safe in-function unpersist — same
-    // contract as the span/signature memo caches).
+    // contract as the span/signature memo caches). CONTRACT NOTE
+    // (ADVICE r16): plan-dedup collapses repeated calls with the same
+    // (df, model) onto one entry, but callers fitting MANY distinct
+    // models accumulate one feature-sized entry per model for the
+    // session, bounded only by LRU eviction — a long-lived service
+    // fitting unbounded models should recycle its session or clear
+    // spark.sharedState.cacheManager between batches.
     val weights = featureWeightsRaw(df, model, idCol, sampleCol, valueCol)
       .persist(graft.ops.Caches.memoLevel(spark))
     val kAggs = model.eigenvalues.indices.map(c =>

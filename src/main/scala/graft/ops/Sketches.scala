@@ -155,8 +155,14 @@ object Sketches {
     * NON-integral ids take the same aggregate with the id carried as
     * STRING ([[graft.functions.BottomKHashStrAgg]], round-16): the
     * (h, id) selection tie-break is then UTF8-binary = Spark string
-    * order, identical to the window form for string-keyed data (the
-    * id is hashed through its string image either way). The
+    * order, identical to the window form for STRING-keyed data (the
+    * id is hashed through its string image either way). For other
+    * non-integral id types (decimal, double, date) the equivalence
+    * claim is NOT exact: on a 60-bit hash collision the aggregate
+    * tie-breaks on the STRING CAST where the windowed form uses
+    * native-type order — astronomically rare, and it only perturbs
+    * which sample row is kept, never the rank arithmetic (ADVICE
+    * r16). The
     * O(rows)-shuffle [[sampleQuantilesByKeyWindowed]] form is no
     * longer silently chosen for any id type — it stays public for
     * explicit opt-in only. Non-numeric value types (no quantile

@@ -342,7 +342,8 @@ object Dedup {
     * the ContextCleaner reclaim superseded rounds). */
   def connectedComponentsWithRounds(
       pairs: DataFrame, maxIter: Int = 50,
-      checkpointDir: Option[String] = None): (DataFrame, Int) = {
+      checkpointDir: Option[String] = None,
+      pointerJumps: Int = 1): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def truncate(df: DataFrame): DataFrame =
@@ -393,14 +394,32 @@ object Dedup {
         .select(col("id"),
           least(col("cluster"), coalesce(col("_nl"), col("cluster"))).as("cluster"),
           col("cluster").as("_prev")))
-      // pointer jump: follow the label to ITS label (labels are vertex
-      // ids, so this is a self-join) — halves remaining chain depth
-      val next = truncate(step
-        .join(step.select(col("id").as("_lid"), col("cluster").as("_lc")),
-          col("cluster") === col("_lid"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("_lc"), col("cluster"))).as("cluster"),
-          col("_prev")))
+      // pointer jumps: follow the label to ITS label (labels are
+      // vertex ids, so each is a labels-scale self-join) — every jump
+      // halves remaining label-chain depth. `pointerJumps` is a lever,
+      // DEFAULT 1: measured on the simhash near-dup graph (r17), a
+      // second jump does NOT cut the round count — convergence there
+      // is edge-hop-limited (the min label flows one edge hop per
+      // neighbor round; label chains are already shallow), so the
+      // extra self-join is pure added work. The fixpoint is unchanged
+      // for any jump count: jumps only propagate existing labels
+      // monotonically toward the component min, which is
+      // schedule-independent.
+      var jumped = step
+      for (_ <- 1 to math.max(1, pointerJumps)) {
+        val j = truncate(jumped
+          .join(jumped.select(col("id").as("_lid"), col("cluster").as("_lc")),
+            col("cluster") === col("_lid"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("_lc"), col("cluster"))).as("cluster"),
+            col("_prev")))
+        // the intermediate jump's blocks are superseded immediately;
+        // `step` itself is freed below with the round's other scratch
+        if (!(jumped eq step))
+          org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(jumped)
+        jumped = j
+      }
+      val next = jumped
       val changed = next.filter(col("cluster") =!= col("_prev")).limit(1).count()
       // `next` is materialized with no lineage into the superseded
       // round — free its scratch now (never the frame being returned)
